@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table catalog over a scale-factor directory (see TESTDATA.md).
+  *
+  * Scans stay declarative (`spark.read.parquet`) so Catalyst pushes filters
+  * and prunes columns at the source — the Spark-native replacement for the
+  * reference's hand-rolled loaders (reference: matcher CsvDataLoader.scala:42-111).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+      // type for: read nanos as long, then convert to a microsecond
+      // timestamp column (cheap narrowing in codegen, no data loss at
+      // event granularity).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** All tables as a name->DataFrame map. */
+  def all(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    names.map(n => n -> table(spark, dir, n)).toMap
+
+  /** Register every table as a temp view so `spark.sql` works against it. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Long-format column view: melt selected columns of `df` into
+    * (col_name, value-as-string) rows. This is the Spark-native
+    * replacement for the reference's column-oriented `Attribute.values`
+    * (reference: matcher DataModel.scala:89-111) — one distributed table
+    * instead of driver-held per-column lists, so profiling any number of
+    * columns is a single shuffle regardless of data size.
+    */
+  def melt(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val parts = cols
+      .map(c => s"'$c', cast(`$c` as string)")
+      .mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $parts) as (col_name, value)")
+  }
+}
