@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private val registries: Seq[Map[String, QueryDef]] = Seq(
-    relational.RelationalQueries.defs
+    relational.RelationalQueries.defs,
+    profile.ProfileQueries.defs
   )
 
   private lazy val (qs, oracles) = QueryDef.split(registries: _*)
