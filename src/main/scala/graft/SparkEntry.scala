@@ -6,7 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val registries: Seq[Map[String, QueryDef]] = Seq(
     relational.RelationalQueries.defs,
-    profile.ProfileQueries.defs
+    profile.ProfileQueries.defs,
+    text.TextQueries.defs,
+    dedup.DedupQueries.defs,
+    sim.SimilarityQueries.defs
   )
 
   private lazy val (qs, oracles) = QueryDef.split(registries: _*)

@@ -1,0 +1,224 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QueryDef
+import graft.sources.Tables
+import graft.text.Text
+
+/** Deduplication operators over `documents` / `embeddings`: exact
+  * (hash-groupBy), MinHash+LSH (shingle -> signature -> band ->
+  * bucket-join -> exact-Jaccard verify), SimHash bit signatures, char
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: candidate generation is always a key-equality join
+  * (band key / chunk key / blocking key), never an all-pairs product —
+  * the only quadratic step runs inside an LSH bucket, which is capped at
+  * [[MaxBucket]] docs (hot buckets are dropped, the standard LSH guard),
+  * so cost is O(n · bands) shuffle + O(cap² · buckets) compare at any
+  * corpus size. All hashing is md5-based and engine-portable; every
+  * query has a DuckDB oracle twin.
+  */
+object DedupQueries {
+
+  /** Bucket-size cap: LSH buckets larger than this are dropped from
+    * candidate generation (hot-bucket guard for 100 TB corpora). */
+  val MaxBucket = 50
+
+  val MinhashK = 64
+  val Bands = 32
+  val Rows = 2
+  val JaccardThreshold = 0.3
+
+  private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private def shinglesSqlDuck(n: Int) =
+    s"""CASE WHEN len($wordsSqlDuck) >= $n THEN
+      list_distinct(list_transform(range(0, len($wordsSqlDuck) - ${n - 1}),
+        j -> array_to_string(list_slice($wordsSqlDuck, j+1, j+$n), ' ')))
+      ELSE [] END"""
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- d1: exact dedup via normalized-text hash; canonical = min doc id
+    "d1_exact_dedup" -> QueryDef(
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val d = Tables.table(s, dir, "documents").withColumn("fp", md5(norm))
+        val w = Window.partitionBy(col("fp"))
+        d.withColumn("canonical_id", min(col("doc_id")).over(w))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .withColumn("is_dup",
+            when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+          .select(col("doc_id"), col("fp"), col("canonical_id"),
+            col("cluster_size"), col("is_dup"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+        SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        FROM documents
+      )
+      SELECT doc_id, fp,
+        min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        count(*) OVER (PARTITION BY fp) AS cluster_size,
+        CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS is_dup
+      FROM d ORDER BY doc_id""")),
+
+    // ---- d2: MinHash + LSH near-dup pairs, exact-Jaccard verified
+    "d2_minhash_lsh" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh"))
+        val sigs = docs.withColumn("mh", Text.minhash(col("sh"), MinhashK))
+        val banded = sigs
+          .select(col("doc_id"),
+            explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
+        val capped = banded
+          .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bk"))))
+          .filter(col("bsz") <= MaxBucket)
+        val pairs = capped.as("x")
+          .join(capped.as("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+          .distinct()
+        val withSets = pairs
+          .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+          .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+        withSets
+          .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
+          .filter(col("jac") >= JaccardThreshold)
+          .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
+          .orderBy(col("doc1"), col("doc2"))
+      },
+      Some(s"""WITH docs AS (
+        SELECT doc_id, ${shinglesSqlDuck(2)} AS sh FROM documents
+      ), base AS (
+        SELECT doc_id, sh FROM docs WHERE len(sh) > 0
+      ), sigs AS (
+        SELECT doc_id, sh,
+          list_transform(range(1, ${MinhashK + 1}),
+            i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS mh
+        FROM base
+      ), banded AS (
+        SELECT doc_id, unnest(list_transform(range(0, $Bands),
+          b -> md5(CAST(b AS VARCHAR) || '|' || mh[b*$Rows+1] || '|' || mh[b*$Rows+2]))) AS bk
+        FROM sigs
+      ), capped AS (
+        SELECT * FROM (
+          SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz FROM banded
+        ) WHERE bsz <= $MaxBucket
+      ), pairs AS (
+        SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+        FROM capped x JOIN capped y ON x.bk = y.bk AND x.doc_id < y.doc_id
+      )
+      SELECT doc1, doc2,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      FROM pairs JOIN base a ON pairs.doc1 = a.doc_id
+                 JOIN base b ON pairs.doc2 = b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold
+      ORDER BY doc1, doc2""")),
+
+    // ---- d3: 32-bit SimHash signatures + hamming-LSH chunk keys
+    "d3_simhash" -> QueryDef(
+      (s, dir) => {
+        val ex = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+          .withColumn("h", Text.hash32(col("word")))
+        val bitExprs = (0 until 32).map(b =>
+          sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1").cast("long")).as(s"b$b"))
+        val bitSums = ex.groupBy(col("doc_id"))
+          .agg(bitExprs.head, bitExprs.tail: _*)
+        val simhash = (0 until 32)
+          .map(b => when(col(s"b$b") >= 0, 1L << b).otherwise(0L))
+          .reduce(_ + _)
+        bitSums.withColumn("simhash", simhash)
+          .select(col("doc_id") +: col("simhash") +:
+            (0 until 4).map(c =>
+              expr(s"shiftright(simhash, ${8 * c}) & 255").cast("long")
+                .as(s"chunk$c")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bitSumsSql = (0 until 32)
+          .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS b$b").mkString(",\n          ")
+        val simhashSql = (0 until 32)
+          .map(b => s"CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        val chunksSql = (0 until 4)
+          .map(c => s"CAST((simhash >> ${8 * c}) & 255 AS BIGINT) AS chunk$c")
+          .mkString(", ")
+        s"""WITH ex AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest($wordsSqlDuck) AS w FROM documents)
+        ), bits AS (
+          SELECT doc_id,
+          $bitSumsSql
+          FROM ex GROUP BY doc_id
+        ), sh AS (
+          SELECT doc_id, $simhashSql AS simhash FROM bits
+        )
+        SELECT doc_id, simhash, $chunksSql FROM sh ORDER BY doc_id"""
+      }),
+
+    // ---- d4: char 4-gram Jaccard on blocked candidates (same source,
+    //      similar length) — blocking join, not an all-pairs product
+    "d4_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .withColumn("sh", Text.charShingles(col("text"), 4))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("sh"))
+        d.as("a").join(d.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+            round(Text.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+          .orderBy(col("doc1"), col("doc2"))
+      },
+      Some("""WITH d AS (
+        SELECT doc_id, source, n_chars,
+          CASE WHEN length(lower(text)) >= 4 THEN
+            list_distinct(list_transform(range(0, length(lower(text)) - 3),
+              j -> substr(lower(text), j+1, 4)))
+          ELSE [] END AS sh
+        FROM documents
+      )
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        AND abs(a.n_chars - b.n_chars) <= 20
+      ORDER BY doc1, doc2""")),
+
+    // ---- d5: top-20 closest embedding pairs by cosine (near-dup scan)
+    "d5_embedding_neardup" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+            round(Text.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec1"), col("vec2"))
+          .limit(20)
+      },
+      Some("""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), p AS (
+        SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+          round(
+            list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+      )
+      SELECT vec1, vec2, cos FROM p ORDER BY cos DESC, vec1, vec2 LIMIT 20"""))
+  )
+}

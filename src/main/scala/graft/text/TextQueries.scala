@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All are row-wise expression pipelines + one grouped
+  * aggregate — embarrassingly parallel, no driver state, and each has a
+  * DuckDB oracle twin. */
+object TextQueries {
+
+  /** Small built-in stopword marker lists for the language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "de", "y", "es", "en", "se", "por", "con"))
+
+  val enStopwords: Seq[String] = langMarkers.head._2
+
+  private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- t1: token statistics per (lang, source)
+    "t1_token_stats" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .withColumn("w", Text.words(col("text")))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("n_bpe", Text.bpeTokenCount(col("text")).cast("long"))
+        d.groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("sum_words"),
+            sum(col("n_bpe")).as("sum_bpe_tokens"),
+            round(sum(col("n_words")).cast("double") / count(lit(1)), 6)
+              .as("avg_words_per_doc"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some(s"""SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(len($wordsSqlDuck)) AS BIGINT) AS sum_words,
+        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens,
+        round(CAST(sum(len($wordsSqlDuck)) AS DOUBLE) / count(*), 6) AS avg_words_per_doc
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- t2: per-document quality scoring (length/punct/stopword ratios)
+    "t2_quality_scores" -> QueryDef(
+      (s, dir) => {
+        val stop = enStopwords.map(w => s"'$w'").mkString(", ")
+        Tables.table(s, dir, "documents")
+          .withColumn("w", Text.words(col("text")))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("punct_ratio", round(
+            length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+              .cast("double") / length(col("text")), 6))
+          .withColumn("stop_ratio", round(
+            expr(s"size(filter(w, x -> x IN ($stop)))").cast("double") /
+              greatest(size(col("w")), lit(1)), 6))
+          .withColumn("mean_word_len", round(
+            expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double") /
+              greatest(size(col("w")), lit(1)), 6))
+          // quality: long enough, low punctuation noise, some stopwords.
+          // floor(x*1e6+0.5)/1e6 instead of round(): pure IEEE double ops,
+          // bit-identical across engines (round() implementations differ at
+          // exact .5e-6 boundaries, which these weighted sums hit).
+          .withColumn("quality_score",
+            floor((least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+              (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
+              least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3) * 1e6 + 0.5) / 1e6)
+          .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+            col("stop_ratio"), col("mean_word_len"), col("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = enStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH d AS (
+          SELECT doc_id, text, $wordsSqlDuck AS w FROM documents
+        ), f AS (
+          SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+            round(CAST(len(list_filter(w, x -> x IN ($stop))) AS DOUBLE) / greatest(len(w), 1), 6) AS stop_ratio,
+            round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(len(w), 1), 6) AS mean_word_len
+          FROM d
+        )
+        SELECT doc_id, n_words, punct_ratio, stop_ratio, mean_word_len,
+          floor((least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+                least(stop_ratio * 5.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6 AS quality_score
+        FROM f ORDER BY doc_id"""
+      }),
+
+    // ---- t3: language-ID heuristic vs the labelled lang column
+    "t3_lang_id" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .withColumn("w", Text.words(col("text")))
+        val scored = langMarkers.foldLeft(d) { case (df, (l, ws)) =>
+          val list = ws.map(w => s"'$w'").mkString(", ")
+          df.withColumn(s"score_$l",
+            expr(s"size(filter(w, x -> x IN ($list)))").cast("long"))
+        }
+        // argmax with fixed precedence order en > de > fr > es (ties go to
+        // the earlier language) — mirrors the oracle CASE exactly
+        val (en, de, fr, es) =
+          (col("score_en"), col("score_de"), col("score_fr"), col("score_es"))
+        val pred =
+          when(en > 0 && en >= de && en >= fr && en >= es, "en")
+            .when(de > 0 && de > en && de >= fr && de >= es, "de")
+            .when(fr > 0 && fr > en && fr > de && fr >= es, "fr")
+            .when(es > 0 && es > en && es > de && es > fr, "es")
+            .otherwise("und")
+        scored.withColumn("pred_lang", pred)
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some {
+        def list(l: String) =
+          langMarkers.find(_._1 == l).get._2.map(w => s"'$w'").mkString(", ")
+        def sc(l: String) =
+          s"CAST(len(list_filter(w, x -> x IN (${list(l)}))) AS BIGINT)"
+        s"""WITH d AS (
+          SELECT doc_id, lang, $wordsSqlDuck AS w FROM documents
+        ), scored AS (
+          SELECT lang, ${sc("en")} AS score_en, ${sc("de")} AS score_de,
+                 ${sc("fr")} AS score_fr, ${sc("es")} AS score_es
+          FROM d
+        ), p AS (
+          SELECT lang,
+            CASE
+              WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+              WHEN score_de > 0 AND score_de > score_en AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+              WHEN score_fr > 0 AND score_fr > score_en AND score_fr > score_de AND score_fr >= score_es THEN 'fr'
+              WHEN score_es > 0 AND score_es > score_en AND score_es > score_de AND score_es > score_fr THEN 'es'
+              ELSE 'und' END AS pred_lang
+          FROM scored
+        )
+        SELECT lang, pred_lang, count(*) AS n_docs FROM p
+        GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+      }),
+
+    // ---- t4: document fingerprints (normalized-text hash + min-shingle hash)
+    "t4_fingerprints" -> QueryDef(
+      (s, dir) => {
+        val norm = regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+        Tables.table(s, dir, "documents")
+          .withColumn("fp_exact", md5(trim(norm)))
+          .withColumn("sh", Text.wordShingles(Text.words(col("text")), 4))
+          .withColumn("fp_min_shingle",
+            coalesce(array_min(transform(col("sh"), x => md5(x))), lit("")))
+          .select(col("doc_id"), col("fp_exact"), col("fp_min_shingle"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+        SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp_exact,
+          CASE WHEN len($wordsSqlDuck) >= 4 THEN
+            list_distinct(list_transform(range(0, len($wordsSqlDuck) - 3),
+              j -> array_to_string(list_slice($wordsSqlDuck, j+1, j+4), ' ')))
+          ELSE [] END AS sh
+        FROM documents
+      )
+      SELECT doc_id, fp_exact,
+        coalesce(list_min(list_transform(sh, x -> md5(x))), '') AS fp_min_shingle
+      FROM d ORDER BY doc_id"""))
+  )
+}

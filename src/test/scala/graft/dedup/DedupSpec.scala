@@ -1,0 +1,48 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.sim.SimilarityQueries
+
+class DedupSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds the planted near-duplicate pairs and none below threshold") {
+    val out = DedupQueries.defs("d2_minhash_lsh").fn(spark, sf).collect()
+    assert(out.nonEmpty, "expected at least one near-dup pair at sf0.001")
+    assert(out.forall(_.getAs[Double]("jaccard") >= DedupQueries.JaccardThreshold))
+  }
+
+  test("exact dedup marks doc as its own canonical when unique") {
+    val rows = DedupQueries.defs("d1_exact_dedup").fn(spark, sf).collect()
+    assert(rows.length === 500)
+    val selfCanonical = rows.filter(r =>
+      r.getAs[Long]("cluster_size") == 1L)
+    assert(selfCanonical.forall(r =>
+      r.getAs[Long]("canonical_id") == r.getAs[Long]("doc_id") &&
+        r.getAs[Long]("is_dup") == 0L))
+  }
+
+  test("simhash signatures are 32-bit and stable across runs") {
+    val a = DedupQueries.defs("d3_simhash").fn(spark, sf).collect()
+    val b = DedupQueries.defs("d3_simhash").fn(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.forall { r =>
+      val s = r.getAs[Long]("simhash"); s >= 0 && s <= 0xFFFFFFFFL
+    })
+  }
+
+  test("ann lsh and ivf recall vs brute force") {
+    def pairs(name: String): Set[(Long, Long)] =
+      SimilarityQueries.defs(name).fn(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .toSet
+    val exact = pairs("s1_ann_bruteforce")
+    val lsh = pairs("s2_ann_lsh")
+    val ivf = pairs("s3_ann_ivf")
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(s"LSH recall: $lshRecall, IVF recall: $ivfRecall")
+    assert(lshRecall >= 0.3, s"LSH recall too low: $lshRecall")
+    assert(ivfRecall >= 0.3, s"IVF recall too low: $ivfRecall")
+  }
+}
