@@ -9,7 +9,8 @@ object SparkEntry {
     profile.ProfileQueries.defs,
     text.TextQueries.defs,
     dedup.DedupQueries.defs,
-    sim.SimilarityQueries.defs
+    sim.SimilarityQueries.defs,
+    matcher.MatcherQueries.defs
   )
 
   private lazy val (qs, oracles) = QueryDef.split(registries: _*)

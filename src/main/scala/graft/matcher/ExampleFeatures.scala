@@ -1,0 +1,97 @@
+package graft.matcher
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Example-based (class-conditioned) features: distances from a query
+  * column to the labelled example pool (reference
+  * RfKnnFeatureExtractor.scala:42-99,
+  * MinEditDistFromClassExamplesFeatureExtractor.scala:32-84,
+  * MeanCharacterCosineSimilarityFeatureExtractor.scala:36-139).
+  *
+  * The pool is #labelled-columns sized (tiny), so the cross join
+  * broadcasts the pool and the per-class reduction is a map-side-combined
+  * groupBy — O(queries x pool) work distributed row-wise. */
+object ExampleFeatures {
+
+  /** Short (unqualified) column name from a `table.column` id. */
+  private def shortName(c: org.apache.spark.sql.Column) =
+    substring_index(c, ".", -1)
+
+  /** Build the per-class aggregation columns (shared helper). */
+  private def classAggs(classes: Seq[String], k: Int) = classes.map { c =>
+    round(sum(when(col("label") === c, 1L).otherwise(0L))
+      .cast("double") / k, 6).as(s"prop_$c")
+  }
+
+  /** k-NN proportions, implemented cleanly. */
+  def knn(queries: DataFrame, pool: DataFrame, k: Int,
+      classes: Seq[String]): DataFrame = {
+    val q = queries.select(col("col_name").as("query_col"))
+      .withColumn("qname", shortName(col("query_col")))
+    val p = broadcast(pool.select(col("col_name").as("pool_col"), col("label"))
+      .withColumn("pname", shortName(col("pool_col"))))
+    val w = Window.partitionBy(col("query_col"))
+      .orderBy(col("dist"), col("pool_col"))
+    val ranked = q.join(p)
+      .withColumn("dist", levenshtein(lower(col("qname")), lower(col("pname"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val aggs = classAggs(classes, k)
+    ranked.groupBy(col("query_col")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("query_col"))
+  }
+
+  /** Min edit distance from each class's example names
+    * (reference J2): query_col, min_dist_<class>... */
+  def minClassDistance(queries: DataFrame, pool: DataFrame,
+      classes: Seq[String]): DataFrame = {
+    val q = queries.select(col("col_name").as("query_col"))
+      .withColumn("qname", shortName(col("query_col")))
+    val p = broadcast(pool.select(col("col_name").as("pool_col"), col("label"))
+      .withColumn("pname", shortName(col("pool_col"))))
+    val joined = q.join(p)
+      .withColumn("dist", levenshtein(lower(col("qname")), lower(col("pname"))))
+    val aggs = classes.map(c =>
+      min(when(col("label") === c, col("dist"))).cast("long")
+        .as(s"min_dist_$c"))
+    joined.groupBy(col("query_col")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("query_col"))
+  }
+
+  /** Mean cosine similarity between the query column's character
+    * distribution and each class's example distributions (reference J3).
+    * `charHist`: (col_name, c, cnt) histograms for query+pool columns. */
+  def meanCharCosinePerClass(charHist: DataFrame, queryCols: DataFrame,
+      pool: DataFrame, classes: Seq[String]): DataFrame = {
+    val norms = charHist.groupBy(col("col_name"))
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("norm"))
+    val h = charHist.join(norms, "col_name")
+      .select(col("col_name"), col("c"),
+        (col("cnt") / col("norm")).as("w"))
+    val q = queryCols.select(col("col_name").as("query_col"))
+    val p = pool.select(col("col_name").as("pool_col"), col("label"))
+    val qh = h.join(q, h("col_name") === q("query_col"))
+      .select(col("query_col"), col("c"), col("w").as("qw"))
+    val ph = h.join(p, h("col_name") === p("pool_col"))
+      .select(col("pool_col"), col("label"), col("c"), col("w").as("pw"))
+    val cosPairs = qh.join(ph, Seq("c"))
+      .groupBy(col("query_col"), col("pool_col"), col("label"))
+      .agg(sum(col("qw") * col("pw")).as("cos"))
+    val aggs = classes.map(c =>
+      round(avg(when(col("label") === c, col("cos"))), 6)
+        .as(s"mean_cos_$c"))
+    cosPairs.groupBy(col("query_col")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("query_col"))
+  }
+
+  /** Character histogram (col_name, c, cnt) for a melted frame. */
+  def charHistogram(melted: DataFrame): DataFrame = {
+    val v = col("value")
+    melted.filter(v.isNotNull && length(v) > 0)
+      .select(col("col_name"), explode(split(lower(v), "")).as("c"))
+      .groupBy(col("col_name"), col("c"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+  }
+}

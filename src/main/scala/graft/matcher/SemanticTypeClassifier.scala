@@ -1,0 +1,80 @@
+package graft.matcher
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{IndexToString, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Random-forest semantic-type classifier over column profiles — the
+  * Spark-native rebuild of the reference matcher pipeline
+  * (reference TrainMlibSemanticTypeClassifier.scala:202-231:
+  * StringIndexer -> VectorAssembler -> RandomForest -> IndexToString,
+  * numTrees=128 depth=10 gini seed=5043, 10 trees when under 20 training
+  * rows per the tiny-data guard at :164-171).
+  *
+  * Unlike the reference, features never round-trip through the driver:
+  * the profile DataFrame flows straight into `Pipeline.fit`. The
+  * training matrix is one row per *column* (tiny at any data scale), so
+  * `repartition(1)` before fit costs nothing and pins RF determinism
+  * (the reference's makeRDD(numSlices=1) FIXME at :187-190).
+  */
+object SemanticTypeClassifier {
+
+  val Seed = 5043
+  val NumTrees = 128
+  val TinyDataTrees = 10
+  val MaxDepth = 10
+
+  /** Train on a feature frame that has a `label` column. */
+  def train(labelled: DataFrame): PipelineModel = {
+    val n = labelled.count()
+    val indexer = new StringIndexer()
+      .setInputCol("label").setOutputCol("label_idx")
+      .setStringOrderType("alphabetAsc")
+    val assembler = new VectorAssembler()
+      .setInputCols(FeatureMatrix.featureCols.toArray)
+      .setOutputCol("features")
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label_idx").setFeaturesCol("features")
+      .setNumTrees(if (n < 20) TinyDataTrees else NumTrees)
+      .setMaxDepth(MaxDepth)
+      .setImpurity("gini")
+      .setSeed(Seed)
+    val converter = new IndexToString()
+      .setInputCol("prediction").setOutputCol("predicted_label")
+      .setLabels(labelled.select("label").distinct()
+        .orderBy("label").collect().map(_.getString(0)))
+    val pipeline = new Pipeline()
+      .setStages(Array(indexer, assembler, rf, converter))
+    pipeline.fit(labelled.repartition(1).sortWithinPartitions("col_name"))
+  }
+
+  /** Predict labels for a feature frame; returns col_name, predicted
+    * label, confidence, and the per-class score map (reference
+    * ColumnPrediction, ModelTypes.scala:281-295). */
+  def predict(model: PipelineModel, features: DataFrame): DataFrame = {
+    val indexer = model.stages(0)
+      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel]
+    val classes = indexer.labelsArray.head
+    val scored = model.transform(features)
+      .withColumn("probs", vector_to_array(col("probability")))
+    scored.select(
+      col("col_name"),
+      col("predicted_label"),
+      round(array_max(col("probs")), 6).as("confidence"),
+      map_from_arrays(
+        lit(classes),
+        transform(col("probs"), p => round(p, 6))).as("scores"))
+  }
+
+  /** Gini feature importances, descending (reference
+    * ModelTrainer.scala:196-238). */
+  def featureImportances(model: PipelineModel): Seq[(String, Double)] = {
+    val rf = model.stages(2)
+      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
+    FeatureMatrix.featureCols.zip(rf.featureImportances.toArray)
+      .sortBy(-_._2)
+  }
+}

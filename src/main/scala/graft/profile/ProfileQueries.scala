@@ -26,24 +26,14 @@ object ProfileQueries {
     * DataTypeParser.scala:23-73) — computed over all rows (one distributed
     * pass) instead of the reference's 100-row driver-side sample. */
   private def inferTypes(table: String, cols: Seq[String]): QueryDef = {
-    val intRe = "^[+-]?[0-9]+$"
-    val floatRe = "^[+-]?([0-9]*\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][+-]?[0-9]+)?$"
-    val boolRe = "^(true|false|t|f|yes|no)$"
-    val dateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}"
+    val intRe = ColumnProfiler.IntRe
+    val floatRe = ColumnProfiler.FloatRe
+    val boolRe = ColumnProfiler.BoolRe
+    val dateRe = ColumnProfiler.DateRe
     QueryDef(
       (s, dir) => {
         val m = ColumnProfiler.melt(Tables.table(s, dir, table), cols)
-        val v = col("value")
-        val nonEmpty = v.isNotNull && length(trim(v)) > 0
-        val share = (re: String) =>
-          round(sum(when(nonEmpty && lower(trim(v)).rlike(re), 1L).otherwise(0L))
-            .cast("double") / sum(when(nonEmpty, 1L).otherwise(0L)), 6)
-        m.groupBy(col("col_name"))
-          .agg(
-            share(intRe).as("share_int"),
-            share(floatRe).as("share_float"),
-            share(boolRe).as("share_bool"),
-            share(dateRe).as("share_date"))
+        ColumnProfiler.typeShares(m)
           .withColumn("inferred_type",
             when(col("share_int") > 0.5, "integer")
               .when(col("share_float") > 0.5, "float")

@@ -1,0 +1,79 @@
+package graft.matcher
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MatcherSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("semantic-type classifier reaches >= 0.8 accuracy on held-out tables") {
+    import spark.implicits._
+    val preds = MatcherQueries.defs("m4_semantic_type_predictions")
+      .fn(spark, sf).collect()
+    val expected = Labels.holdout
+      .map { case (t, c, l) => s"$t.$c" -> l }.toMap
+    val correct = preds.count(r =>
+      expected(r.getAs[String]("col_name")) == r.getAs[String]("predicted_label"))
+    val acc = correct.toDouble / preds.length
+    info(s"holdout accuracy: $acc (${correct}/${preds.length})")
+    preds.foreach(r => info(s"  ${r.getAs[String]("col_name")} -> " +
+      s"${r.getAs[String]("predicted_label")} (want ${expected(r.getAs[String]("col_name"))})"))
+    assert(acc >= 0.8, s"accuracy $acc below threshold")
+  }
+
+  test("classifier predictions are deterministic across runs") {
+    val a = MatcherQueries.defs("m4_semantic_type_predictions")
+      .fn(spark, sf).collect().map(_.toSeq)
+    val b = MatcherQueries.defs("m4_semantic_type_predictions")
+      .fn(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("upsample-to-max balances all classes to the max count") {
+    import spark.implicits._
+    val labelled = Labels.train.map { case (t, c, l) => (s"$t.$c", l) }
+      .toDF("col_name", "label")
+    val maxN = labelled.groupBy("label").count()
+      .agg(max("count")).collect().head.getLong(0)
+    val counts = Resampler.resample(labelled, Resampler.UpsampleToMax)
+      .groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet === Set(maxN))
+  }
+
+  test("resample-to-mean hits the mean count for every class") {
+    import spark.implicits._
+    val labelled = Labels.train.map { case (t, c, l) => (s"$t.$c", l) }
+      .toDF("col_name", "label")
+    val sizes = labelled.groupBy("label").count().collect().map(_.getLong(1))
+    val mean = sizes.sum / sizes.length
+    val counts = Resampler.resample(labelled, Resampler.ResampleToMean)
+      .groupBy("label").count().collect().map(_.getLong(1))
+    assert(counts.toSet === Set(mean))
+  }
+
+  test("bagging assigns every value to exactly one bag, deterministically") {
+    import spark.implicits._
+    val melted = (1 to 250).map(i => ("c1", s"v$i")).toDF("col_name", "value")
+    val bags = Resampler.assignBags(melted, 5)
+    val counts = bags.groupBy("bag_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0L until 5L).toSet)
+    assert(counts.values.sum === 250L)
+    val again = Resampler.assignBags(melted, 5).collect().map(_.toSeq).toSet
+    assert(again === bags.collect().map(_.toSeq).toSet)
+  }
+
+  test("string distance functions behave sanely") {
+    import graft.functions.StringFunctions._
+    assert(levenshtein("kitten", "sitting") === 3)
+    assert(needlemanWunsch("abc", "abc") === 0.0)
+    assert(jaro("martha", "marhta") > 0.94)
+    assert(jaroWinkler("orderkey", "orderkey") === 1.0)
+    assert(ngramDistance("abc", "abc", 2) === 0.0)
+    assert(tokenize("customerAcctBal") === Seq("customer", "acct", "bal"))
+    assert(tokenize("o_orderdate") === Seq("o", "order", "date"))
+    assert(porterStem("running") === "run")
+    assert(porterStem("relational") === "relat")
+  }
+}
