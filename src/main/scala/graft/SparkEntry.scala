@@ -10,7 +10,8 @@ object SparkEntry {
     text.TextQueries.defs,
     dedup.DedupQueries.defs,
     sim.SimilarityQueries.defs,
-    matcher.MatcherQueries.defs
+    matcher.MatcherQueries.defs,
+    matcher.EvalQueries.defs
   )
 
   private lazy val (qs, oracles) = QueryDef.split(registries: _*)

@@ -1,0 +1,82 @@
+package graft.matcher
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.functions.StringFunctions
+
+/** Evaluation + pairwise-feature queries (reference
+  * eval/metrics/EvaluationMetrics.scala:7-19, ConfusionMatrix.scala;
+  * pairwise: AttributePairFeatureExtractor.scala:33-148). */
+object EvalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- m6: confusion matrix + per-class precision/recall/F1 (M10)
+    "m6_matcher_eval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val expected = Labels.holdout
+          .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "expected")
+        val trainFeat = FeatureMatrix.features(s, dir, Labels.trainTables)
+          .join(Labels.train.map { case (t, c, l) => (s"$t.$c", l) }
+            .toDF("col_name", "label"), "col_name")
+        val model = SemanticTypeClassifier.train(trainFeat)
+        val preds = SemanticTypeClassifier.predict(model,
+          FeatureMatrix.features(s, dir, Labels.holdoutTables))
+          .join(expected, "col_name")
+        val byClass = preds.groupBy(col("expected").as("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("predicted_label") === col("expected"), 1L)
+              .otherwise(0L)).as("tp"))
+        val predCounts = preds.groupBy(col("predicted_label").as("label"))
+          .agg(count(lit(1)).as("n_predicted"))
+        byClass.join(predCounts, Seq("label"), "full")
+          .select(
+            col("label"),
+            coalesce(col("n"), lit(0L)).as("n_actual"),
+            coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            round(coalesce(col("tp") / col("n_predicted"), lit(0.0)), 6)
+              .as("precision"),
+            round(coalesce(col("tp") / col("n"), lit(0.0)), 6).as("recall"))
+          .withColumn("f1", round(
+            when(col("precision") + col("recall") > 0,
+              lit(2.0) * col("precision") * col("recall") /
+                (col("precision") + col("recall"))).otherwise(0.0), 6))
+          .orderBy(col("label"))
+      },
+      None),
+
+    // ---- m7: pairwise attribute features over held-out column pairs (§2.5)
+    "m7_pairwise_features" -> QueryDef(
+      (s, dir) => {
+        val prof = FeatureMatrix.features(s, dir, Labels.holdoutTables)
+          .select(col("col_name"), col("prop_unique_vals"), col("share_int"),
+            col("share_float"), col("share_date"))
+        val short = (c: org.apache.spark.sql.Column) => substring_index(c, ".", -1)
+        val a = prof.select(prof.columns.map(c => col(c).as(s"a_$c")): _*)
+        val b = prof.select(prof.columns.map(c => col(c).as(s"b_$c")): _*)
+        a.join(b, col("a_col_name") < col("b_col_name"))
+          .select(
+            col("a_col_name"), col("b_col_name"),
+            round(abs(col("a_prop_unique_vals") - col("b_prop_unique_vals")), 6)
+              .as("unique_vals_diff"),
+            when(col("a_share_int") > 0.5 && col("b_share_int") > 0.5, 1L)
+              .otherwise(0L).as("both_int"),
+            when(col("a_share_date") > 0.5 && col("b_share_date") > 0.5, 1L)
+              .otherwise(0L).as("both_date"),
+            levenshtein(lower(short(col("a_col_name"))),
+              lower(short(col("b_col_name")))).cast("long").as("lev_dist"),
+            round(StringFunctions.nwUdf(short(col("a_col_name")),
+              short(col("b_col_name"))), 6).as("nw_dist"),
+            round(StringFunctions.jaroUdf(short(col("a_col_name")),
+              short(col("b_col_name"))), 6).as("jaro_sim"),
+            round(StringFunctions.ngramUdf(short(col("a_col_name")),
+              short(col("b_col_name"))), 6).as("ngram_dist"))
+          .orderBy(col("a_col_name"), col("b_col_name"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Ingestion layer (reference matcher ingestion/loader classes, S1-S10 in
+  * SURVEY §2.1): heterogeneous sources land as DataFrames plus the
+  * long-format column view that feeds profiling. All readers are
+  * `spark.read`-based so Catalyst gets pushdown/pruning; the reference's
+  * hand-rolled row transposes disappear (its column lists become the
+  * melted view, computed distributed).
+  */
+object Ingest {
+
+  /** S1: RFC4180 CSV with header -> all-string DataFrame, all-empty rows
+    * dropped (reference CsvDataLoader.scala:42-111 treats every value as
+    * string and drops empty rows; logical types are inferred later as
+    * features, not at scan time). Numeric-only headers mean "no header"
+    * (reference :90-96) -> synthesized col_0..col_n names. */
+  def csv(spark: SparkSession, path: String): DataFrame = {
+    val first = spark.read.text(path).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("")
+    val headerIsNumeric = first.split(",").forall(_.trim.matches("[0-9]*"))
+    val base = spark.read
+      .option("header", (!headerIsNumeric).toString)
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+    val named = if (headerIsNumeric)
+      base.toDF(base.columns.indices.map(i => s"col_$i"): _*)
+    else base
+    val allEmpty = named.columns
+      .map(c => coalesce(length(trim(col(s"`$c`"))), lit(0)) === 0)
+      .reduce(_ && _)
+    named.filter(!allEmpty)
+  }
+
+  /** S2: recursive CSV directory -> one frame with a `_source_file`
+    * column (attr id = relPath/colName in the reference,
+    * CSVHierarchicalDataLoader.scala:31-83). */
+  def csvDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("header", "true").option("recursiveFileLookup", "true")
+      .csv(dir)
+      .withColumn("_source_file", input_file_name())
+
+  /** S3/S4: JSON records -> flat DataFrame with `label@path` attribute
+    * names (reference XmlDataLoader.scala:18-76 flattens node labels the
+    * same way; union-of-keys across docs is schema merge, which
+    * spark.read.json already performs). */
+  def jsonFlat(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    def flatten(schema: StructType, prefix: Seq[String]): Seq[org.apache.spark.sql.Column] =
+      schema.fields.flatMap { f =>
+        val p = prefix :+ f.name
+        f.dataType match {
+          case st: StructType => flatten(st, p)
+          case _ =>
+            Seq(col(p.mkString(".")).cast(StringType)
+              .as((f.name +: prefix.reverse).mkString("@")))
+        }
+      }
+    raw.select(flatten(raw.schema, Nil): _*)
+  }
+
+  /** XML documents (one doc per file) -> (file, label@path, value) long
+    * rows via the JDK DOM parser in mapPartitions (reference
+    * XmlDataLoader flattens each doc to label@path attrs; the union of
+    * attribute names across docs falls out of the long format). */
+  def xmlLong(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.option("wholetext", "true").text(dir)
+      .withColumn("file", input_file_name())
+      .as[(String, String)]
+    files.mapPartitions { it =>
+      val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      val builder = factory.newDocumentBuilder()
+      it.flatMap { case (content, file) =>
+        try {
+          val doc = builder.parse(new java.io.ByteArrayInputStream(
+            content.getBytes("UTF-8")))
+          def walk(n: org.w3c.dom.Node, path: List[String]): Seq[(String, String)] = {
+            val children = (0 until n.getChildNodes.getLength)
+              .map(n.getChildNodes.item)
+            val elems = children.filter(_.getNodeType == org.w3c.dom.Node.ELEMENT_NODE)
+            if (elems.isEmpty) {
+              val text = n.getTextContent.trim
+              if (text.nonEmpty)
+                Seq(((n.getNodeName :: path).mkString("@"), text))
+              else Nil
+            } else elems.flatMap(c => walk(c, n.getNodeName :: path))
+          }
+          walk(doc.getDocumentElement, Nil).map { case (k, v) => (file, k, v) }
+        } catch { case _: Exception => Nil }
+      }
+    }.toDF("file", "attr", "value")
+  }
+
+  /** S7: semantic-type label CSVs: 2-col manual labels or 6-col predicted
+    * labels where unvalidated rows (`?`) are skipped (reference
+    * LabelsLoader.scala:32-75). */
+  def labels(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    if (raw.columns.length <= 2)
+      raw.toDF("attr_id", "label")
+    else raw
+      .filter(col(raw.columns(2)) =!= "?")
+      .select(col(raw.columns(0)).as("attr_id"), col(raw.columns(1)).as("label"))
+  }
+
+  /** S9: bounded scan — take the first 4n rows, then a deterministic
+    * hash-ordered sample of n values per column (reference
+    * DataSetInterface.scala:214-295 samples from the first 4n rows with a
+    * seeded Random; hash order replaces the seed for
+    * partition-independence). */
+  def boundedColumnSample(df: DataFrame, cols: Seq[String], n: Int,
+      seed: Long = 42L): DataFrame = {
+    val limited = ColumnMelt.melt(df.limit(4 * n), cols)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"))
+      .orderBy(xxhash64(col("value"), lit(seed)), col("value"))
+    limited.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n).drop("rn")
+  }
+
+  /** S10: retype with sentinel defaults (reference
+    * DataSetInterface.scala:304-322 casts with NaN / Int.MinValue
+    * fallbacks; try_cast keeps ANSI mode safe). */
+  def retype(df: DataFrame, typeMap: Map[String, String]): DataFrame =
+    typeMap.foldLeft(df) { case (d, (c, t)) =>
+      val casted = expr(s"try_cast(`$c` AS $t)")
+      val sentinel = t.toLowerCase match {
+        case "double" | "float" => lit(Double.NaN).cast(t)
+        case "int" | "integer" | "bigint" | "long" => lit(Int.MinValue).cast(t)
+        case _ => lit(null).cast(t)
+      }
+      d.withColumn(c, coalesce(casted, sentinel))
+    }
+
+  /** S8: write a frame back to CSV (reference CSVDataWriter.scala). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
+
+/** Alias for the melt helper so ingestion doesn't depend on the profile
+  * package. */
+object ColumnMelt {
+  def melt(df: DataFrame, cols: Seq[String]): DataFrame =
+    graft.profile.ColumnProfiler.melt(df, cols)
+}

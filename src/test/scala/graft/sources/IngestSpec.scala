@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+class IngestSpec extends SparkSpec {
+
+  private lazy val tmp = {
+    val d = Files.createTempDirectory("graft-ingest").toString
+    // CSV with header, an all-empty row, quoted comma
+    Files.writeString(Paths.get(s"$d/people.csv"),
+      "name,age,city\nAlice,34,\"Sydney, AU\"\n,,\nBob,28,Perth\n")
+    // headerless (numeric first line)
+    Files.writeString(Paths.get(s"$d/noheader.csv"), "1,2\n3,4\n")
+    // JSON records with nesting + ragged keys
+    Files.writeString(Paths.get(s"$d/recs.json"),
+      """{"id":1,"who":{"name":"A","mail":"a@x.com"}}
+        |{"id":2,"who":{"name":"B"},"extra":"y"}""".stripMargin)
+    // Two XML docs with unioned attribute sets
+    Files.createDirectory(Paths.get(s"$d/xml"))
+    Files.writeString(Paths.get(s"$d/xml/a.xml"),
+      "<person><name>Ann</name><addr><city>Rome</city></addr></person>")
+    Files.writeString(Paths.get(s"$d/xml/b.xml"),
+      "<person><name>Ben</name><phone>123</phone></person>")
+    // labels: 6-col predicted with unvalidated '?' row
+    Files.writeString(Paths.get(s"$d/labels.csv"),
+      "attr_id,label,validated,a,b,c\ncol1,name,yes,.,.,.\ncol2,city,?,.,.,.\n")
+    d
+  }
+
+  test("csv drops all-empty rows and keeps strings") {
+    val df = Ingest.csv(spark, s"$tmp/people.csv")
+    assert(df.columns.toSeq === Seq("name", "age", "city"))
+    assert(df.count() === 2)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("numeric header means no header") {
+    val df = Ingest.csv(spark, s"$tmp/noheader.csv")
+    assert(df.columns.toSeq === Seq("col_0", "col_1"))
+    assert(df.count() === 2)
+  }
+
+  test("json flattens nested fields to label@path names") {
+    val df = Ingest.jsonFlat(spark, s"$tmp/recs.json")
+    assert(df.columns.toSet === Set("extra", "id", "mail@who", "name@who"))
+    assert(df.count() === 2)
+  }
+
+  test("xml melts docs to label@path rows with unioned attributes") {
+    val df = Ingest.xmlLong(spark, s"$tmp/xml")
+    val attrs = df.select("attr").distinct().collect().map(_.getString(0)).toSet
+    assert(attrs === Set("name@person", "city@addr@person", "phone@person"))
+    assert(df.count() === 4)
+  }
+
+  test("labels loader skips unvalidated predicted labels") {
+    val df = Ingest.labels(spark, s"$tmp/labels.csv")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("col1", "name")))
+  }
+
+  test("bounded column sample takes n deterministic values per column") {
+    val df = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+    val s1 = Ingest.boundedColumnSample(df, Seq("c_name", "c_mktsegment"), 10)
+    assert(s1.groupBy("col_name").count().collect()
+      .forall(_.getLong(1) === 10L))
+    val s2 = Ingest.boundedColumnSample(df, Seq("c_name", "c_mktsegment"), 10)
+    assert(s1.collect().map(_.toSeq).toSet === s2.collect().map(_.toSeq).toSet)
+  }
+
+  test("retype applies sentinel defaults on cast failure") {
+    import spark.implicits._
+    val df = Seq(("1", "x"), ("oops", "2.5")).toDF("i", "d")
+    val out = Ingest.retype(df, Map("i" -> "int", "d" -> "double")).collect()
+    assert(out(0).getInt(0) === 1)
+    assert(out(1).getInt(0) === Int.MinValue)
+    assert(out(0).getDouble(1).isNaN)
+    assert(out(1).getDouble(1) === 2.5)
+  }
+
+  test("csv roundtrip through writeCsv") {
+    val df = Ingest.csv(spark, s"$tmp/people.csv")
+    val out = s"$tmp/out_csv"
+    Ingest.writeCsv(df, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() === 2)
+    assert(back.columns.toSeq === df.columns.toSeq)
+  }
+}
