@@ -11,7 +11,8 @@ object SparkEntry {
     dedup.DedupQueries.defs,
     sim.SimilarityQueries.defs,
     matcher.MatcherQueries.defs,
-    matcher.EvalQueries.defs
+    matcher.EvalQueries.defs,
+    modeler.ModelerQueries.defs
   )
 
   private lazy val (qs, oracles) = QueryDef.split(registries: _*)

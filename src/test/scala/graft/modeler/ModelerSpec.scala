@@ -1,0 +1,96 @@
+package graft.modeler
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ModelerSpec extends AnyFunSuite {
+
+  test("turtle parser extracts classes, properties, subclass axioms") {
+    val ont = Ontology.parseTurtle("""
+      :Person a owl:Class .
+      :Student rdfs:subClassOf :Person .
+      :name a owl:DatatypeProperty ; rdfs:domain :Person .
+      :knows a owl:ObjectProperty ; rdfs:domain :Person ; rdfs:range :Person .
+    """)
+    assert(ont.classes === Set("Person"))
+    assert(ont.subClassOf === Map("Student" -> "Person"))
+    assert(ont.dataProps === Seq(DataProp("name", "Person")))
+    assert(ont.objectProps === Seq(ObjectProp("knows", "Person", "Person")))
+    // inherited data props through subclass closure
+    assert(ont.dataPropsOf("Student").map(_.uri) === Seq("name"))
+  }
+
+  test("steiner top-k connects terminals at minimum cost") {
+    import SteinerTree._
+    val edges = Seq(
+      Edge("A", "B", "ab", 1.0), Edge("B", "C", "bc", 1.0),
+      Edge("A", "C", "ac", 5.0))
+    val trees = topK(edges, Seq("A", "C"), 3)
+    assert(trees.nonEmpty)
+    // cheapest path A-B-C (cost 2) beats direct A-C (cost 5)
+    assert(trees.head.cost === 2.0)
+    assert(trees.head.key === Set(("A", "ab", "B"), ("B", "bc", "C")))
+    // the direct edge appears as a later-ranked alternative
+    assert(trees.exists(_.key === Set(("A", "ac", "C"))))
+  }
+
+  test("known models bias the alignment graph and the suggestion") {
+    val align = new AlignmentGraph(Ontology.tpch)
+    val before = align.edges.find(_.label == "placedBy").get.weight
+    align.add(ModelerQueries.knownOrderModel)
+    val after = align.edges.find(_.label == "placedBy").get.weight
+    assert(before === 1.0 && after === align.KnownWeight)
+  }
+
+  test("suggested models are ranked, connected, consistent") {
+    val suggestions = ModelerQueries.suggestFor(
+      ModelerQueries.flatColumns, Seq(ModelerQueries.knownOrderModel))
+    assert(suggestions.nonEmpty && suggestions.size <= SemanticModeler.DefaultTopK)
+    suggestions.foreach { s =>
+      assert(s.model.isConnected, s"disconnected: ${s.model.triples}")
+      assert(s.model.isConsistent)
+    }
+    // ranking is by score ascending
+    val scores = suggestions.map(_.scores.karmaScore)
+    assert(scores === scores.sorted)
+    // the top model maps columns onto the known Order-Customer-Nation shape
+    val top = suggestions.head.model
+    assert(top.triples.contains(("Order", "placedBy", "Customer")))
+    assert(top.triples.contains(("Customer", "custNation", "Nation")))
+  }
+
+  test("top suggestion matches the gold model on triples") {
+    val suggestions = ModelerQueries.suggestFor(
+      ModelerQueries.flatColumns, Seq(ModelerQueries.knownOrderModel))
+    val top = suggestions.head.model
+    // data properties attach each column to the right class
+    assert(top.triples.contains(("Order", "orderkey", "orderkey")))
+    assert(top.triples.contains(("Customer", "name", "name")))
+    assert(top.triples.contains(("Nation", "nationname", "nationname")))
+  }
+
+  test("semantic model JSON round-trips") {
+    val m = ModelerQueries.knownOrderModel
+    val back = SemanticModel.fromJson(m.toJson)
+    assert(back.triples === m.triples)
+    assert(back.nodes === m.nodes)
+  }
+
+  test("triple evaluation computes precision/recall/jaccard") {
+    val a = SemanticModel(
+      Seq(ClassNode(0, "A"), ClassNode(1, "B"), ColumnNode(2, "c")),
+      Seq(SmLink(0, 1, "x"), SmLink(0, 2, "p")))
+    val b = SemanticModel(
+      Seq(ClassNode(0, "A"), ClassNode(1, "B"), ColumnNode(2, "d")),
+      Seq(SmLink(0, 1, "x"), SmLink(0, 2, "q")))
+    val (p, r, j) = SemanticModel.evaluate(a, b)
+    assert(p === 0.5 && r === 0.5)
+    assert(j === math.round(1.0 / 3 * 100) / 100.0)
+  }
+
+  test("suggestion is deterministic") {
+    def run() = ModelerQueries.suggestFor(
+      ModelerQueries.flatColumns, Seq(ModelerQueries.knownOrderModel))
+      .map(s => (s.model.triples, s.scores))
+    assert(run() === run())
+  }
+}
