@@ -12,7 +12,8 @@ object SparkEntry {
     sim.SimilarityQueries.defs,
     matcher.MatcherQueries.defs,
     matcher.EvalQueries.defs,
-    modeler.ModelerQueries.defs
+    modeler.ModelerQueries.defs,
+    multimodal.MultimodalQueries.defs
   )
 
   private lazy val (qs, oracles) = QueryDef.split(registries: _*)

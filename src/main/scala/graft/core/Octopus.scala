@@ -1,0 +1,111 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.matcher.{FeatureMatrix, Labels, SemanticTypeClassifier}
+import graft.modeler.{AlignmentGraph, Ontology, SemanticModel, SemanticModeler}
+
+/** Octopus = matcher + modeler composition with the train-state machine
+  * (reference core drivers/OctopusInterface.scala:219-303, state machine
+  * types/ModelTypes.scala:83-100 UNTRAINED/BUSY/COMPLETE/ERROR, cache
+  * invalidation by modified date OctopusInterface.checkTraining:81-110).
+  *
+  * Training runs the two legs like the reference does — matcher model
+  * and alignment graph — and caches both; `checkTraining` invalidates
+  * when inputs are newer than the trained artifacts. */
+class Octopus(
+    val ontology: Ontology,
+    val knownModels: Seq[SemanticModel],
+    val workDir: String) {
+
+  import Octopus._
+
+  @volatile private var state: TrainState = Untrained
+  private var model: Option[PipelineModel] = None
+  private var align: Option[AlignmentGraph] = None
+  private var trainedAt: Long = 0L
+
+  def trainState: TrainState = state
+
+  /** Train both legs; returns the final state. */
+  def train(spark: SparkSession, dir: String): TrainState = synchronized {
+    if (state == Busy) return Busy
+    if (state == Complete && !inputsModifiedSince(dir, trainedAt)) return Complete
+    state = Busy
+    try {
+      // leg 1: matcher (Spark)
+      val trainFeat = {
+        import spark.implicits._
+        FeatureMatrix.features(spark, dir, Labels.trainTables)
+          .join(Labels.train.map { case (t, c, l) => (s"$t.$c", l) }
+            .toDF("col_name", "label"), "col_name")
+      }
+      val m = SemanticTypeClassifier.train(trainFeat)
+      // leg 2: alignment graph (driver)
+      val a = new AlignmentGraph(ontology)
+      knownModels.foreach(a.add)
+      // persist (M9: PipelineModel.save + JSON sidecars)
+      val mp = s"$workDir/pipeline"
+      m.write.overwrite().save(mp)
+      Files.createDirectories(Paths.get(workDir))
+      Files.writeString(Paths.get(s"$workDir/alignment.json"), a.toJson)
+      Files.writeString(Paths.get(s"$workDir/features.json"),
+        FeatureMatrix.featureCols.map(c => s""""$c"""")
+          .mkString("""{"features":[""", ",", "]}"))
+      model = Some(m); align = Some(a)
+      trainedAt = System.currentTimeMillis()
+      state = Complete
+    } catch {
+      case e: Exception =>
+        state = Error(e.getMessage)
+    }
+    state
+  }
+
+  /** Reload the persisted matcher leg (M9 deserialization path). */
+  def reload(): Option[PipelineModel] = {
+    val mp = s"$workDir/pipeline"
+    if (Files.exists(Paths.get(mp))) {
+      val m = PipelineModel.load(mp)
+      model = Some(m)
+      Some(m)
+    } else None
+  }
+
+  /** Predict: matcher semantic types for the held-out tables, then
+    * modeler suggestions from name+type candidates (reference
+    * OctopusInterface.predictOctopus:491-545). */
+  def predict(spark: SparkSession, dir: String,
+      tables: Seq[(String, Seq[String])]): OctopusPrediction = {
+    require(state == Complete, s"octopus not trained (state=$state)")
+    val m = model.get
+    val feat = FeatureMatrix.features(spark, dir, tables)
+    val colPreds = SemanticTypeClassifier.predict(m, feat)
+    val cols = tables.flatMap { case (t, cs) => cs.map(c => s"$t.$c") }
+    val cands = cols.map(c =>
+      c -> SemanticModeler.nameCandidates(c, ontology))
+    val suggestions = SemanticModeler.suggest(align.get, cands)
+    OctopusPrediction(colPreds, suggestions)
+  }
+
+  private def inputsModifiedSince(dir: String, t: Long): Boolean = {
+    val p = Paths.get(dir)
+    Files.exists(p) && Files.list(p).anyMatch(f =>
+      Files.getLastModifiedTime(f).toMillis > t)
+  }
+}
+
+object Octopus {
+  sealed trait TrainState
+  case object Untrained extends TrainState
+  case object Busy extends TrainState
+  case object Complete extends TrainState
+  final case class Error(message: String) extends TrainState
+
+  final case class OctopusPrediction(
+      columnPredictions: DataFrame,
+      suggestions: Seq[SemanticModeler.Suggestion])
+}
