@@ -70,10 +70,15 @@ object DedupQueries {
     // ---- d2: MinHash + LSH near-dup pairs, exact-Jaccard verified
     "d2_minhash_lsh" -> QueryDef(
       (s, dir) => {
+        // persist the shingle and band frames: the self-join and the two
+        // verify joins would otherwise recompute the (HOF-heavy, no
+        // whole-stage-codegen) shingle->minhash chain 4x. Both frames are
+        // O(#docs) rows.
         val docs = Tables.table(s, dir, "documents")
           .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), col("sh"))
+          .persist()
         val sigs = docs.withColumn("mh", Text.minhash(col("sh"), MinhashK))
         val banded = sigs
           .select(col("doc_id"),
@@ -81,6 +86,7 @@ object DedupQueries {
         val capped = banded
           .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bk"))))
           .filter(col("bsz") <= MaxBucket)
+          .persist()
         val pairs = capped.as("x")
           .join(capped.as("y"),
             col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -99,14 +105,19 @@ object DedupQueries {
         SELECT doc_id, ${shinglesSqlDuck(2)} AS sh FROM documents
       ), base AS (
         SELECT doc_id, sh FROM docs WHERE len(sh) > 0
+      ), hashed AS (
+        SELECT doc_id, sh,
+          list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS base
+        FROM base
       ), sigs AS (
         SELECT doc_id, sh,
           list_transform(range(1, ${MinhashK + 1}),
-            i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS mh
-        FROM base
+            i -> list_min(list_transform(base,
+              h -> (((i * 40503 + 12345) % 2147483646 + 1) * h + (i * 69069 + 7) % 2147483647) % 2147483647))) AS mh
+        FROM hashed
       ), banded AS (
         SELECT doc_id, unnest(list_transform(range(0, $Bands),
-          b -> md5(CAST(b AS VARCHAR) || '|' || mh[b*$Rows+1] || '|' || mh[b*$Rows+2]))) AS bk
+          b -> md5(CAST(b AS VARCHAR) || '|' || CAST(mh[b*$Rows+1] AS VARCHAR) || '|' || CAST(mh[b*$Rows+2] AS VARCHAR)))) AS bk
         FROM sigs
       ), capped AS (
         SELECT * FROM (
@@ -197,14 +208,18 @@ object DedupQueries {
         AND abs(a.n_chars - b.n_chars) <= 20
       ORDER BY doc1, doc2""")),
 
-    // ---- d5: top-20 closest embedding pairs by cosine (near-dup scan)
+    // ---- d5: top-20 closest embedding pairs by cosine (near-dup scan).
+    //      Norms are computed once per vector, not per pair — same FP
+    //      result, O(n) instead of O(n^2) norm work.
     "d5_embedding_neardup" -> QueryDef(
       (s, dir) => {
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", Text.norm(col("v")))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
-            round(Text.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+            round(Text.dot(col("a.v"), col("b.v")) /
+              (col("a.nrm") * col("b.nrm")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec1"), col("vec2"))
           .limit(20)
       },

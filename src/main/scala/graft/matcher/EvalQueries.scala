@@ -18,12 +18,9 @@ object EvalQueries {
         import s.implicits._
         val expected = Labels.holdout
           .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "expected")
-        val trainFeat = FeatureMatrix.features(s, dir, Labels.trainTables)
-          .join(Labels.train.map { case (t, c, l) => (s"$t.$c", l) }
-            .toDF("col_name", "label"), "col_name")
-        val model = SemanticTypeClassifier.train(trainFeat)
-        val preds = SemanticTypeClassifier.predict(model,
-          FeatureMatrix.features(s, dir, Labels.holdoutTables))
+        val preds = SemanticTypeClassifier.predict(
+            MatcherSession.model(s, dir),
+            MatcherSession.holdoutFeatures(s, dir))
           .join(expected, "col_name")
         val byClass = preds.groupBy(col("expected").as("label"))
           .agg(
@@ -52,7 +49,7 @@ object EvalQueries {
     // ---- m7: pairwise attribute features over held-out column pairs (§2.5)
     "m7_pairwise_features" -> QueryDef(
       (s, dir) => {
-        val prof = FeatureMatrix.features(s, dir, Labels.holdoutTables)
+        val prof = MatcherSession.holdoutFeatures(s, dir)
           .select(col("col_name"), col("prop_unique_vals"), col("share_int"),
             col("share_float"), col("share_date"))
         val short = (c: org.apache.spark.sql.Column) => substring_index(c, ".", -1)

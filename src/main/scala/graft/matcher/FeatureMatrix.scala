@@ -36,10 +36,28 @@ object FeatureMatrix {
           col("value"))
     }.reduce(_ unionByName _)
 
-  /** One row per column: col_name + all numeric features. */
+  /** Per-column sample cap for classifier features. The reference
+    * computes matcher features on bounded samples, not full columns
+    * (DataSetInterface.scala:214-295: first 4n rows, seeded sample of n
+    * per column; type inference on <=100 values) — sampling IS the
+    * semantics, and it is also what keeps the matcher leg O(#columns *
+    * SampleN) at 100 TB. Hash-ordering replaces the seed so the sample
+    * is deterministic under any partitioning. */
+  val SampleN = 4000
+
+  /** One row per column: col_name + all numeric features, computed on a
+    * deterministic SampleN-value sample per column. The sampled melt is
+    * persisted — profile + type shares make 5 aggregation passes, so
+    * caching turns 5 source scans into 1. */
   def features(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"))
+      .orderBy(xxhash64(col("value"), lit(42L)), col("value"))
     val m = melted(spark, dir, tables)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SampleN).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ColumnProfiler.profile(m)
       .join(ColumnProfiler.typeShares(m), Seq("col_name"))
       .select(col("col_name") +: featureCols.map(c =>

@@ -93,14 +93,12 @@ object MatcherQueries {
       None),
 
     // ---- m4: end-to-end semantic-type prediction on held-out tables
-    //      (M1-M8; deterministic via fixed seed + single-partition fit)
+    //      (M1-M8; deterministic via fixed seed + single-partition fit;
+    //      model + features cached per dir via MatcherSession)
     "m4_semantic_type_predictions" -> QueryDef(
       (s, dir) => {
-        val trainFeat = FeatureMatrix.features(s, dir, Labels.trainTables)
-          .join(trainLabelsDf(s), "col_name")
-        val model = SemanticTypeClassifier.train(trainFeat)
-        val holdFeat = FeatureMatrix.features(s, dir, Labels.holdoutTables)
-        SemanticTypeClassifier.predict(model, holdFeat)
+        SemanticTypeClassifier.predict(MatcherSession.model(s, dir),
+            MatcherSession.holdoutFeatures(s, dir))
           .select(col("col_name"), col("predicted_label"), col("confidence"))
           .orderBy(col("col_name"))
       },

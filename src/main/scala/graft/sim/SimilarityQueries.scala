@@ -32,6 +32,7 @@ object SimilarityQueries {
   private def corpus(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), Text.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Text.norm(col("v")))
 
   /** LSH signature column: sign bits of v . plane_p packed into an int. */
   private def sigCol(v: Column): Column =
@@ -49,11 +50,13 @@ object SimilarityQueries {
       (s, dir) => {
         val e = corpus(s, dir)
         val q = broadcast(e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         q.join(e, col("query_id") =!= col("vec_id"))
-          .withColumn("cos", round(Text.cosine(col("qv"), col("v")), 6))
+          .withColumn("cos", round(Text.dot(col("qv"), col("v")) /
+            (col("qnrm") * col("nrm")), 6))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -85,20 +88,24 @@ object SimilarityQueries {
       (s, dir) => {
         val e = corpus(s, dir).withColumn("sig", sigCol(col("v")))
         // 4 bands of 4 signature bits; candidates share any band value
-        val bandE = e.select(col("vec_id"), col("v"),
+        val bandE = e.select(col("vec_id"), col("v"), col("nrm"),
             explode(array((0 until 4).map(b =>
               concat_ws(":", lit(b),
                 expr(s"shiftright(sig, ${4 * b}) & 15"))): _*)).as("bk"))
+          .persist()
         val q = bandE.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bk"))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("bk"))
         val cands = q.join(bandE, Seq("bk"))
           .filter(col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+          .select(col("query_id"), col("qv"), col("qnrm"), col("vec_id"),
+            col("v"), col("nrm"))
           .dropDuplicates("query_id", "vec_id")
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         cands
-          .withColumn("cos", round(Text.cosine(col("qv"), col("v")), 6))
+          .withColumn("cos", round(Text.dot(col("qv"), col("v")) /
+            (col("qnrm") * col("nrm")), 6))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -122,7 +129,8 @@ object SimilarityQueries {
           .select(col("label").as("cell"),
             expr("transform(pm, s -> s.m)").as("cv"))
         val qs = e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
         // probe the 2 nearest cells per query
         val wProbe = Window.partitionBy(col("query_id"))
           .orderBy(col("ccos").desc, col("cell"))
@@ -130,13 +138,14 @@ object SimilarityQueries {
           .withColumn("ccos", Text.cosine(col("qv"), col("cv")))
           .withColumn("crk", row_number().over(wProbe))
           .filter(col("crk") <= 2)
-          .select(col("query_id"), col("qv"), col("cell"))
+          .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
         // search only vectors in probed cells (key-equality join)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         probes.join(e, col("cell") === col("label"))
           .filter(col("query_id") =!= col("vec_id"))
-          .withColumn("cos", round(Text.cosine(col("qv"), col("v")), 6))
+          .withColumn("cos", round(Text.dot(col("qv"), col("v")) /
+            (col("qnrm") * col("nrm")), 6))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
           .select(col("query_id"), col("vec_id").as("neighbor_id"),

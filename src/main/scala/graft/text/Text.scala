@@ -38,18 +38,33 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: k md5-keyed minima over the shingle set.
-    * Hash h_i(s) = md5(i ++ ":" ++ s); the minimum is taken
-    * lexicographically on the hex string — portable across engines. */
-  def minhash(sh: Column, k: Int): Column =
-    transform(sequence(lit(1), lit(k)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit(":"), s)))))
+  /** MinHash modulus (2^31 - 1, prime): products a_i * h stay under
+    * 2^62, so the k-hash family is exact 64-bit arithmetic in any
+    * engine. */
+  val MinhashP = 2147483647L
+
+  /** MinHash signature: one md5 per shingle (folded to a bigint in
+    * [0, P)), then k universal hashes h_i = (a_i*h + b_i) mod P over
+    * that base — 64x fewer digest calls than hashing per (i, shingle),
+    * and still portable: DuckDB reproduces the same arithmetic
+    * byte-for-byte. */
+  def minhash(sh: Column, k: Int): Column = {
+    val p = lit(MinhashP)
+    val base = transform(sh,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % p)
+    transform(sequence(lit(1), lit(k)), i => {
+      val a = (i.cast("long") * 40503L + 12345L) % (MinhashP - 1) + 1L
+      val b = (i.cast("long") * 69069L + 7L) % p
+      array_min(transform(base, h => (a * h + b) % p))
+    })
+  }
 
   /** LSH band keys: md5 over `rows` consecutive signature entries. A pair
     * of docs is a candidate iff any band key collides. */
   def bandKeys(mh: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b => {
-      val parts = (1 to rows).map(r => element_at(mh, b * lit(rows) + lit(r)))
+      val parts = (1 to rows).map(r =>
+        element_at(mh, b * lit(rows) + lit(r)).cast("string"))
       md5(concat_ws("|", (b.cast("string") +: parts): _*))
     })
 
@@ -63,13 +78,25 @@ object Text {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Cosine similarity of two double arrays (sequential fold — order is
-    * the array order, so the result is partition-independent). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Dot product of two double arrays (sequential fold — order is the
+    * array order, so the result is partition-independent). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  // Note: an unrolled fixed-dim dot (64 getItem terms) was measured
+  // SLOWER than the fold — the 256-node expression tree exceeds codegen
+  // limits and falls back to interpreted eval. The HOF fold stays.
+
+  /** L2 norm of a double array. */
+  def norm(x: Column): Column = sqrt(dot(x, x))
+
+  /** Cosine similarity of two double arrays. In pair joins prefer
+    * precomputing [[norm]] per side and using
+    * `dot(a,b) / (na * nb)` — same FP ops in the same order (so results
+    * stay bit-identical with this formula) but norms are computed once
+    * per vector instead of once per pair. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Cast a float array column to double (exact widening). */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))

@@ -47,8 +47,9 @@ class TextSpec extends SparkSpec {
 
   test("minhash: identical sets get identical signatures; banded keys collide") {
     val sh = array(lit("x y"), lit("y z"), lit("z w"))
-    val m1 = one[collection.Seq[String]](Text.minhash(sh, 16))
-    val m2 = one[collection.Seq[String]](Text.minhash(sh, 16))
+    val m1 = one[collection.Seq[Long]](Text.minhash(sh, 16))
+    val m2 = one[collection.Seq[Long]](Text.minhash(sh, 16))
     assert(m1 === m2 && m1.size === 16)
+    assert(m1.forall(h => h >= 0 && h < Text.MinhashP))
   }
 }
