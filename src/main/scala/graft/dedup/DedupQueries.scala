@@ -31,6 +31,9 @@ object DedupQueries {
   val Bands = 32
   val Rows = 2
   val JaccardThreshold = 0.3
+  /** Signature-estimate slack below the Jaccard threshold (2.5 sd of the
+    * k=64 minhash estimator) for the verify pre-filter. */
+  val EstMargin = 0.15
 
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private def shinglesSqlDuck(n: Int) =
@@ -70,16 +73,32 @@ object DedupQueries {
     // ---- d2: MinHash + LSH near-dup pairs, exact-Jaccard verified
     "d2_minhash_lsh" -> QueryDef(
       (s, dir) => {
-        // persist the shingle and band frames: the self-join and the two
-        // verify joins would otherwise recompute the (HOF-heavy, no
-        // whole-stage-codegen) shingle->minhash chain 4x. Both frames are
-        // O(#docs) rows.
+        // signatures via explode + 64 min-aggregates instead of nested
+        // higher-order functions: HOFs fall out of whole-stage codegen,
+        // while an exploded shingle row with 64 codegen'd min() columns
+        // is a single map-side-combined shuffle of O(#shingles) rows.
+        // Same arithmetic as Text.minhash (and the DuckDB oracle).
+        // Persisted once: band explode, estimate joins, and exact-verify
+        // joins all derive from it. O(#docs) rows.
         val docs = Tables.table(s, dir, "documents")
           .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), col("sh"))
-          .persist()
-        val sigs = docs.withColumn("mh", Text.minhash(col("sh"), MinhashK))
+        val p = Text.MinhashP
+        val hashed = docs
+          .select(col("doc_id"), explode(col("sh")).as("s"))
+          .withColumn("h",
+            conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % p)
+        val minExprs = (1 to MinhashK).map { i =>
+          val a = (i.toLong * 40503L + 12345L) % (p - 1) + 1L
+          val b = (i.toLong * 69069L + 7L) % p
+          min((col("h") * a + b) % p).as(s"m$i")
+        }
+        val mins = hashed.groupBy(col("doc_id"))
+          .agg(minExprs.head, minExprs.tail: _*)
+          .select(col("doc_id"),
+            array((1 to MinhashK).map(i => col(s"m$i")): _*).as("mh"))
+        val sigs = docs.join(mins, "doc_id").persist()
         val banded = sigs
           .select(col("doc_id"),
             explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
@@ -92,9 +111,22 @@ object DedupQueries {
             col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
           .distinct()
-        val withSets = pairs
-          .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-          .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+        // cheap signature-estimate pre-filter before the exact verify:
+        // matching-minhash share estimates Jaccard (sd ~= 0.06 at k=64),
+        // so est >= threshold - EstMargin keeps all true positives while
+        // dropping the random-collision bulk of candidates
+        val est = pairs
+          .join(sigs.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
+          .join(sigs.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
+          .withColumn("est",
+            aggregate(zip_with(col("mh1"), col("mh2"),
+              (a, b) => when(a === b, 1).otherwise(0)),
+              lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
+          .filter(col("est") >= JaccardThreshold - EstMargin)
+          .select(col("doc1"), col("doc2"))
+        val withSets = est
+          .join(sigs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+          .join(sigs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
         withSets
           .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
           .filter(col("jac") >= JaccardThreshold)
@@ -126,12 +158,19 @@ object DedupQueries {
       ), pairs AS (
         SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
         FROM capped x JOIN capped y ON x.bk = y.bk AND x.doc_id < y.doc_id
+      ), est AS (
+        SELECT doc1, doc2
+        FROM pairs JOIN sigs sa ON pairs.doc1 = sa.doc_id
+                   JOIN sigs sb ON pairs.doc2 = sb.doc_id
+        WHERE CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+                i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+              / $MinhashK >= $JaccardThreshold - $EstMargin
       )
       SELECT doc1, doc2,
         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-      FROM pairs JOIN base a ON pairs.doc1 = a.doc_id
-                 JOIN base b ON pairs.doc2 = b.doc_id
+      FROM est JOIN base a ON est.doc1 = a.doc_id
+               JOIN base b ON est.doc2 = b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
             len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold
       ORDER BY doc1, doc2""")),

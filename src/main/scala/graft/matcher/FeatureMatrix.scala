@@ -49,14 +49,20 @@ object FeatureMatrix {
     * deterministic SampleN-value sample per column. The sampled melt is
     * persisted — profile + type shares make 5 aggregation passes, so
     * caching turns 5 source scans into 1. */
-  def features(spark: SparkSession, dir: String,
+  /** Melt capped at SampleN deterministic values per column. */
+  def sampledMelt(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("col_name"))
       .orderBy(xxhash64(col("value"), lit(42L)), col("value"))
-    val m = melted(spark, dir, tables)
+    melted(spark, dir, tables)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= SampleN).drop("rn")
+  }
+
+  def features(spark: SparkSession, dir: String,
+      tables: Seq[(String, Seq[String])]): DataFrame = {
+    val m = sampledMelt(spark, dir, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ColumnProfiler.profile(m)
       .join(ColumnProfiler.typeShares(m), Seq("col_name"))

@@ -84,8 +84,10 @@ object MatcherQueries {
     // ---- m3: mean char-distribution cosine per class (J3/A24), rows-only
     "m3_char_cosine_features" -> QueryDef(
       (s, dir) => {
-        val trainMelt = FeatureMatrix.melted(s, dir, Labels.trainTables)
-        val holdMelt = FeatureMatrix.melted(s, dir, Labels.holdoutTables)
+        // char distributions on the bounded per-column sample (same S9
+        // semantics as the classifier features)
+        val trainMelt = FeatureMatrix.sampledMelt(s, dir, Labels.trainTables)
+        val holdMelt = FeatureMatrix.sampledMelt(s, dir, Labels.holdoutTables)
         val hist = ExampleFeatures.charHistogram(trainMelt.unionByName(holdMelt))
         ExampleFeatures.meanCharCosinePerClass(
           hist, holdoutColsDf(s), trainLabelsDf(s), Labels.classes)

@@ -1,0 +1,51 @@
+package graft.relational
+
+import graft.SparkSpec
+
+/** Plan-shape regression tests: the physical plans that make these
+  * queries scale must keep their structure — filters pushed to the
+  * parquet scan, pruned read schemas, broadcast joins for dimension
+  * tables, no cartesian products on the LSH path. */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2 pushes both filters into the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters"), p.take(400))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    // the PushedFilters list is truncated in toString; the DataFilters
+    // echo carries the discount predicate
+    assert(p.contains("(l_discount#") && p.contains(">= 0.08)"), p.take(600))
+  }
+
+  test("q2 prunes the read schema to the needed columns") {
+    val p = plan("q2_filter_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_shipdate") && !read.contains("l_tax"), read)
+  }
+
+  test("q5 broadcasts the dimension tables") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5 pushes the region filter to the scan") {
+    assert(plan("q5_nation_revenue").contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("minhash LSH candidate generation has no cartesian product") {
+    val p = plan("d2_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH must bucket-join")
+  }
+
+  test("kNN features broadcast the labelled pool") {
+    val p = plan("m1_knn_name_features")
+    assert(p.contains("Broadcast"), p.take(400))
+  }
+}
