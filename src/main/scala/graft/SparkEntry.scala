@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val registries: Seq[Map[String, QueryDef]] = Seq(
     relational.RelationalQueries.defs,
+    relational.WindowQueries.defs,
     profile.ProfileQueries.defs,
     text.TextQueries.defs,
     dedup.DedupQueries.defs,
