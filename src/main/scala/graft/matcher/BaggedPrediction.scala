@@ -1,0 +1,56 @@
+package graft.matcher
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.profile.ColumnProfiler
+
+/** Bagged prediction (reference MLibSemanticTypeClassifier.scala:153-167
+  * + FeatureExtractorUtil.extractBaggingFeatures:123-181): each column's
+  * values are split into bags, every bag is profiled and classified
+  * independently, and the per-class score vectors are averaged back into
+  * one prediction per column — `groupBy(col).avg(score_k)` is exactly
+  * the reference's partial+final bag aggregation (A28), and the argmax
+  * over averaged scores is A29.
+  *
+  * Bags are deterministic hash-ordered slices (same convention as
+  * [[Resampler.assignBags]]), so the whole path is partition-order
+  * independent. */
+object BaggedPrediction {
+
+  val DefaultBags = 8
+
+  /** Predict per-column labels by averaging per-bag score vectors. */
+  def predict(model: PipelineModel, melted: DataFrame,
+      numBags: Int = DefaultBags): DataFrame = {
+    val bagged = Resampler.assignBags(melted, numBags)
+      .withColumn("col_name",
+        concat(col("col_name"), lit("#"), col("bag_id")))
+      .drop("bag_id")
+    val feat = ColumnProfiler.profile(bagged)
+      .join(ColumnProfiler.typeShares(bagged), Seq("col_name"))
+      .select(col("col_name") +: FeatureMatrix.featureCols.map(c =>
+        coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)
+    val perBag = SemanticTypeClassifier.predict(model, feat)
+      .withColumn("base_col", substring_index(col("col_name"), "#", 1))
+    // average the per-bag score maps class-wise, then argmax
+    val classes = perBag.select(explode(map_keys(col("scores"))))
+      .distinct().collect().map(_.getString(0)).sorted
+    val avgScores = perBag.groupBy(col("base_col"))
+      .agg(
+        count(lit(1)).as("n_bags"),
+        classes.map(c =>
+          round(avg(element_at(col("scores"), c)), 6).as(s"score_$c")): _*)
+    val best = classes.map(c =>
+      struct(col(s"score_$c").as("score"), lit(c).as("cls")))
+      .reduce((a, b) => when(a.getField("score") >= b.getField("score"), a)
+        .otherwise(b))
+    avgScores
+      .withColumn("predicted_label", best.getField("cls"))
+      .withColumn("confidence", best.getField("score"))
+      .select(col("base_col").as("col_name"), col("predicted_label"),
+        col("confidence"), col("n_bags"))
+      .orderBy(col("col_name"))
+  }
+}

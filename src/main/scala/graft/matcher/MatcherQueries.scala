@@ -106,6 +106,15 @@ object MatcherQueries {
       },
       None),
 
+    // ---- m8: bagged prediction — per-bag profiles classified then
+    //      score-averaged per column (A28/A29 bag aggregation)
+    "m8_bagged_predictions" -> QueryDef(
+      (s, dir) => {
+        val melted = FeatureMatrix.sampledMelt(s, dir, Labels.holdoutTables)
+        BaggedPrediction.predict(MatcherSession.model(s, dir), melted)
+      },
+      None),
+
     // ---- m5: resampling class counts (R1-R3 determinism surface)
     "m5_resample_counts" -> QueryDef(
       (s, dir) => {
