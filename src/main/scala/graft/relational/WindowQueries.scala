@@ -107,6 +107,23 @@ object WindowQueries {
         GROUP BY ROLLUP (n_name, c_mktsegment)
         ORDER BY nation, segment""")),
 
+    // ---- q21: HyperLogLog approximate distinct — the 100 TB path for
+    //      q7's exact countDistinct (sketch state is constant-size per
+    //      group; exact distinct shuffles every distinct value). Sketch
+    //      internals differ across engines, so this is rows-only; the
+    //      spec bounds the error against the exact counts.
+    "q21_approx_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+            approx_count_distinct($"l_suppkey", 0.02).as("approx_supps"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
     // ---- q20: skew-aware salted aggregation — two-level aggregate over
     //      a salted key defeats single-hot-key skew; the final result is
     //      identical to the direct aggregate, which is what the oracle
