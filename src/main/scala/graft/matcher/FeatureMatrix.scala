@@ -27,11 +27,17 @@ object FeatureMatrix {
     "share_int", "share_float", "share_bool", "share_date")
 
   /** Melt the given (table -> columns) map into one long-format frame
-    * with `table.column`-qualified col_name. */
+    * with `table.column`-qualified col_name. `rowBound`, when set, caps
+    * each table scan at the first `rowBound` rows BEFORE the melt — the
+    * reference's S9 bounded-scan semantics (DataSetInterface.scala:
+    * 214-295 samples from the first 4n rows only). */
   def melted(spark: SparkSession, dir: String,
-      tables: Seq[(String, Seq[String])]): DataFrame =
+      tables: Seq[(String, Seq[String])],
+      rowBound: Option[Int] = None): DataFrame =
     tables.map { case (t, cols) =>
-      ColumnProfiler.melt(Tables.table(spark, dir, t), cols)
+      val base = Tables.table(spark, dir, t)
+      val bounded = rowBound.fold(base)(base.limit)
+      ColumnProfiler.melt(bounded, cols)
         .select(concat(lit(t + "."), col("col_name")).as("col_name"),
           col("value"))
     }.reduce(_ unionByName _)
@@ -45,17 +51,19 @@ object FeatureMatrix {
     * is deterministic under any partitioning. */
   val SampleN = 4000
 
-  /** One row per column: col_name + all numeric features, computed on a
-    * deterministic SampleN-value sample per column. The sampled melt is
-    * persisted — profile + type shares make 5 aggregation passes, so
-    * caching turns 5 source scans into 1. */
-  /** Melt capped at SampleN deterministic values per column. */
+  /** Melt capped at SampleN deterministic values per column: each table
+    * scan is bounded to the first 4·SampleN rows (S9 — so no window
+    * partition ever sorts more than 4·SampleN values, regardless of data
+    * scale), then an md5-ordered row_number takes SampleN values per
+    * column. md5 (not xxhash64) so the oracle can reproduce the exact
+    * sample in DuckDB (`ORDER BY md5(value), value`) — both engines hash
+    * the UTF-8 bytes to the same lowercase hex. */
   def sampledMelt(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("col_name"))
-      .orderBy(xxhash64(col("value"), lit(42L)), col("value"))
-    melted(spark, dir, tables)
+      .orderBy(md5(col("value").cast("binary")), col("value"))
+    melted(spark, dir, tables, rowBound = Some(4 * SampleN))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= SampleN).drop("rn")
   }

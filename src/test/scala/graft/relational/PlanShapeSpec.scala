@@ -48,4 +48,18 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("m1_knn_name_features")
     assert(p.contains("Broadcast"), p.take(400))
   }
+
+  test("matcher sample bounds every table scan before the window (S9)") {
+    // The sample window must never sort a full column in one task: each
+    // source scan is capped at 4*SampleN rows FIRST, so the per-column
+    // window partitions are bounded at any data scale.
+    val df = graft.matcher.FeatureMatrix.sampledMelt(
+      spark, sf, graft.matcher.Labels.trainTables)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    val limits = "GlobalLimit".r.findAllIn(p).size
+    assert(scans == graft.matcher.Labels.trainTables.size, p.take(600))
+    assert(limits >= scans,
+      s"every scan needs a row bound before the sample window ($limits limits / $scans scans)")
+  }
 }
