@@ -27,6 +27,19 @@ object DedupQueries {
     * candidate generation (hot-bucket guard for 100 TB corpora). */
   val MaxBucket = 50
 
+  /** d4 blocking: max |n_chars| difference for a candidate pair; also the
+    * length-bucket width, so the tolerance window spans adjacent buckets. */
+  val LengthTolerance = 20
+
+  /** d5 gate: corpora at or below this size take the exact brute-force
+    * pair scan; larger corpora generate candidates by hyperplane-LSH band
+    * keys and exact-rerank (approximate by design — the price of
+    * avoiding an O(n^2) scan at 100 TB). */
+  val NearDupBruteMax = 1000L
+  val NdBands = 12
+  val NdBits = 4
+  val NdMaxBucket = 2000
+
   val MinhashK = 64
   val Bands = 32
   val Rows = 2
@@ -78,12 +91,16 @@ object DedupQueries {
         // while an exploded shingle row with 64 codegen'd min() columns
         // is a single map-side-combined shuffle of O(#shingles) rows.
         // Same arithmetic as Text.minhash (and the DuckDB oracle).
-        // Persisted once: band explode, estimate joins, and exact-verify
-        // joins all derive from it. O(#docs) rows.
+        // Two persisted frames, both O(#docs) rows: `docs` keeps the
+        // shingle arrays and is only joined in the final exact verify;
+        // `mins` is the slim (doc_id, mh) signature frame that feeds the
+        // band explode and the estimate joins — shingle arrays never
+        // shuffle through candidate generation.
         val docs = Tables.table(s, dir, "documents")
           .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), col("sh"))
+          .persist()
         val p = Text.MinhashP
         val hashed = docs
           .select(col("doc_id"), explode(col("sh")).as("s"))
@@ -98,14 +115,19 @@ object DedupQueries {
           .agg(minExprs.head, minExprs.tail: _*)
           .select(col("doc_id"),
             array((1 to MinhashK).map(i => col(s"m$i")): _*).as("mh"))
-        val sigs = docs.join(mins, "doc_id").persist()
-        val banded = sigs
+          .persist()
+        val banded = mins
           .select(col("doc_id"),
             explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
-        val capped = banded
-          .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bk"))))
-          .filter(col("bsz") <= MaxBucket)
-          .persist()
+        // hot-bucket guard without buffering the hot bucket: a map-side-
+        // combined groupBy counts each band bucket (never materializing
+        // its rows in one task), and the tiny over-cap key set is
+        // broadcast anti-joined away.
+        val hot = banded.groupBy(col("bk"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > MaxBucket)
+          .select(col("bk"))
+        val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
         val pairs = capped.as("x")
           .join(capped.as("y"),
             col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -116,8 +138,8 @@ object DedupQueries {
         // so est >= threshold - EstMargin keeps all true positives while
         // dropping the random-collision bulk of candidates
         val est = pairs
-          .join(sigs.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
-          .join(sigs.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
+          .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
+          .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
           .withColumn("est",
             aggregate(zip_with(col("mh1"), col("mh2"),
               (a, b) => when(a === b, 1).otherwise(0)),
@@ -125,8 +147,8 @@ object DedupQueries {
           .filter(col("est") >= JaccardThreshold - EstMargin)
           .select(col("doc1"), col("doc2"))
         val withSets = est
-          .join(sigs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-          .join(sigs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+          .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+          .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
         withSets
           .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
           .filter(col("jac") >= JaccardThreshold)
@@ -218,16 +240,27 @@ object DedupQueries {
       }),
 
     // ---- d4: char 4-gram Jaccard on blocked candidates (same source,
-    //      similar length) — blocking join, not an all-pairs product
+    //      similar length). The length tolerance is part of the JOIN KEY:
+    //      each left row probes its own length bucket plus the two
+    //      adjacent ones (bucket width = tolerance, so |diff| <= 20
+    //      implies the buckets are adjacent), making candidate generation
+    //      a key-equality join on (source, bucket) — within a source the
+    //      work is O(sum of bucket^2), never all-pairs.
     "d4_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val d = Tables.table(s, dir, "documents")
           .withColumn("sh", Text.charShingles(col("text"), 4))
-          .select(col("doc_id"), col("source"), col("n_chars"), col("sh"))
-        d.as("a").join(d.as("b"),
+          .withColumn("lb", floor(col("n_chars") / LengthTolerance))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lb"),
+            col("sh"))
+        val probes = d.select(col("doc_id"), col("source"), col("n_chars"),
+          col("sh"), explode(array(col("lb") - 1, col("lb"), col("lb") + 1))
+            .as("pb"))
+        probes.as("a").join(d.as("b"),
             col("a.source") === col("b.source") &&
+              col("a.pb") === col("b.lb") &&
               col("a.doc_id") < col("b.doc_id") &&
-              abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+              abs(col("a.n_chars") - col("b.n_chars")) <= LengthTolerance)
           .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
             round(Text.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
           .orderBy(col("doc1"), col("doc2"))
@@ -248,17 +281,18 @@ object DedupQueries {
       ORDER BY doc1, doc2""")),
 
     // ---- d5: top-20 closest embedding pairs by cosine (near-dup scan).
-    //      Norms are computed once per vector, not per pair — same FP
-    //      result, O(n) instead of O(n^2) norm work.
+    //      Exact O(n^2) brute force only below [[NearDupBruteMax]];
+    //      above it, candidates come from hyperplane-LSH band-key
+    //      collisions (key-equality join) and are exact-reranked.
     "d5_embedding_neardup" -> QueryDef(
       (s, dir) => {
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
           .withColumn("nrm", Text.norm(col("v")))
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
-            round(Text.dot(col("a.v"), col("b.v")) /
-              (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+          .persist()
+        val pairs = if (e.count() <= NearDupBruteMax)
+          embeddingPairsBrute(e) else embeddingPairsLsh(e)
+        pairs
           .orderBy(col("cos").desc, col("vec1"), col("vec2"))
           .limit(20)
       },
@@ -275,4 +309,47 @@ object DedupQueries {
       )
       SELECT vec1, vec2, cos FROM p ORDER BY cos DESC, vec1, vec2 LIMIT 20"""))
   )
+
+  /** Exact all-pairs cosine (norms precomputed per vector). O(n^2)
+    * compares — only for small corpora (see [[NearDupBruteMax]]). */
+  def embeddingPairsBrute(e: DataFrame): DataFrame =
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+        round(Text.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+
+  /** LSH-blocked near-dup candidates + exact rerank: [[NdBands]] bands of
+    * [[NdBits]] hyperplane sign bits; a pair is a candidate iff some band
+    * key collides. The band join carries only (vec_id, bk) — vectors join
+    * back in for the exact cosine only on the candidate set. Hot buckets
+    * (> [[NdMaxBucket]]) are dropped via a map-side-combined count +
+    * broadcast anti-join, same guard as d2. Approximate: recall of a pair
+    * at angular similarity p is 1-(1-p^bits)^bands. */
+  def embeddingPairsLsh(e: DataFrame): DataFrame = {
+    val dims = 64
+    val sig = Text.hyperplaneSig(col("v"), NdBands * NdBits, dims)
+    val mask = (1 << NdBits) - 1
+    val banded = e.withColumn("sig", sig)
+      .select(col("vec_id"), explode(array((0 until NdBands).map(b =>
+        concat_ws(":", lit(b),
+          expr(s"shiftright(sig, ${NdBits * b}) & $mask"))): _*)).as("bk"))
+    val hot = banded.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > NdMaxBucket)
+      .select(col("bk"))
+    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+    val cands = capped.as("x")
+      .join(capped.as("y"),
+        col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec1"), col("y.vec_id").as("vec2"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec1"), col("v").as("v1"),
+        col("nrm").as("n1")), "vec1")
+      .join(e.select(col("vec_id").as("vec2"), col("v").as("v2"),
+        col("nrm").as("n2")), "vec2")
+      .select(col("vec1"), col("vec2"),
+        round(Text.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+          .as("cos"))
+  }
 }

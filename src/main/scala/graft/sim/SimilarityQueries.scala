@@ -26,8 +26,6 @@ object SimilarityQueries {
   /** 16 deterministic pseudo-random +/-1 hyperplanes over 64 dims. */
   val Planes = 16
   val Dims = 64
-  private def planeWeight(p: Int, d: Int): Double =
-    if (((p * 73 + d * 179) % 7) % 2 == 0) 1.0 else -1.0
 
   private def corpus(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
@@ -35,13 +33,7 @@ object SimilarityQueries {
       .withColumn("nrm", Text.norm(col("v")))
 
   /** LSH signature column: sign bits of v . plane_p packed into an int. */
-  private def sigCol(v: Column): Column =
-    (0 until Planes).map { p =>
-      val plane = array((0 until Dims).map(d => lit(planeWeight(p, d))): _*)
-      val dot = aggregate(zip_with(v, plane, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, 1L << p).otherwise(0L)
-    }.reduce(_ + _)
+  private def sigCol(v: Column): Column = Text.hyperplaneSig(v, Planes, Dims)
 
   val defs: Map[String, QueryDef] = Map(
 

@@ -100,4 +100,20 @@ object Text {
 
   /** Cast a float array column to double (exact widening). */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Deterministic pseudo-random +/-1 hyperplane weight for random-
+    * hyperplane (sign) LSH — shared by the ANN and near-dup operators so
+    * their signatures agree. */
+  def planeWeight(p: Int, d: Int): Double =
+    if (((p * 73 + d * 179) % 7) % 2 == 0) 1.0 else -1.0
+
+  /** Random-hyperplane LSH signature: sign bits of v . plane_p packed
+    * into a long (lowest bit = plane 0). `planes` must be <= 62. */
+  def hyperplaneSig(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
+      val d = aggregate(zip_with(v, plane, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
 }

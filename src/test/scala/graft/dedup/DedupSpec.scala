@@ -31,6 +31,31 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("d5 LSH path: key-equality candidates, exact cosines, sane recall") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), graft.text.Text.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.text.Text.norm(col("v")))
+      .persist()
+    val lshTop = DedupQueries.embeddingPairsLsh(e)
+      .orderBy(col("cos").desc, col("vec1"), col("vec2")).limit(20)
+    val p = lshTop.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "LSH near-dup path must generate candidates by key equality")
+    val brute = DedupQueries.embeddingPairsBrute(e)
+      .orderBy(col("cos").desc, col("vec1"), col("vec2")).limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = lshTop.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair's cosine is the exact (reranked) value
+    val common = brute.keySet & lsh.keySet
+    assert(common.forall(k => brute(k) == lsh(k)))
+    val recall = common.size.toDouble / brute.size
+    info(s"d5 LSH top-20 recall vs brute: $recall")
+    assert(recall >= 0.4, s"near-dup LSH recall too low: $recall")
+    e.unpersist()
+  }
+
   test("ann lsh and ivf recall vs brute force") {
     def pairs(name: String): Set[(Long, Long)] =
       SimilarityQueries.defs(name).fn(spark, sf).collect()

@@ -44,6 +44,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "LSH must bucket-join")
   }
 
+  test("ngram jaccard blocks on (source, length bucket) — no nested loop") {
+    val p = plan("d4_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "d4 candidates must come from a key-equality blocking join")
+  }
+
   test("kNN features broadcast the labelled pool") {
     val p = plan("m1_knn_name_features")
     assert(p.contains("Broadcast"), p.take(400))
