@@ -10,6 +10,26 @@ import graft.functions.StringFunctions
   * pairwise: AttributePairFeatureExtractor.scala:33-148). */
 object EvalQueries {
 
+  /** m4's deterministic holdout predictions at the driver's correctness
+    * scale factor (sf0.01) — pinned so the m6 confusion/P/R/F1 arithmetic
+    * has a value-exact DuckDB oracle (the RF itself is not
+    * SQL-expressible; its output at a fixed sf is a deterministic,
+    * spec-asserted constant). PredictionPinSpec regenerates these from
+    * the live model and fails on drift, so a feature change can't
+    * silently invalidate the pin. */
+  val PinnedPredictionsSf001: Seq[(String, String)] = Seq(
+    "events.event_id" -> "identifier",
+    "events.event_type" -> "category",
+    "events.props" -> "category",
+    "events.ts" -> "date",
+    "events.user_id" -> "identifier",
+    "events.value" -> "money",
+    "nation.n_name" -> "category",
+    "nation.n_nationkey" -> "identifier",
+    "nation.n_regionkey" -> "identifier",
+    "region.r_name" -> "category",
+    "region.r_regionkey" -> "identifier")
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- m6: confusion matrix + per-class precision/recall/F1 (M10)
@@ -44,7 +64,42 @@ object EvalQueries {
                 (col("precision") + col("recall"))).otherwise(0.0), 6))
           .orderBy(col("label"))
       },
-      None),
+      Some {
+        val predVals = PinnedPredictionsSf001
+          .map { case (c, l) => s"('$c', '$l')" }.mkString(",\n      ")
+        val expVals = Labels.holdout
+          .map { case (t, c, l) => s"('$t.$c', '$l')" }.mkString(",\n      ")
+        s"""WITH pred(col_name, predicted_label) AS (VALUES
+      $predVals
+        ), expd(col_name, expected) AS (VALUES
+      $expVals
+        ), j AS (
+          SELECT expd.col_name, expected, predicted_label
+          FROM expd JOIN pred ON expd.col_name = pred.col_name
+        ), byclass AS (
+          SELECT expected AS label, count(*) AS n,
+            sum(CASE WHEN predicted_label = expected THEN 1 ELSE 0 END) AS tp
+          FROM j GROUP BY 1
+        ), pc AS (
+          SELECT predicted_label AS label, count(*) AS n_predicted
+          FROM j GROUP BY 1
+        ), pr AS (
+          SELECT coalesce(byclass.label, pc.label) AS label,
+            coalesce(n, 0) AS n_actual,
+            coalesce(n_predicted, 0) AS n_predicted,
+            coalesce(tp, 0) AS tp,
+            round(coalesce(CAST(tp AS DOUBLE) / n_predicted, 0.0), 6) AS precision,
+            round(coalesce(CAST(tp AS DOUBLE) / n, 0.0), 6) AS recall
+          FROM byclass FULL JOIN pc ON byclass.label = pc.label
+        )
+        SELECT label, CAST(n_actual AS BIGINT) AS n_actual,
+          CAST(n_predicted AS BIGINT) AS n_predicted,
+          CAST(tp AS BIGINT) AS tp, precision, recall,
+          round(CASE WHEN precision + recall > 0
+            THEN 2.0 * precision * recall / (precision + recall)
+            ELSE 0.0 END, 6) AS f1
+        FROM pr ORDER BY label"""
+      }),
 
     // ---- m7: pairwise attribute features over held-out column pairs (§2.5)
     "m7_pairwise_features" -> QueryDef(

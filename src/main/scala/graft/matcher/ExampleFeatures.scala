@@ -62,9 +62,16 @@ object ExampleFeatures {
 
   /** Mean cosine similarity between the query column's character
     * distribution and each class's example distributions (reference J3).
-    * `charHist`: (col_name, c, cnt) histograms for query+pool columns. */
+    * `charHist`: (col_name, c, cnt) histograms for query+pool columns.
+    *
+    * Determinism: the per-pair cosine and the per-class mean accumulate
+    * in DECIMAL(30,15) (not double), so results are independent of
+    * partition/aggregation order and reproduce exactly in the DuckDB
+    * oracle; final values floor-round half-up at 6 decimals (engine
+    * round() rules differ at exact .5e-6 boundaries). */
   def meanCharCosinePerClass(charHist: DataFrame, queryCols: DataFrame,
       pool: DataFrame, classes: Seq[String]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 15)
     val norms = charHist.groupBy(col("col_name"))
       .agg(sqrt(sum(col("cnt") * col("cnt"))).as("norm"))
     val h = charHist.join(norms, "col_name")
@@ -78,10 +85,13 @@ object ExampleFeatures {
       .select(col("pool_col"), col("label"), col("c"), col("w").as("pw"))
     val cosPairs = qh.join(ph, Seq("c"))
       .groupBy(col("query_col"), col("pool_col"), col("label"))
-      .agg(sum(col("qw") * col("pw")).as("cos"))
-    val aggs = classes.map(c =>
-      round(avg(when(col("label") === c, col("cos"))), 6)
-        .as(s"mean_cos_$c"))
+      .agg(sum((col("qw") * col("pw")).cast(dec)).cast("double").as("cos"))
+    val aggs = classes.map { c =>
+      val cnt = sum(when(col("label") === c, 1L).otherwise(0L))
+      val s = sum(when(col("label") === c, col("cos").cast(dec)))
+      (floor((s.cast("double") / when(cnt > 0, cnt)) * 1e6 + 0.5) / 1e6)
+        .as(s"mean_cos_$c")
+    }
     cosPairs.groupBy(col("query_col")).agg(aggs.head, aggs.tail: _*)
       .orderBy(col("query_col"))
   }

@@ -28,6 +28,32 @@ object MatcherQueries {
   private def queryValuesSql: String = Labels.holdout
     .map { case (t, c, _) => s"('$t.$c')" }.mkString(",\n      ")
 
+  /** DuckDB twin of [[FeatureMatrix.sampledMelt]]: bound each table to
+    * its first 4n rows, melt with table-qualified names, take the n
+    * md5-ordered values per column (NULLS FIRST matches Spark's
+    * asc_nulls_first). Emits CTEs `lim_*`, `m_all`, `samp`. */
+  private def sampledMeltSql(tables: Seq[(String, Seq[String])]): String = {
+    val n = FeatureMatrix.SampleN
+    val lims = tables.map { case (t, _) =>
+      s"lim_$t AS (SELECT * FROM $t LIMIT ${4 * n})"
+    }.mkString(",\n      ")
+    val melts = tables.flatMap { case (t, cols) =>
+      cols.map(c =>
+        s"SELECT '$t.$c' AS col_name, CAST($c AS VARCHAR) AS value FROM lim_$t")
+    }.mkString("\n        UNION ALL ")
+    s"""$lims,
+      m_all AS (
+        $melts
+      ),
+      samp AS (
+        SELECT col_name, value FROM (
+          SELECT col_name, value,
+            row_number() OVER (PARTITION BY col_name
+              ORDER BY md5(value) NULLS FIRST, value NULLS FIRST) AS rn
+          FROM m_all) WHERE rn <= $n
+      )"""
+  }
+
   val K = 3
 
   val defs: Map[String, QueryDef] = Map(
@@ -81,7 +107,7 @@ object MatcherQueries {
         FROM d GROUP BY query_col ORDER BY query_col"""
       }),
 
-    // ---- m3: mean char-distribution cosine per class (J3/A24), rows-only
+    // ---- m3: mean char-distribution cosine per class (J3/A24)
     "m3_char_cosine_features" -> QueryDef(
       (s, dir) => {
         // char distributions on the bounded per-column sample (same S9
@@ -92,7 +118,41 @@ object MatcherQueries {
         ExampleFeatures.meanCharCosinePerClass(
           hist, holdoutColsDf(s), trainLabelsDf(s), Labels.classes)
       },
-      None),
+      Some {
+        val allTables = Labels.trainTables ++ Labels.holdoutTables
+        val means = Labels.classes.map { c =>
+          val cnt = s"sum(CASE WHEN label = '$c' THEN 1 ELSE 0 END)"
+          s"""floor((CAST(sum(CASE WHEN label = '$c' THEN CAST(cos AS DECIMAL(30,15)) END) AS DOUBLE) /
+            CASE WHEN $cnt > 0 THEN $cnt END) * 1e6 + 0.5) / 1e6 AS mean_cos_$c"""
+        }.mkString(",\n          ")
+        s"""WITH ${sampledMeltSql(allTables)},
+        hist AS (
+          SELECT col_name, c, CAST(count(*) AS DOUBLE) AS cnt FROM (
+            SELECT col_name, unnest(string_split(lower(value), '')) AS c
+            FROM samp WHERE value IS NOT NULL AND length(value) > 0
+          ) GROUP BY 1, 2
+        ),
+        norms AS (SELECT col_name, sqrt(sum(cnt*cnt)) AS nrm FROM hist GROUP BY 1),
+        h AS (SELECT hist.col_name, c, cnt / nrm AS w
+              FROM hist JOIN norms ON hist.col_name = norms.col_name),
+        pool(col_name, label) AS (VALUES
+      $poolValuesSql
+        ), q(col_name) AS (VALUES
+      $queryValuesSql
+        ),
+        qh AS (SELECT q.col_name AS query_col, c, w AS qw
+               FROM h JOIN q ON h.col_name = q.col_name),
+        ph AS (SELECT h.col_name AS pool_col, label, c, w AS pw
+               FROM h JOIN pool ON h.col_name = pool.col_name),
+        cosp AS (
+          SELECT query_col, pool_col, label,
+            CAST(sum(CAST(qw * pw AS DECIMAL(30,15))) AS DOUBLE) AS cos
+          FROM qh JOIN ph USING (c) GROUP BY 1, 2, 3
+        )
+        SELECT query_col,
+          $means
+        FROM cosp GROUP BY query_col ORDER BY query_col"""
+      }),
 
     // ---- m4: end-to-end semantic-type prediction on held-out tables
     //      (M1-M8; deterministic via fixed seed + single-partition fit;
@@ -133,6 +193,27 @@ object MatcherQueries {
           .select(col("strategy"), col("label"), col("n"))
           .orderBy(col("strategy"), col("label"))
       },
-      None)
+      // closed-form: every strategy resizes each class to a target
+      // derived from the class-size distribution (mean = integer-floor,
+      // median = lower-middle / averaged-middles — floor(median()) gives
+      // both), so counts are computable straight from the label pool.
+      Some(s"""WITH pool(col_name, label) AS (VALUES
+      $poolValuesSql
+        ), counts AS (
+          SELECT label, count(*) AS c FROM pool GROUP BY label
+        ), stats AS (
+          SELECT max(c) AS mx,
+            greatest(1, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT)) AS mean_t,
+            CAST(floor(median(c)) AS BIGINT) AS med
+          FROM counts
+        ), strat(strategy, label, n) AS (
+          SELECT 'upsample_to_max', label, mx FROM counts, stats
+          UNION ALL SELECT 'resample_to_mean', label, mean_t FROM counts, stats
+          UNION ALL SELECT 'upsample_to_mean', label, greatest(c, mean_t) FROM counts, stats
+          UNION ALL SELECT 'resample_to_median', label, med FROM counts, stats
+          UNION ALL SELECT 'upsample_to_median', label, greatest(c, med) FROM counts, stats
+        )
+        SELECT strategy, label, CAST(n AS BIGINT) AS n FROM strat
+        ORDER BY strategy, label"""))
   )
 }

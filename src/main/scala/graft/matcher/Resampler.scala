@@ -55,7 +55,11 @@ object Resampler {
         case ResampleToMean | UpsampleToMean =>
           math.max(1L, sizes.sum / sizes.size)
         case ResampleToMedian | UpsampleToMedian =>
-          sizes((math.ceil(sizes.size / 2.0) - 1).toInt)
+          // reference averages the two middle sizes for an even class
+          // count (ClassImbalanceResampler median semantics)
+          val n = sizes.size
+          if (n % 2 == 1) sizes(n / 2)
+          else (sizes(n / 2 - 1) + sizes(n / 2)) / 2
         case _ => sizes.max
       }
       val upOnly = s == UpsampleToMax || s == UpsampleToMean ||

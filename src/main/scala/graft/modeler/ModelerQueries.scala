@@ -30,6 +30,18 @@ object ModelerQueries {
     Seq(ClassNode(0, "Order"), ClassNode(1, "Customer"), ClassNode(2, "Nation")),
     Seq(SmLink(0, 1, "placedBy"), SmLink(1, 2, "custNation")))
 
+  /** Pinned g2 edge list (sorted by src, property, dst) — the regression
+    * oracle for the alignment graph; kept in sync with the live graph by
+    * ModelerSpec. */
+  val PinnedAlignmentEdges: Seq[(String, String, String, Double)] = Seq(
+    ("Customer", "custNation", "Nation", 0.01),
+    ("LineItem", "ofPart", "Part", 1.0),
+    ("LineItem", "suppliedBy", "Supplier", 1.0),
+    ("Nation", "inRegion", "Region", 1.0),
+    ("Order", "contains", "LineItem", 1.0),
+    ("Order", "placedBy", "Customer", 0.01),
+    ("Supplier", "suppNation", "Nation", 1.0))
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- g1: ranked semantic-model suggestions for the flat source
@@ -56,7 +68,21 @@ object ModelerQueries {
           .toDF("src", "property", "dst", "weight")
           .orderBy(col("src"), col("property"), col("dst"))
       },
-      None),
+      // deterministic, data-independent edge list: the tpch ontology's
+      // object properties at weight 1.0 except the two known-model links
+      // (placedBy, custNation) re-weighted to 0.01 — pinned as a VALUES
+      // regression oracle; ModelerSpec checks the pin against the live
+      // graph so drift fails sbt test before it fails the driver.
+      Some {
+        val vals = PinnedAlignmentEdges
+          .map { case (s0, p0, d0, w0) => s"('$s0', '$p0', '$d0', $w0)" }
+          .mkString(",\n          ")
+        s"""SELECT src, property, dst, CAST(weight AS DOUBLE) AS weight
+        FROM (VALUES
+          $vals
+        ) AS t(src, property, dst, weight)
+        ORDER BY src, property, dst"""
+      }),
 
     // ---- g3: triple-set evaluation of the top suggestion vs gold
     "g3_model_evaluation" -> QueryDef(

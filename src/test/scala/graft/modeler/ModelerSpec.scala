@@ -87,6 +87,15 @@ class ModelerSpec extends AnyFunSuite {
     assert(j === math.round(1.0 / 3 * 100) / 100.0)
   }
 
+  test("g2 oracle pin matches the live alignment graph") {
+    val align = new AlignmentGraph(Ontology.tpch)
+      .add(ModelerQueries.knownOrderModel)
+    val live = align.edges.map(e => (e.src, e.label, e.dst, e.weight))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(live === ModelerQueries.PinnedAlignmentEdges,
+      "alignment graph drifted — refresh ModelerQueries.PinnedAlignmentEdges")
+  }
+
   test("suggestion is deterministic") {
     def run() = ModelerQueries.suggestFor(
       ModelerQueries.flatColumns, Seq(ModelerQueries.knownOrderModel))
