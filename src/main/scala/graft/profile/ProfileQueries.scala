@@ -21,34 +21,56 @@ object ProfileQueries {
         ColumnProfiler.melt(Tables.table(s, dir, table), cols)),
     Some(ColumnProfiler.oracleSql(table, cols)))
 
-  /** Share of non-null values matching a type pattern + majority-vote
-    * inferred logical type (reference DataPreprocessor.scala:172-210,
-    * DataTypeParser.scala:23-73) — computed over all rows (one distributed
-    * pass) instead of the reference's 100-row driver-side sample. */
+  /** A17 shares (full-pass, documented divergence — see ColumnProfiler's
+    * sampling contract) + the full A19 inferred-type group: per-value
+    * type battery over a bounded deterministic sample, majority vote,
+    * 8 one-hot indicators (reference DataPreprocessor.scala:172-210,
+    * DataTypeParser.scala:14-52, FeatureExtractor.scala:665-731). */
   private def inferTypes(table: String, cols: Seq[String]): QueryDef = {
     val intRe = ColumnProfiler.IntRe
     val floatRe = ColumnProfiler.FloatRe
     val boolRe = ColumnProfiler.BoolRe
     val dateRe = ColumnProfiler.DateRe
+    val n = ColumnProfiler.TypeSampleN
     QueryDef(
       (s, dir) => {
         val m = ColumnProfiler.melt(Tables.table(s, dir, table), cols)
+        val bounded = ColumnProfiler.melt(
+          Tables.table(s, dir, table).limit(4 * n), cols)
         ColumnProfiler.typeShares(m)
-          .withColumn("inferred_type",
-            when(col("share_int") > 0.5, "integer")
-              .when(col("share_float") > 0.5, "float")
-              .when(col("share_bool") > 0.5, "boolean")
-              .when(col("share_date") > 0.5, "date")
-              .otherwise("string"))
+          .join(ColumnProfiler.inferredTypeOneHots(bounded), Seq("col_name"))
           .orderBy("col_name")
       },
       Some {
         val meltSql = cols
           .map(c => s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM $table")
           .mkString("\n        UNION ALL ")
+        val limMeltSql = cols
+          .map(c => s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM lim")
+          .mkString("\n        UNION ALL ")
         val ne = "value IS NOT NULL AND length(trim(value)) > 0"
         def share(re: String) =
           s"round(CAST(sum(CASE WHEN $ne AND regexp_matches(lower(trim(value)), '$re') THEN 1 ELSE 0 END) AS DOUBLE) / sum(CASE WHEN $ne THEN 1 ELSE 0 END), 6)"
+        val typeCase = s"""CASE
+            WHEN length(trim(value)) = 0 THEN 'unknown'
+            WHEN regexp_matches(value, '${ColumnProfiler.FloatFullRe}') THEN 'float'
+            WHEN regexp_matches(value, '${ColumnProfiler.BoolCharRe}') THEN 'boolean'
+            WHEN regexp_matches(value, '${ColumnProfiler.IntFullRe}') THEN
+              CASE WHEN length(value) = 4 AND TRY_CAST(value AS INTEGER)
+                     BETWEEN 1500 AND ${ColumnProfiler.YearMax} THEN 'date'
+                   WHEN TRY_CAST(value AS INTEGER) IS NOT NULL THEN 'integer'
+                   WHEN TRY_CAST(value AS BIGINT) IS NOT NULL THEN 'long'
+                   ELSE 'string' END
+            WHEN regexp_matches(value, '${ColumnProfiler.TimeOnlyRe}') THEN 'time'
+            WHEN regexp_matches(value, '${ColumnProfiler.DateTimeRe}') THEN 'datetime'
+            WHEN regexp_matches(value, '${ColumnProfiler.DateFullRe}') THEN 'date'
+            ELSE 'string' END"""
+        val rankCase = "CASE t " + ColumnProfiler.TypeRank.zipWithIndex
+          .map { case (t, i) => s"WHEN '$t' THEN $i" }
+          .mkString(" ") + s" ELSE ${ColumnProfiler.TypeRank.size} END"
+        val oneHots = ColumnProfiler.TypeKeys.map(k =>
+          s"CAST(CASE WHEN inferred_type = '$k' THEN 1 ELSE 0 END AS BIGINT) AS inferred_type_$k")
+          .mkString(",\n          ")
         s"""WITH m AS (
         $meltSql
         ), sh AS (
@@ -58,14 +80,37 @@ object ProfileQueries {
             ${share(boolRe)} AS share_bool,
             ${share(dateRe)} AS share_date
           FROM m GROUP BY col_name
+        ), lim AS (
+          SELECT * FROM $table LIMIT ${4 * n}
+        ), lm AS (
+        $limMeltSql
+        ), samp AS (
+          SELECT col_name, value FROM (
+            SELECT col_name, value,
+              row_number() OVER (PARTITION BY col_name
+                ORDER BY md5(value), value) AS rn
+            FROM lm WHERE value IS NOT NULL AND length(value) > 0)
+          WHERE rn <= $n
+        ), typed AS (
+          SELECT col_name, $typeCase AS t FROM samp
+        ), tcnt AS (
+          SELECT col_name, t, count(*) AS cnt FROM typed GROUP BY 1, 2
+        ), moded AS (
+          SELECT col_name, t FROM (
+            SELECT col_name, t,
+              row_number() OVER (PARTITION BY col_name
+                ORDER BY cnt DESC, $rankCase) AS rn
+            FROM tcnt) WHERE rn = 1
+        ), withdef AS (
+          SELECT allc.col_name, coalesce(t, 'string') AS inferred_type
+          FROM (SELECT DISTINCT col_name FROM m) allc
+          LEFT JOIN moded ON allc.col_name = moded.col_name
         )
-        SELECT col_name, share_int, share_float, share_bool, share_date,
-          CASE WHEN share_int > 0.5 THEN 'integer'
-               WHEN share_float > 0.5 THEN 'float'
-               WHEN share_bool > 0.5 THEN 'boolean'
-               WHEN share_date > 0.5 THEN 'date'
-               ELSE 'string' END AS inferred_type
-        FROM sh ORDER BY col_name"""
+        SELECT sh.col_name, share_int, share_float, share_bool, share_date,
+          inferred_type,
+          $oneHots
+        FROM sh JOIN withdef ON sh.col_name = withdef.col_name
+        ORDER BY sh.col_name"""
       })
   }
 
