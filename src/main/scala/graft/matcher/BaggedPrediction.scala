@@ -14,22 +14,29 @@ import graft.profile.ColumnProfiler
   * the reference's partial+final bag aggregation (A28), and the argmax
   * over averaged scores is A29.
   *
-  * Bags are deterministic hash-ordered slices (same convention as
-  * [[Resampler.assignBags]]), so the whole path is partition-order
-  * independent. */
+  * Bags follow the reference's testBagging contract via
+  * [[Resampler.assignBags]]: numBags=50 bags of bagSize=100
+  * deterministically sampled values per column, with replacement-fill
+  * for short columns — the whole path is partition-order independent. */
 object BaggedPrediction {
-
-  val DefaultBags = 8
 
   /** Predict per-column labels by averaging per-bag score vectors. */
   def predict(model: PipelineModel, melted: DataFrame,
-      numBags: Int = DefaultBags): DataFrame = {
-    val bagged = Resampler.assignBags(melted, numBags)
+      numBags: Int = Resampler.DefaultNumBags,
+      bagSize: Int = Resampler.DefaultBagSize): DataFrame = {
+    val bagged = Resampler.assignBags(melted, numBags, bagSize)
       .withColumn("col_name",
         concat(col("col_name"), lit("#"), col("bag_id")))
       .drop("bag_id")
+    val spark = melted.sparkSession
+    import spark.implicits._
+    val pool = Labels.train
+      .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "label")
+    val nf = FeatureMatrix.nameFeatures(
+      bagged.select(col("col_name")).distinct(), pool)
     val feat = ColumnProfiler.profile(bagged)
       .join(ColumnProfiler.typeShares(bagged), Seq("col_name"))
+      .join(nf, col("col_name") === nf("query_col"))
       .select(col("col_name") +: FeatureMatrix.featureCols.map(c =>
         coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)
     val perBag = SemanticTypeClassifier.predict(model, feat)

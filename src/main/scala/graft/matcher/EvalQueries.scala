@@ -22,12 +22,12 @@ object EvalQueries {
     "events.event_type" -> "category",
     "events.props" -> "category",
     "events.ts" -> "date",
-    "events.user_id" -> "identifier",
+    "events.user_id" -> "quantity",
     "events.value" -> "money",
-    "nation.n_name" -> "category",
+    "nation.n_name" -> "name",
     "nation.n_nationkey" -> "identifier",
     "nation.n_regionkey" -> "identifier",
-    "region.r_name" -> "category",
+    "region.r_name" -> "name",
     "region.r_regionkey" -> "identifier")
 
   val defs: Map[String, QueryDef] = Map(

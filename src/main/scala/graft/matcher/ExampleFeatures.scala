@@ -15,9 +15,11 @@ import org.apache.spark.sql.expressions.Window
   * groupBy — O(queries x pool) work distributed row-wise. */
 object ExampleFeatures {
 
-  /** Short (unqualified) column name from a `table.column` id. */
+  /** Short (unqualified) column name from a `table.column` id; a `#bag`
+    * suffix (BaggedPrediction's per-bag ids) is stripped first so every
+    * bag inherits its base column's name features. */
   private def shortName(c: org.apache.spark.sql.Column) =
-    substring_index(c, ".", -1)
+    substring_index(substring_index(c, "#", 1), ".", -1)
 
   /** Build the per-class aggregation columns (shared helper). */
   private def classAggs(classes: Seq[String], k: Int) = classes.map { c =>

@@ -16,8 +16,8 @@ import graft.sources.Tables
   */
 object FeatureMatrix {
 
-  /** Numeric feature column names, in assembler order. */
-  val featureCols: Seq[String] = Seq(
+  /** Profile-derived feature column names. */
+  val profileCols: Seq[String] = Seq(
     "prop_unique_vals", "prop_missing_vals", "ratio_alpha_chars",
     "prop_at_sign", "prop_currency", "prop_hyphen", "prop_paren",
     "mean_commas_per_entry", "mean_slashes_per_entry", "prop_range_format",
@@ -25,6 +25,29 @@ object FeatureMatrix {
     "entropy_discrete", "shannon_entropy", "mean_len", "median_len",
     "mode_len", "min_len", "max_len",
     "share_int", "share_float", "share_bool", "share_date")
+
+  /** Example-based name features (A22/A23 — reference
+    * RfKnnFeatureExtractor.scala:42-99 and
+    * MinEditDistFromClassExamplesFeatureExtractor.scala:32-84 feed the
+    * classifier there too): kNN class proportions and per-class min edit
+    * distance of the column NAME to the labelled example pool. These are
+    * what separate `name` columns from `category` (value profiles of
+    * both are low-cardinality strings; the header is the signal). */
+  val NameK = 3
+  val nameFeatureCols: Seq[String] =
+    Labels.classes.map(c => s"prop_$c") ++
+      Labels.classes.map(c => s"min_dist_$c")
+
+  /** Numeric feature column names, in assembler order. */
+  val featureCols: Seq[String] = profileCols ++ nameFeatureCols
+
+  /** (query_col, prop_*..., min_dist_*...) name features for a set of
+    * column ids against the labelled pool (tiny frames — broadcast
+    * joins, O(#columns x #pool) work). */
+  def nameFeatures(cols: DataFrame, pool: DataFrame): DataFrame =
+    ExampleFeatures.knn(cols, pool, NameK, Labels.classes)
+      .join(ExampleFeatures.minClassDistance(cols, pool, Labels.classes),
+        "query_col")
 
   /** Melt the given (table -> columns) map into one long-format frame
     * with `table.column`-qualified col_name. `rowBound`, when set, caps
@@ -70,10 +93,18 @@ object FeatureMatrix {
 
   def features(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
     val m = sampledMelt(spark, dir, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val colsDf = tables
+      .flatMap { case (t, cs) => cs.map(c => s"$t.$c") }
+      .toDF("col_name")
+    val pool = Labels.train
+      .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "label")
+    val nf = nameFeatures(colsDf, pool)
     ColumnProfiler.profile(m)
       .join(ColumnProfiler.typeShares(m), Seq("col_name"))
+      .join(nf, col("col_name") === nf("query_col"))
       .select(col("col_name") +: featureCols.map(c =>
         coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)
   }

@@ -1,6 +1,6 @@
 package graft.matcher
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -91,14 +91,95 @@ object Resampler {
       .drop("rn", "copies", "copy")
   }
 
-  /** Bagging (reference :186-205, 333-379): assign each value row of a
-    * melted frame to one of `numBags` bags per column, in deterministic
-    * hash order; bags then profile independently. Returns the melted
-    * frame + `bag_id`. */
-  def assignBags(melted: DataFrame, numBags: Int, seed: Long = 501L): DataFrame = {
-    val w = Window.partitionBy(col("col_name"))
-      .orderBy(xxhash64(col("value"), lit(seed)), col("value"))
-    melted.withColumn("bag_id",
-      ((row_number().over(w) - 1) % numBags).cast("long"))
+  /** Reference bagging defaults (TrainingSettings.scala DefaultBagging). */
+  val DefaultNumBags = 50
+  val DefaultBagSize = 100
+
+  /** Core bag sampler: for each column, emit `bagCount` bags of exactly
+    * `bagSize` values each, sampled deterministically (hash order over
+    * (value, copy, bag) replaces the reference's per-bag seeded shuffle,
+    * ClassImbalanceResampler.scala:186-205). Columns shorter than
+    * `bagSize` are first filled by replicating their values — the
+    * reference's sampling-with-replacement fill (:271-300, 342-351).
+    * `bagCount` is a per-row Column so the training path can vary bags
+    * per attribute. Input must be a bounded melt (S9); every window
+    * partition is then <= 4n rows. */
+  private def bagExplode(melted: DataFrame, bagCount: Column, bagSize: Int,
+      seed: Long): DataFrame = {
+    val nPer = melted.groupBy(col("col_name")).agg(count(lit(1)).as("n_col"))
+    val withN = melted.join(broadcast(nPer), "col_name")
+    val copies = when(col("n_col") >= bagSize, 1L)
+      .otherwise(ceil(lit(bagSize).cast("double") / col("n_col")).cast("long"))
+    val exploded = withN
+      .withColumn("copy", explode(sequence(lit(1L), copies)))
+      .withColumn("bag_id",
+        explode(sequence(lit(0L), bagCount.cast("long") - 1L)))
+    val w = Window.partitionBy(col("col_name"), col("bag_id"))
+      .orderBy(
+        xxhash64(col("value"), col("copy"), col("bag_id"), lit(seed)),
+        col("value"))
+    exploded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bagSize)
+      .select(col("col_name"), col("bag_id"), col("value"))
+  }
+
+  /** Prediction-path bagging (reference testBagging,
+    * ClassImbalanceResampler.scala:271-300): `numBags` bags of `bagSize`
+    * values per column. Returns (col_name, bag_id, value). */
+  def assignBags(melted: DataFrame, numBags: Int = DefaultNumBags,
+      bagSize: Int = DefaultBagSize, seed: Long = 501L): DataFrame =
+    bagExplode(melted, lit(numBags), bagSize, seed)
+
+  /** Per-class rebalanced bag counts for the training path (reference
+    * bagging + numBagsSequence, ClassImbalanceResampler.scala:216-268,
+    * 333-379): every class's attributes together contribute exactly
+    * `sampleSize` bags — max (BaggingToMax) or mean (BaggingToMean) of
+    * the per-class `numBags * #attrs` counts, or `numBags` per attribute
+    * unrebalanced (Bagging). Classes with more attributes than bags get
+    * a deterministic name-ordered pick of `sampleSize` attributes with
+    * one bag each (hash order replaces the reference's seeded shuffle).
+    * Pure driver-side arithmetic over O(#columns) labels. */
+  def trainingBagCounts(labels: Seq[(String, String)],
+      strategy: String = "BaggingToMax",
+      numBags: Int = DefaultNumBags): Seq[(String, Int)] = {
+    val byClass = labels.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).toMap
+    val classCounts = byClass.map { case (c, as) => c -> numBags * as.size }
+    val sampleSize = strategy match {
+      case "Bagging" => -1
+      case "BaggingToMean" =>
+        (classCounts.values.sum.toDouble / classCounts.size).toInt
+      case _ => classCounts.values.max
+    }
+    byClass.toSeq.sortBy(_._1).flatMap { case (_, attrs) =>
+      if (sampleSize < 0) attrs.map(_ -> numBags)
+      else if (sampleSize < attrs.size)
+        // more attributes than requested bags: 1 bag for the first
+        // sampleSize attributes in name order, 0 for the rest
+        attrs.zipWithIndex.map { case (a, i) =>
+          a -> (if (i < sampleSize) 1 else 0) }
+      else {
+        // numBagsSequence: split sampleSize into near-equal integer
+        // shares across the class's attributes
+        var generated = 0
+        attrs.zipWithIndex.map { case (a, i) =>
+          val cur = (sampleSize - generated) / (attrs.size - i)
+          generated += cur
+          a -> cur
+        }
+      }
+    }
+  }
+
+  /** Training-path bagging: melt -> (col_name, bag_id, value) with the
+    * per-class rebalanced bag counts of [[trainingBagCounts]]. */
+  def trainingBags(melted: DataFrame, labels: Seq[(String, String)],
+      strategy: String = "BaggingToMax",
+      numBags: Int = DefaultNumBags,
+      bagSize: Int = DefaultBagSize, seed: Long = 501L): DataFrame = {
+    val counts = trainingBagCounts(labels, strategy, numBags)
+      .filter(_._2 > 0).toMap
+    val bagCount = coalesce(typedLit(counts).apply(col("col_name")), lit(0L))
+    bagExplode(melted.filter(bagCount > 0), bagCount, bagSize, seed)
   }
 }

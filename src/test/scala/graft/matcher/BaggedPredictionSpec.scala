@@ -8,10 +8,10 @@ class BaggedPredictionSpec extends SparkSpec {
   test("bagged prediction covers every holdout column with averaged scores") {
     val out = MatcherQueries.defs("m8_bagged_predictions").fn(spark, sf).collect()
     assert(out.length === Labels.holdout.size)
-    // columns with fewer values than bags get fewer bags (5-row region)
+    // reference testBagging contract: every column yields exactly
+    // numBags bags (short columns are replication-filled to bagSize)
     assert(out.forall { r =>
-      val n = r.getAs[Long]("n_bags")
-      n >= 1L && n <= BaggedPrediction.DefaultBags.toLong
+      r.getAs[Long]("n_bags") === Resampler.DefaultNumBags.toLong
     })
     assert(out.forall { r =>
       val c = r.getAs[Double]("confidence"); c >= 0.0 && c <= 1.0

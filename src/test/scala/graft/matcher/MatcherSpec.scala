@@ -52,16 +52,46 @@ class MatcherSpec extends SparkSpec {
     assert(counts.toSet === Set(mean))
   }
 
-  test("bagging assigns every value to exactly one bag, deterministically") {
+  test("bagging: numBags bags of exactly bagSize values, deterministic") {
     import spark.implicits._
     val melted = (1 to 250).map(i => ("c1", s"v$i")).toDF("col_name", "value")
-    val bags = Resampler.assignBags(melted, 5)
+    val bags = Resampler.assignBags(melted, numBags = 5, bagSize = 100)
     val counts = bags.groupBy("bag_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts.keySet === (0L until 5L).toSet)
-    assert(counts.values.sum === 250L)
-    val again = Resampler.assignBags(melted, 5).collect().map(_.toSeq).toSet
+    assert(counts.values.forall(_ === 100L), "every bag holds bagSize values")
+    // bags draw from the column without replacement when it is long enough
+    val perBagDistinct = bags.groupBy("bag_id")
+      .agg(countDistinct(col("value")).as("d")).collect()
+    assert(perBagDistinct.forall(_.getAs[Long]("d") === 100L))
+    val again = Resampler.assignBags(melted, numBags = 5, bagSize = 100)
+      .collect().map(_.toSeq).toSet
     assert(again === bags.collect().map(_.toSeq).toSet)
+  }
+
+  test("bagging fills short columns by replication (with-replacement)") {
+    import spark.implicits._
+    val melted = (1 to 30).map(i => ("c1", s"v$i")).toDF("col_name", "value")
+    val bags = Resampler.assignBags(melted, numBags = 3, bagSize = 100)
+    val counts = bags.groupBy("bag_id").count().collect().map(_.getLong(1))
+    assert(counts.length === 3 && counts.forall(_ === 100L))
+  }
+
+  test("training bag counts rebalance every class to the same total") {
+    val labels = Seq(
+      "a1" -> "x", "a2" -> "x", "a3" -> "x",   // 3 attrs
+      "b1" -> "y",                             // 1 attr
+      "c1" -> "z", "c2" -> "z")                // 2 attrs
+    val counts = Resampler.trainingBagCounts(labels, "BaggingToMax", numBags = 50)
+    val byClass = counts.groupBy { case (a, _) =>
+      labels.toMap.apply(a) }.view.mapValues(_.map(_._2).sum).toMap
+    // sampleSize = max class count = 50 * 3 = 150; every class hits it
+    assert(byClass === Map("x" -> 150, "y" -> 150, "z" -> 150))
+    // near-equal split inside a class
+    assert(counts.toMap.apply("c1") === 75 && counts.toMap.apply("c2") === 75)
+    // unrebalanced strategy: numBags per attribute
+    val plain = Resampler.trainingBagCounts(labels, "Bagging", numBags = 50)
+    assert(plain.forall(_._2 === 50))
   }
 
   test("string distance functions behave sanely") {

@@ -59,12 +59,15 @@ class PlanShapeSpec extends SparkSpec {
     // The sample window must never sort a full column in one task: each
     // source scan is capped at 4*SampleN rows FIRST, so the per-column
     // window partitions are bounded at any data scale.
-    val df = graft.matcher.FeatureMatrix.sampledMelt(
-      spark, sf, graft.matcher.Labels.trainTables)
+    // a table set no other suite persists, so cached InMemoryRelations
+    // can't be substituted for the parquet scans under test
+    val tables = Seq("orders" -> Seq("o_orderkey", "o_orderpriority"),
+      "region" -> Seq("r_name"))
+    val df = graft.matcher.FeatureMatrix.sampledMelt(spark, sf, tables)
     val p = df.queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(p).size
     val limits = "GlobalLimit".r.findAllIn(p).size
-    assert(scans == graft.matcher.Labels.trainTables.size, p.take(600))
+    assert(scans == tables.size, p.take(600))
     assert(limits >= scans,
       s"every scan needs a row bound before the sample window ($limits limits / $scans scans)")
   }
