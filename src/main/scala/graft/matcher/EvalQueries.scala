@@ -101,24 +101,35 @@ object EvalQueries {
         FROM pr ORDER BY label"""
       }),
 
-    // ---- m7: pairwise attribute features over held-out column pairs (§2.5)
+    // ---- m7: pairwise attribute features over held-out column pairs
+    //      (§2.5, reference AttributePairFeatureExtractor.scala:33-127):
+    //      uniqueness-ratio diff, string-equality one-hot, the 7
+    //      type-equality one-hots over the A19 inferred types, and the
+    //      name-distance battery (WordNet extractors excluded with
+    //      J4/A25/F5 — config-gated absence, see COVERAGE.md).
     "m7_pairwise_features" -> QueryDef(
       (s, dir) => {
         val prof = MatcherSession.holdoutFeatures(s, dir)
-          .select(col("col_name"), col("prop_unique_vals"), col("share_int"),
-            col("share_float"), col("share_date"))
+          .select(col("col_name"), col("prop_unique_vals"))
+        val types = graft.profile.ColumnProfiler.inferredTypeOneHots(
+          FeatureMatrix.sampledMelt(s, dir, Labels.holdoutTables))
+          .select(col("col_name") +: TypeEqKeys.map(k =>
+            col(s"inferred_type_$k")): _*)
+        val joined = prof.join(types, "col_name")
         val short = (c: org.apache.spark.sql.Column) => substring_index(c, ".", -1)
-        val a = prof.select(prof.columns.map(c => col(c).as(s"a_$c")): _*)
-        val b = prof.select(prof.columns.map(c => col(c).as(s"b_$c")): _*)
+        val a = joined.select(joined.columns.map(c => col(c).as(s"a_$c")): _*)
+        val b = joined.select(joined.columns.map(c => col(c).as(s"b_$c")): _*)
+        val bothTypes = TypeEqKeys.map(k =>
+          (col(s"a_inferred_type_$k") * col(s"b_inferred_type_$k"))
+            .cast("long").as(s"both_$k"))
         a.join(b, col("a_col_name") < col("b_col_name"))
-          .select(
+          .select(Seq(
             col("a_col_name"), col("b_col_name"),
             round(abs(col("a_prop_unique_vals") - col("b_prop_unique_vals")), 6)
               .as("unique_vals_diff"),
-            when(col("a_share_int") > 0.5 && col("b_share_int") > 0.5, 1L)
-              .otherwise(0L).as("both_int"),
-            when(col("a_share_date") > 0.5 && col("b_share_date") > 0.5, 1L)
-              .otherwise(0L).as("both_date"),
+            when(lower(short(col("a_col_name"))) ===
+              lower(short(col("b_col_name"))), 1L).otherwise(0L)
+              .as("string_equality")) ++ bothTypes ++ Seq(
             levenshtein(lower(short(col("a_col_name"))),
               lower(short(col("b_col_name")))).cast("long").as("lev_dist"),
             round(StringFunctions.nwUdf(short(col("a_col_name")),
@@ -126,9 +137,15 @@ object EvalQueries {
             round(StringFunctions.jaroUdf(short(col("a_col_name")),
               short(col("b_col_name"))), 6).as("jaro_sim"),
             round(StringFunctions.ngramUdf(short(col("a_col_name")),
-              short(col("b_col_name"))), 6).as("ngram_dist"))
+              short(col("b_col_name"))), 6).as("ngram_dist")): _*)
           .orderBy(col("a_col_name"), col("b_col_name"))
       },
       None)
   )
+
+  /** Type-equality one-hot keys (reference
+    * DataTypeEqualityFeatureExtractor, AttributePairFeatureExtractor
+    * .scala:50-75 — note: no `long` there). */
+  val TypeEqKeys: Seq[String] = Seq(
+    "float", "integer", "boolean", "date", "time", "datetime", "string")
 }

@@ -94,6 +94,26 @@ class MatcherSpec extends SparkSpec {
     assert(plain.forall(_._2 === 50))
   }
 
+  test("m7 pairwise features carry equality one-hots and distances") {
+    val out = EvalQueries.defs("m7_pairwise_features").fn(spark, sf).collect()
+    val n = Labels.holdout.size
+    assert(out.length === n * (n - 1) / 2, "all unordered column pairs")
+    val cols = EvalQueries.defs("m7_pairwise_features").fn(spark, sf).columns
+    val expected = Seq("string_equality") ++
+      EvalQueries.TypeEqKeys.map(k => s"both_$k")
+    expected.foreach(c => assert(cols.contains(c), s"missing $c"))
+    // one-hots are 0/1 and consistent: a pair can share at most one type
+    assert(out.forall { r =>
+      val hots = EvalQueries.TypeEqKeys.map(k => r.getAs[Long](s"both_$k"))
+      hots.forall(h => h == 0L || h == 1L) && hots.sum <= 1L
+    })
+    // identifier pair: both integer-typed keys
+    val idPair = out.find(r =>
+      r.getAs[String]("a_col_name") == "nation.n_nationkey" &&
+        r.getAs[String]("b_col_name") == "nation.n_regionkey").get
+    assert(idPair.getAs[Long]("both_integer") === 1L)
+  }
+
   test("string distance functions behave sanely") {
     import graft.functions.StringFunctions._
     assert(levenshtein("kitten", "sitting") === 3)
