@@ -85,6 +85,66 @@ object Ontology {
     Ontology(classes, dataProps, objectProps, subClassOf)
   }
 
+  /** Parse the RDF/XML OWL shape the reference ships alongside Turtle
+    * (e.g. modeler ssd/dataintegration_report_ontology.owl; reference
+    * loads both via Jena, KarmaParams.scala:48-205): owl:Class,
+    * owl:DatatypeProperty / owl:ObjectProperty elements identified by
+    * rdf:about or rdf:ID, with rdfs:domain / rdfs:range / rdfs:subClassOf
+    * children carrying rdf:resource URIs. URIs reduce to local names
+    * (text after the last # or /), matching the Turtle parser's
+    * convention so both syntaxes load to the same [[Ontology]]. */
+  def parseRdfXml(xml: String): Ontology = {
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val rdfsNs = "http://www.w3.org/2000/01/rdf-schema#"
+    val owlNs = "http://www.w3.org/2002/07/owl#"
+    val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    factory.setNamespaceAware(true)
+    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = factory.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+
+    def local(uri: String): String = uri.replaceAll("^.*[#/]", "")
+    def nodes(ns: String, name: String): Seq[org.w3c.dom.Element] = {
+      val nl = doc.getElementsByTagNameNS(ns, name)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+    }
+    def idOf(e: org.w3c.dom.Element): Option[String] =
+      Option(e.getAttributeNS(rdfNs, "about")).filter(_.nonEmpty)
+        .orElse(Option(e.getAttributeNS(rdfNs, "ID")).filter(_.nonEmpty))
+        .map(local)
+    def childResources(e: org.w3c.dom.Element, name: String): Seq[String] = {
+      val nl = e.getElementsByTagNameNS(rdfsNs, name)
+      (0 until nl.getLength)
+        .map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+        .flatMap(c => Option(c.getAttributeNS(rdfNs, "resource"))
+          .filter(_.nonEmpty).map(local))
+    }
+
+    val classes = nodes(owlNs, "Class").flatMap(idOf).toSet
+    val subClassOf = nodes(owlNs, "Class").flatMap { e =>
+      for (c <- idOf(e); sup <- childResources(e, "subClassOf").headOption)
+        yield c -> sup
+    }.toMap
+    val dataProps = nodes(owlNs, "DatatypeProperty").flatMap { e =>
+      for (p <- idOf(e); d <- childResources(e, "domain").headOption)
+        yield DataProp(p, d)
+    }
+    val objectProps = nodes(owlNs, "ObjectProperty").flatMap { e =>
+      for (p <- idOf(e); d <- childResources(e, "domain").headOption;
+           r <- childResources(e, "range").headOption)
+        yield ObjectProp(p, d, r)
+    }
+    Ontology(classes, dataProps.toVector, objectProps.toVector, subClassOf)
+  }
+
+  /** Load either OWL syntax the reference accepts: RDF/XML when the text
+    * is an XML document, Turtle otherwise. */
+  def parse(text: String): Ontology = {
+    val t = text.trim
+    if (t.startsWith("<?xml") || t.startsWith("<rdf:RDF")) parseRdfXml(t)
+    else parseTurtle(t)
+  }
+
   /** Built-in TPC-H-domain ontology used by the modeler queries. */
   val tpch: Ontology = parseTurtle("""
     :Customer a owl:Class .

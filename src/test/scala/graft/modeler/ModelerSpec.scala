@@ -87,6 +87,42 @@ class ModelerSpec extends AnyFunSuite {
     assert(j === math.round(1.0 / 3 * 100) / 100.0)
   }
 
+  test("rdf/xml owl loads to the same ontology as its turtle twin") {
+    val ns = "http://example.org/shop#"
+    val rdfXml = s"""<?xml version="1.0"?>
+      <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+               xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+               xmlns:owl="http://www.w3.org/2002/07/owl#">
+        <owl:Ontology rdf:about="${ns.dropRight(1)}"/>
+        <owl:Class rdf:about="${ns}Customer"/>
+        <owl:Class rdf:about="${ns}Order"/>
+        <owl:Class rdf:ID="VipCustomer">
+          <rdfs:subClassOf rdf:resource="${ns}Customer"/>
+        </owl:Class>
+        <owl:DatatypeProperty rdf:about="${ns}name">
+          <rdfs:domain rdf:resource="${ns}Customer"/>
+        </owl:DatatypeProperty>
+        <owl:ObjectProperty rdf:about="${ns}placedBy">
+          <rdfs:domain rdf:resource="${ns}Order"/>
+          <rdfs:range rdf:resource="${ns}Customer"/>
+        </owl:ObjectProperty>
+      </rdf:RDF>"""
+    val turtle = """
+      :Customer a owl:Class .
+      :Order a owl:Class .
+      :VipCustomer a owl:Class .
+      :VipCustomer rdfs:subClassOf :Customer .
+      :name a owl:DatatypeProperty ; rdfs:domain :Customer .
+      :placedBy a owl:ObjectProperty ; rdfs:domain :Order ; rdfs:range :Customer .
+    """
+    val fromXml = Ontology.parse(rdfXml)
+    val fromTtl = Ontology.parse(turtle)
+    assert(fromXml === fromTtl)
+    assert(fromXml.classes === Set("Customer", "Order", "VipCustomer"))
+    assert(fromXml.subClassOf === Map("VipCustomer" -> "Customer"))
+    assert(fromXml.dataPropsOf("VipCustomer").map(_.uri) === Seq("name"))
+  }
+
   test("g2 oracle pin matches the live alignment graph") {
     val align = new AlignmentGraph(Ontology.tpch)
       .add(ModelerQueries.knownOrderModel)
