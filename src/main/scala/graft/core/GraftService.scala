@@ -1,0 +1,169 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+
+import graft.modeler.{Ontology, SemanticModel}
+
+/** Dataset registration record: where the parquet tables live and which
+  * (table, columns) the dataset exposes. */
+final case class DatasetRef(
+    id: Int, name: String, dir: String,
+    tables: Seq[(String, Seq[String])], created: Long)
+
+/** Model registration record; `state` mirrors the Octopus train state. */
+final case class ModelRef(id: Int, description: String, state: String,
+    created: Long)
+
+/** Thin orchestration layer over the engine — capability parity with the
+  * reference's user-facing surface (reference core Serene.scala:49-56
+  * boots Finch endpoints; api/ModelAPI.scala:153-193 exposes
+  * create/list/get/train/predict/delete; storage/Storage.scala:1-271 is
+  * the id-keyed file-backed store). Each REST endpoint maps 1:1 to a
+  * method here and to a [[Cli]] command; the HTTP transport itself is
+  * the one part not reproduced (SURVEY §7 phase 6: a CLI or programmatic
+  * layer satisfies parity — no HTTP server dependency is available in
+  * the build).
+  *
+  * Layout: rootDir/datasets/<id>/meta.json,
+  * rootDir/models/<id>/{meta.json, pipeline/, alignment.json} — trained
+  * artifacts live next to the model metadata exactly like the
+  * reference's ModelStorage keeps the serialized learnt model beside
+  * the model JSON. */
+class GraftService(val rootDir: String,
+    ontology: Ontology = Ontology.tpch,
+    knownModels: Seq[SemanticModel] = Nil) {
+
+  private def dsDir(id: Int): Path = Paths.get(rootDir, "datasets", id.toString)
+  private def mdDir(id: Int): Path = Paths.get(rootDir, "models", id.toString)
+  private val octopi = collection.concurrent.TrieMap.empty[Int, Octopus]
+
+  // ---- tiny JSON helpers (flat string-field objects only) -------------
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+  private def writeMeta(p: Path, fields: (String, String)*): Unit = {
+    Files.createDirectories(p)
+    Files.writeString(p.resolve("meta.json"),
+      fields.map { case (k, v) => s"  ${jstr(k)}: ${jstr(v)}" }
+        .mkString("{\n", ",\n", "\n}\n"))
+  }
+  private def readMeta(p: Path): Map[String, String] = {
+    val re = """"([^"]+)":\s*"((?:[^"\\]|\\.)*)"""".r
+    re.findAllMatchIn(Files.readString(p.resolve("meta.json")))
+      .map(m => m.group(1) ->
+        m.group(2).replace("\\n", "\n").replace("\\\"", "\"")
+          .replace("\\\\", "\\"))
+      .toMap
+  }
+  private def keysUnder(kind: String): Seq[Int] = {
+    val p = Paths.get(rootDir, kind)
+    if (!Files.exists(p)) Nil
+    else {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .flatMap(f => f.getFileName.toString.toIntOption).toSeq.sorted
+      } finally s.close()
+    }
+  }
+  private def nextId(kind: String): Int =
+    (keysUnder(kind) :+ 0).max + 1
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+
+  private def encodeTables(tables: Seq[(String, Seq[String])]): String =
+    tables.map { case (t, cs) => s"$t:${cs.mkString(",")}" }.mkString("|")
+  private def decodeTables(s: String): Seq[(String, Seq[String])] =
+    s.split("\\|").toSeq.filter(_.nonEmpty).map { part =>
+      val Array(t, cs) = part.split(":", 2)
+      t -> cs.split(",").toSeq.filter(_.nonEmpty)
+    }
+
+  // ---- dataset CRUD (reference api/DatasetAPI + DatasetStorage) -------
+  def createDataset(name: String, dir: String,
+      tables: Seq[(String, Seq[String])]): DatasetRef = {
+    val id = nextId("datasets")
+    val ref = DatasetRef(id, name, dir, tables, System.currentTimeMillis())
+    writeMeta(dsDir(id), "name" -> name, "dir" -> dir,
+      "tables" -> encodeTables(tables), "created" -> ref.created.toString)
+    ref
+  }
+  def datasetKeys: Seq[Int] = keysUnder("datasets")
+  def getDataset(id: Int): Option[DatasetRef] =
+    if (!Files.exists(dsDir(id).resolve("meta.json"))) None
+    else {
+      val m = readMeta(dsDir(id))
+      Some(DatasetRef(id, m("name"), m("dir"), decodeTables(m("tables")),
+        m("created").toLong))
+    }
+  def deleteDataset(id: Int): Boolean = {
+    val existed = Files.exists(dsDir(id))
+    deleteRecursively(dsDir(id)); existed
+  }
+
+  // ---- model CRUD + train/predict (reference api/ModelAPI:153-193) ----
+  def createModel(description: String): ModelRef = {
+    val id = nextId("models")
+    val ref = ModelRef(id, description, "Untrained", System.currentTimeMillis())
+    writeMeta(mdDir(id), "description" -> description, "state" -> ref.state,
+      "created" -> ref.created.toString)
+    ref
+  }
+  def modelKeys: Seq[Int] = keysUnder("models")
+  def getModel(id: Int): Option[ModelRef] =
+    if (!Files.exists(mdDir(id).resolve("meta.json"))) None
+    else {
+      val m = readMeta(mdDir(id))
+      Some(ModelRef(id, m("description"), m("state"), m("created").toLong))
+    }
+  def deleteModel(id: Int): Boolean = {
+    octopi.remove(id)
+    val existed = Files.exists(mdDir(id))
+    deleteRecursively(mdDir(id)); existed
+  }
+
+  private def octopus(id: Int): Octopus =
+    octopi.getOrElseUpdate(id,
+      new Octopus(ontology, knownModels, mdDir(id).toString))
+
+  /** Train model `modelId` on dataset `datasetId`; persists the state
+    * transition like the reference's async train endpoint records
+    * TrainState (ModelAPI modelTrain). Returns the final state. */
+  def trainModel(spark: SparkSession, modelId: Int,
+      datasetId: Int): Octopus.TrainState = {
+    val ds = getDataset(datasetId)
+      .getOrElse(throw new NoSuchElementException(s"dataset $datasetId"))
+    val model = getModel(modelId)
+      .getOrElse(throw new NoSuchElementException(s"model $modelId"))
+    val st = octopus(modelId).train(spark, ds.dir)
+    writeMeta(mdDir(modelId), "description" -> model.description,
+      "state" -> st.toString, "created" -> model.created.toString)
+    st
+  }
+
+  /** Predict with model `modelId` over dataset `datasetId`'s registered
+    * tables (ModelAPI modelPredict). */
+  def predictModel(spark: SparkSession, modelId: Int,
+      datasetId: Int): Octopus.OctopusPrediction = {
+    val ds = getDataset(datasetId)
+      .getOrElse(throw new NoSuchElementException(s"dataset $datasetId"))
+    octopus(modelId).predict(spark, ds.dir, ds.tables)
+  }
+
+  /** Ranked semantic-model suggestions for a dataset's columns through a
+    * trained model (reference OctopusAPI suggestion fetch). */
+  def suggestions(spark: SparkSession, modelId: Int, datasetId: Int)
+      : Seq[graft.modeler.SemanticModeler.Suggestion] =
+    predictModel(spark, modelId, datasetId).suggestions
+}

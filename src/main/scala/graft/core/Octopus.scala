@@ -93,8 +93,12 @@ class Octopus(
 
   private def inputsModifiedSince(dir: String, t: Long): Boolean = {
     val p = Paths.get(dir)
-    Files.exists(p) && Files.list(p).anyMatch(f =>
-      Files.getLastModifiedTime(f).toMillis > t)
+    if (!Files.exists(p)) return false
+    // walk (not list): nested input files must invalidate too; the
+    // stream is closed in finally so no fd leaks per train() call
+    val s = Files.walk(p)
+    try s.anyMatch(f => Files.getLastModifiedTime(f).toMillis > t)
+    finally s.close()
   }
 }
 
