@@ -24,10 +24,14 @@ object BaggedPrediction {
   def predict(model: PipelineModel, melted: DataFrame,
       numBags: Int = Resampler.DefaultNumBags,
       bagSize: Int = Resampler.DefaultBagSize): DataFrame = {
+    // persisted: the profiler + type shares make 5 aggregation passes
+    // over the bagged melt; without a cache each pass re-runs the
+    // bag-explode window
     val bagged = Resampler.assignBags(melted, numBags, bagSize)
       .withColumn("col_name",
         concat(col("col_name"), lit("#"), col("bag_id")))
       .drop("bag_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = melted.sparkSession
     import spark.implicits._
     val pool = Labels.train

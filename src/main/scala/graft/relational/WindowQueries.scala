@@ -132,8 +132,10 @@ object WindowQueries {
       (s, dir) => {
         import s.implicits._
         val Salts = 8
+        // pmod: Spark % keeps the sign, which would silently double the
+        // salt space to -7..7 and spread skew unevenly
         Tables.table(s, dir, "events")
-          .withColumn("salt", (xxhash64($"event_id") % Salts).cast("int"))
+          .withColumn("salt", pmod(xxhash64($"event_id"), lit(Salts)).cast("int"))
           .groupBy($"event_type", $"salt")
           .agg(
             dsum($"value").as("part_sum"),

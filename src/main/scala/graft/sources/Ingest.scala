@@ -16,17 +16,21 @@ object Ingest {
   /** S1: RFC4180 CSV with header -> all-string DataFrame, all-empty rows
     * dropped (reference CsvDataLoader.scala:42-111 treats every value as
     * string and drops empty rows; logical types are inferred later as
-    * features, not at scan time). Numeric-only headers mean "no header"
-    * (reference :90-96) -> synthesized col_0..col_n names. */
+    * features, not at scan time). The first row is always consumed as
+    * the header; names are treated as absent placeholders — and replaced
+    * by synthesized col_0..col_n — only when they are exactly the ints
+    * 0..n-1 (reference :91-96). */
   def csv(spark: SparkSession, path: String): DataFrame = {
     val first = spark.read.text(path).limit(1).collect()
       .headOption.map(_.getString(0)).getOrElse("")
-    val headerIsNumeric = first.split(",").forall(_.trim.matches("[0-9]*"))
+    val toks = first.split(",", -1).map(_.trim).toSeq
+    val placeholderHeader =
+      toks.flatMap(_.toIntOption).sorted == toks.indices.toList
     val base = spark.read
-      .option("header", (!headerIsNumeric).toString)
+      .option("header", "true")
       .option("quote", "\"").option("escape", "\"")
       .csv(path)
-    val named = if (headerIsNumeric)
+    val named = if (placeholderHeader)
       base.toDF(base.columns.indices.map(i => s"col_$i"): _*)
     else base
     val allEmpty = named.columns

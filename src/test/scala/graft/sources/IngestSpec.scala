@@ -10,8 +10,10 @@ class IngestSpec extends SparkSpec {
     // CSV with header, an all-empty row, quoted comma
     Files.writeString(Paths.get(s"$d/people.csv"),
       "name,age,city\nAlice,34,\"Sydney, AU\"\n,,\nBob,28,Perth\n")
-    // headerless (numeric first line)
-    Files.writeString(Paths.get(s"$d/noheader.csv"), "1,2\n3,4\n")
+    // placeholder header (exactly 0..n-1 -> no real column names)
+    Files.writeString(Paths.get(s"$d/noheader.csv"), "0,1\n1,2\n3,4\n")
+    // an all-digit first row that is NOT 0..n-1 is a real header
+    Files.writeString(Paths.get(s"$d/digitheader.csv"), "1,2\n3,4\n")
     // JSON records with nesting + ragged keys
     Files.writeString(Paths.get(s"$d/recs.json"),
       """{"id":1,"who":{"name":"A","mail":"a@x.com"}}
@@ -35,10 +37,16 @@ class IngestSpec extends SparkSpec {
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
   }
 
-  test("numeric header means no header") {
+  test("placeholder header 0..n-1 means no column names") {
     val df = Ingest.csv(spark, s"$tmp/noheader.csv")
     assert(df.columns.toSeq === Seq("col_0", "col_1"))
     assert(df.count() === 2)
+  }
+
+  test("all-digit header that is not 0..n-1 is a real header") {
+    val df = Ingest.csv(spark, s"$tmp/digitheader.csv")
+    assert(df.columns.toSeq === Seq("1", "2"))
+    assert(df.count() === 1)
   }
 
   test("json flattens nested fields to label@path names") {

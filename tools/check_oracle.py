@@ -51,7 +51,7 @@ def main(sf_dir, out_dir):
             gv, wv = g.astype(str).values, w.astype(str).values
             bad = (gv != wv)
             if bad.any():
-                i, j = [x[0] for x in bad.nonzero()]
+                i, j = next(zip(*bad.nonzero()))
                 print(f"  {name}: VALUE MISMATCH at row {i} col {g.columns[j]}: "
                       f"got={gv[i, j]} want={wv[i, j]}")
                 n_fail += 1; continue
