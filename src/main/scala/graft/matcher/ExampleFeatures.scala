@@ -106,4 +106,30 @@ object ExampleFeatures {
       .groupBy(col("col_name"), col("c"))
       .agg(count(lit(1)).cast("double").as("cnt"))
   }
+
+  /** A26: L2-normalized word-level term-frequency vector per column
+    * (reference AttributeContentTermFrequency,
+    * DataPreprocessor.scala:79-130: lowercase, split on newline/space/
+    * comma, strip [.,!?;:], count, divide by the L2 norm of the count
+    * vector). Two-level aggregation — (col, term) counts map-side
+    * combine, then an O(vocabulary) norm per column — so no reducer
+    * ever holds a column's values. Norm arithmetic is exact-integer in
+    * double (sums of squared counts), so tf values are bit-identical
+    * across engines; the final value floor-rounds half-up at 6
+    * decimals. Returns (col_name, term, tf). */
+  def wordTfVector(melted: DataFrame): DataFrame = {
+    val v = col("value")
+    val terms = melted.filter(v.isNotNull && length(v) > 0)
+      .select(col("col_name"),
+        explode(split(lower(v), "[\n ,]")).as("t0"))
+      .withColumn("term", regexp_replace(trim(col("t0")), "[.,!?;:]", ""))
+      .filter(length(col("term")) > 0)
+    val counts = terms.groupBy(col("col_name"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val norms = counts.groupBy(col("col_name"))
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
+    counts.join(norms, "col_name")
+      .select(col("col_name"), col("term"),
+        (floor((col("cnt") / col("nrm")) * 1e6 + 0.5) / 1e6).as("tf"))
+  }
 }

@@ -175,6 +175,41 @@ object MatcherQueries {
       },
       None),
 
+    // ---- m9: A26 word-level normalized term-frequency vectors on the
+    //      bounded documents sample (two-level agg; exact norms)
+    "m9_word_tf" -> QueryDef(
+      (s, dir) => {
+        val docTables = Seq("documents" -> Seq("text", "lang", "source"))
+        ExampleFeatures.wordTfVector(
+          FeatureMatrix.sampledMelt(s, dir, docTables))
+          .orderBy(col("col_name"), col("term"))
+      },
+      Some {
+        val docTables = Seq("documents" -> Seq("text", "lang", "source"))
+        s"""WITH ${sampledMeltSql(docTables)},
+        terms AS (
+          SELECT col_name,
+            regexp_replace(trim(t0), '[.,!?;:]', '', 'g') AS term
+          FROM (
+            SELECT col_name,
+              unnest(string_split_regex(lower(value),
+                '[' || chr(10) || ' ,]')) AS t0
+            FROM samp WHERE value IS NOT NULL AND length(value) > 0)
+          WHERE length(regexp_replace(trim(t0), '[.,!?;:]', '', 'g')) > 0
+        ),
+        cnts AS (
+          SELECT col_name, term, count(*) AS cnt FROM terms GROUP BY 1, 2
+        ),
+        nrms AS (
+          SELECT col_name, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
+          FROM cnts GROUP BY 1
+        )
+        SELECT cnts.col_name, term,
+          floor((cnt / nrm) * 1e6 + 0.5) / 1e6 AS tf
+        FROM cnts JOIN nrms ON cnts.col_name = nrms.col_name
+        ORDER BY cnts.col_name, term"""
+      }),
+
     // ---- m5: resampling class counts (R1-R3 determinism surface)
     "m5_resample_counts" -> QueryDef(
       (s, dir) => {

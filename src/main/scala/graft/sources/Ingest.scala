@@ -67,6 +67,64 @@ object Ingest {
     raw.select(flatten(raw.schema, Nil): _*)
   }
 
+  /** S4/S5: per-property extraction from JSON-LD/RDF-export records
+    * (reference DBPediaDataLoader.scala:18-80,
+    * FreebaseDataLoader.scala:1-111): each requested (attribute name,
+    * property URI) pulls the property's value wherever the field occurs
+    * in the document — the head element's `value` for arrays of
+    * `{value, lang}` objects, the English entry when `english` contains
+    * the attribute, or the raw scalar. URIs with dots/slashes are plain
+    * field names in these exports, matched by name at any nesting
+    * depth. */
+  def jsonProperties(spark: SparkSession, path: String,
+      props: Seq[(String, String)],
+      english: Set[String] = Set.empty): DataFrame = {
+    val raw = spark.read.json(path)
+
+    def findPath(schema: StructType, name: String,
+        prefix: Seq[String]): Option[Seq[String]] =
+      schema.fields.collectFirst {
+        case f if f.name == name => prefix :+ f.name
+      }.orElse(schema.fields.collectFirst {
+        case f if f.dataType.isInstanceOf[StructType] &&
+          findPath(f.dataType.asInstanceOf[StructType], name,
+            prefix :+ f.name).isDefined =>
+          findPath(f.dataType.asInstanceOf[StructType], name,
+            prefix :+ f.name).get
+      })
+
+    def fieldCol(path: Seq[String]): org.apache.spark.sql.Column =
+      path.tail.foldLeft(col(s"`${path.head}`"))((c, f) => c.getField(f))
+
+    def dtypeAt(path: Seq[String]): org.apache.spark.sql.types.DataType =
+      path.foldLeft(raw.schema: org.apache.spark.sql.types.DataType) {
+        case (st: StructType, f) => st.fields.find(_.name == f).get.dataType
+        case (dt, _) => dt
+      }
+
+    val cols = props.map { case (attr, uri) =>
+      findPath(raw.schema, uri, Nil) match {
+        case None => lit(null).cast(StringType).as(attr)
+        case Some(p) =>
+          val c = fieldCol(p)
+          val extracted = dtypeAt(p) match {
+            case org.apache.spark.sql.types.ArrayType(
+                _: StructType, _) if english.contains(attr) =>
+              // English entry of [{lang, value}] (extractEnglishValue)
+              element_at(filter(c, x => x.getField("lang") === "en"), 1)
+                .getField("value")
+            case org.apache.spark.sql.types.ArrayType(_: StructType, _) =>
+              // head element's value (extractHeadValue)
+              element_at(c, 1).getField("value")
+            case _: StructType => c.getField("value")
+            case _ => c
+          }
+          extracted.cast(StringType).as(attr)
+      }
+    }
+    raw.select(cols: _*)
+  }
+
   /** XML documents (one doc per file) -> (file, label@path, value) long
     * rows via the JDK DOM parser in mapPartitions (reference
     * XmlDataLoader flattens each doc to label@path attrs; the union of

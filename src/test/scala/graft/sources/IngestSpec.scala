@@ -49,6 +49,30 @@ class IngestSpec extends SparkSpec {
     assert(df.count() === 1)
   }
 
+  test("json-ld per-property extraction: head, english, scalar") {
+    val d = tmp
+    // DBPedia-export shape: property URIs as field names, arrays of
+    // {lang, value} objects
+    Files.writeString(Paths.get(s"$d/dbp.json"),
+      """{"http://dbpedia.org/ontology/abstract":[{"lang":"de","value":"Hallo"},{"lang":"en","value":"Hello"}],"http://xmlns.com/foaf/0.1/givenName":[{"lang":"en","value":"Ada"}],"http://dbpedia.org/ontology/wikiPageID":[{"value":"123"}],"plain":"x"}""" + "\n" +
+      """{"http://dbpedia.org/ontology/abstract":[{"lang":"en","value":"Second"}],"http://xmlns.com/foaf/0.1/givenName":[{"lang":"en","value":"Grace"}],"http://dbpedia.org/ontology/wikiPageID":[{"value":"456"}],"plain":"y"}""")
+    val df = Ingest.jsonProperties(spark, s"$d/dbp.json", Seq(
+      "abstract" -> "http://dbpedia.org/ontology/abstract",
+      "givenName" -> "http://xmlns.com/foaf/0.1/givenName",
+      "dbpedia_id" -> "http://dbpedia.org/ontology/wikiPageID",
+      "plain" -> "plain",
+      "missing" -> "http://no.such/property"),
+      english = Set("abstract"))
+    assert(df.columns.toSeq ===
+      Seq("abstract", "givenName", "dbpedia_id", "plain", "missing"))
+    val rows = df.orderBy("dbpedia_id").collect()
+    assert(rows.map(_.getAs[String]("abstract")).toSeq ===
+      Seq("Hello", "Second"), "english entry wins over head")
+    assert(rows.map(_.getAs[String]("givenName")).toSeq === Seq("Ada", "Grace"))
+    assert(rows.map(_.getAs[String]("plain")).toSeq === Seq("x", "y"))
+    assert(rows.forall(_.getAs[String]("missing") == null))
+  }
+
   test("json flattens nested fields to label@path names") {
     val df = Ingest.jsonFlat(spark, s"$tmp/recs.json")
     assert(df.columns.toSet === Set("extra", "id", "mail@who", "name@who"))
