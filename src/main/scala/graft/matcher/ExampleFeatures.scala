@@ -122,7 +122,10 @@ object ExampleFeatures {
     val terms = melted.filter(v.isNotNull && length(v) > 0)
       .select(col("col_name"),
         explode(split(lower(v), "[\n ,]")).as("t0"))
-      .withColumn("term", regexp_replace(trim(col("t0")), "[.,!?;:]", ""))
+      // translate, not regexp_replace: same strip-chars semantics but a
+      // char-map lookup per token instead of a regex engine pass —
+      // this runs once per token (~10^6 x per 5k docs)
+      .withColumn("term", translate(trim(col("t0")), ".,!?;:", ""))
       .filter(length(col("term")) > 0)
     val counts = terms.groupBy(col("col_name"), col("term"))
       .agg(count(lit(1)).as("cnt"))

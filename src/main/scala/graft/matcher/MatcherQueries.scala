@@ -114,7 +114,11 @@ object MatcherQueries {
         // semantics as the classifier features)
         val trainMelt = FeatureMatrix.sampledMelt(s, dir, Labels.trainTables)
         val holdMelt = FeatureMatrix.sampledMelt(s, dir, Labels.holdoutTables)
+        // persisted: norms, query-side and pool-side all branch off the
+        // histogram — without a cache each branch re-runs the sample
+        // windows; the frame itself is tiny (#cols x alphabet)
         val hist = ExampleFeatures.charHistogram(trainMelt.unionByName(holdMelt))
+          .persist()
         ExampleFeatures.meanCharCosinePerClass(
           hist, holdoutColsDf(s), trainLabelsDf(s), Labels.classes)
       },
@@ -189,13 +193,13 @@ object MatcherQueries {
         s"""WITH ${sampledMeltSql(docTables)},
         terms AS (
           SELECT col_name,
-            regexp_replace(trim(t0), '[.,!?;:]', '', 'g') AS term
+            translate(trim(t0), '.,!?;:', '') AS term
           FROM (
             SELECT col_name,
               unnest(string_split_regex(lower(value),
                 '[' || chr(10) || ' ,]')) AS t0
             FROM samp WHERE value IS NOT NULL AND length(value) > 0)
-          WHERE length(regexp_replace(trim(t0), '[.,!?;:]', '', 'g')) > 0
+          WHERE length(translate(trim(t0), '.,!?;:', '')) > 0
         ),
         cnts AS (
           SELECT col_name, term, count(*) AS cnt FROM terms GROUP BY 1, 2

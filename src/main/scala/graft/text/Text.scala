@@ -78,14 +78,18 @@ object Text {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Dot product of two double arrays (sequential fold — order is the
-    * array order, so the result is partition-independent). */
+  /** Dot product of two double arrays via the native codegen'd
+    * [[graft.functions.DotProduct]] expression. Bit-identical to the
+    * previous `aggregate(zip_with(...))` fold (same multiply-add order
+    * over positions) but stays inside whole-stage codegen instead of
+    * dropping to interpreted HOF evaluation per pair. */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(x, y)
 
   // Note: an unrolled fixed-dim dot (64 getItem terms) was measured
-  // SLOWER than the fold — the 256-node expression tree exceeds codegen
-  // limits and falls back to interpreted eval. The HOF fold stays.
+  // SLOWER than the HOF fold — the 256-node expression tree exceeds
+  // codegen limits and falls back to interpreted eval. The native
+  // Expression loop replaces both.
 
   /** L2 norm of a double array. */
   def norm(x: Column): Column = sqrt(dot(x, x))
