@@ -67,6 +67,27 @@ object Ingest {
     raw.select(flatten(raw.schema, Nil): _*)
   }
 
+  /** S6: file-per-column corpus (reference NorthixDataLoader.scala:
+    * 12-55): every file in the directory is named `attr@table@db` and
+    * holds one column's values, one per line; the filename is the
+    * attribute id. One distributed text read covers the whole corpus —
+    * files that don't match the naming scheme are skipped, like the
+    * reference's regex match. Returns long-format
+    * (db, table, col_name, value) with col_name = the full
+    * `attr@table@db` id. */
+  def filePerColumn(spark: SparkSession, dir: String): DataFrame = {
+    val re = "^(.+)@(.+)@(.+)$"
+    spark.read.text(dir)
+      .withColumn("fname",
+        url_decode(regexp_replace(input_file_name(), "^.*/", "")))
+      .filter(col("fname").rlike(re))
+      .select(
+        regexp_extract(col("fname"), re, 3).as("db"),
+        regexp_extract(col("fname"), re, 2).as("table"),
+        col("fname").as("col_name"),
+        col("value"))
+  }
+
   /** S4/S5: per-property extraction from JSON-LD/RDF-export records
     * (reference DBPediaDataLoader.scala:18-80,
     * FreebaseDataLoader.scala:1-111): each requested (attribute name,

@@ -49,6 +49,24 @@ class IngestSpec extends SparkSpec {
     assert(df.count() === 1)
   }
 
+  test("file-per-column corpus parses attr@table@db filenames") {
+    val d = Files.createTempDirectory("graft-northix").toString
+    Files.writeString(Paths.get(s"$d/name@person@db1"), "alice\nbob\n")
+    Files.writeString(Paths.get(s"$d/age@person@db1"), "30\n40\n")
+    Files.writeString(Paths.get(s"$d/title@book@db2"), "dune\n")
+    Files.writeString(Paths.get(s"$d/README"), "not a column file\n")
+    val df = Ingest.filePerColumn(spark, d)
+    val rows = df.collect()
+    assert(rows.length === 5, "README skipped")
+    val byCol = rows.groupBy(_.getAs[String]("col_name"))
+    assert(byCol.keySet === Set("name@person@db1", "age@person@db1",
+      "title@book@db2"))
+    assert(byCol("name@person@db1").map(_.getAs[String]("value")).toSet ===
+      Set("alice", "bob"))
+    val t = rows.find(_.getAs[String]("col_name") == "title@book@db2").get
+    assert(t.getAs[String]("db") === "db2" && t.getAs[String]("table") === "book")
+  }
+
   test("json-ld per-property extraction: head, english, scalar") {
     val d = tmp
     // DBPedia-export shape: property URIs as field names, arrays of
