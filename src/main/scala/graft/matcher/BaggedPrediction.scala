@@ -40,6 +40,8 @@ object BaggedPrediction {
       bagged.select(col("col_name")).distinct(), pool)
     val feat = ColumnProfiler.profile(bagged)
       .join(ColumnProfiler.typeShares(bagged), Seq("col_name"))
+      .join(ColumnProfiler.inferredTypeOneHots(bagged).drop("inferred_type"),
+        Seq("col_name"))
       .join(nf, col("col_name") === nf("query_col"))
       .select(col("col_name") +: FeatureMatrix.featureCols.map(c =>
         coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)

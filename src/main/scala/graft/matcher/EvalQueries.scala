@@ -22,7 +22,7 @@ object EvalQueries {
     "events.event_type" -> "category",
     "events.props" -> "category",
     "events.ts" -> "date",
-    "events.user_id" -> "quantity",
+    "events.user_id" -> "identifier",
     "events.value" -> "money",
     "nation.n_name" -> "name",
     "nation.n_nationkey" -> "identifier",

@@ -38,8 +38,15 @@ object FeatureMatrix {
     Labels.classes.map(c => s"prop_$c") ++
       Labels.classes.map(c => s"min_dist_$c")
 
+  /** A19 one-hot feature columns (reference DataTypeFeatureExtractor,
+    * FeatureExtractor.scala:665-731 feeds these 8 indicators to the
+    * classifier alongside the profile features). */
+  val typeOneHotCols: Seq[String] =
+    graft.profile.ColumnProfiler.TypeKeys.map(k => s"inferred_type_$k")
+
   /** Numeric feature column names, in assembler order. */
-  val featureCols: Seq[String] = profileCols ++ nameFeatureCols
+  val featureCols: Seq[String] =
+    profileCols ++ typeOneHotCols ++ nameFeatureCols
 
   /** (query_col, prop_*..., min_dist_*...) name features for a set of
     * column ids against the labelled pool (tiny frames — broadcast
@@ -104,6 +111,8 @@ object FeatureMatrix {
     val nf = nameFeatures(colsDf, pool)
     ColumnProfiler.profile(m)
       .join(ColumnProfiler.typeShares(m), Seq("col_name"))
+      .join(ColumnProfiler.inferredTypeOneHots(m).drop("inferred_type"),
+        Seq("col_name"))
       .join(nf, col("col_name") === nf("query_col"))
       .select(col("col_name") +: featureCols.map(c =>
         coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)
