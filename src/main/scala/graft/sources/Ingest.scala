@@ -88,6 +88,29 @@ object Ingest {
         col("value"))
   }
 
+  /** S6 companion: class labels from directory structure (reference
+    * NorthixDataLoader.loadLabels:56-59 — every subdirectory is a
+    * class, its files are the member attribute ids). Listing is
+    * driver-side (label sets are catalog-sized, not data-sized). */
+  def directoryLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val rows = {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .flatMap { cls =>
+          val f = java.nio.file.Files.list(cls)
+          try f.iterator().asScala
+            .map(p => (cls.getFileName.toString, p.getFileName.toString))
+            .toList
+          finally f.close()
+        }.toList
+      finally s.close()
+    }
+    rows.toDF("label", "attr_id")
+  }
+
   /** S4/S5: per-property extraction from JSON-LD/RDF-export records
     * (reference DBPediaDataLoader.scala:18-80,
     * FreebaseDataLoader.scala:1-111): each requested (attribute name,

@@ -67,6 +67,19 @@ class IngestSpec extends SparkSpec {
     assert(t.getAs[String]("db") === "db2" && t.getAs[String]("table") === "book")
   }
 
+  test("directory labels: subdirectory = class, files = members") {
+    val d = Files.createTempDirectory("graft-dirlabels")
+    Files.createDirectories(d.resolve("person"))
+    Files.createDirectories(d.resolve("place"))
+    Files.writeString(d.resolve("person/name@p@db"), "")
+    Files.writeString(d.resolve("person/age@p@db"), "")
+    Files.writeString(d.resolve("place/city@p@db"), "")
+    val rows = Ingest.directoryLabels(spark, d.toString).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("person", "name@p@db"), ("person", "age@p@db"),
+      ("place", "city@p@db")))
+  }
+
   test("json-ld per-property extraction: head, english, scalar") {
     val d = tmp
     // DBPedia-export shape: property URIs as field names, arrays of
