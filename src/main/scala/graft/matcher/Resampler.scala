@@ -40,6 +40,10 @@ object Resampler {
     case CapUnknownToHalf =>
       val known = df.filter(col("label") =!= "unknown")
       val cap = known.count()
+      // NOTE: the global (unpartitioned) window below is safe ONLY
+      // because this operates on the labelled-COLUMN frame, which is
+      // O(#columns); never reuse this shape on value-level data — it
+      // funnels the whole frame through one task.
       val unknown = df.filter(col("label") === "unknown")
         .withColumn("h", xxhash64(col("col_name"), lit(seed)))
         .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
