@@ -104,7 +104,47 @@ object SimilarityQueries {
             col("cos"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      // the hyperplane signature is a pure deterministic function of the
+      // vector (+-1 planes from planeWeight's arithmetic), so the whole
+      // LSH path — signatures, band keys, candidate join, exact rerank —
+      // reproduces in SQL; dot products fold in array order in both
+      // engines, so sign bits and cosines agree bitwise
+      Some(s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), sig AS (
+        SELECT vec_id, v,
+          list_sum(list_transform(range(0, $Planes), p ->
+            CASE WHEN list_sum(list_transform(range(0, $Dims), d ->
+              v[CAST(d+1 AS INT)] * (CASE WHEN ((p*73 + d*179) % 7) % 2 = 0
+                THEN 1.0 ELSE -1.0 END))) >= 0
+            THEN (1 << p) ELSE 0 END)) AS s
+        FROM e
+      ), banded AS (
+        SELECT vec_id, v, unnest(list_transform(range(0, 4), b ->
+          CAST(b AS VARCHAR) || ':' ||
+            CAST((s >> CAST(4*b AS INT)) & 15 AS VARCHAR))) AS bk
+        FROM sig
+      ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bk FROM banded
+        WHERE vec_id < $NumQueries
+      ), cands AS (
+        SELECT DISTINCT query_id, qv, b.vec_id, b.v
+        FROM q JOIN banded b USING (bk) WHERE query_id <> b.vec_id
+      ), scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+          round(list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+             sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cos
+        FROM cands
+      ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, cos, rank FROM ranked
+      WHERE rank <= $TopK ORDER BY query_id, rank""")),
 
     // ---- s3: IVF with per-label centroid cells, nprobe=2 + exact rerank
     "s3_ann_ivf" -> QueryDef(
@@ -144,6 +184,48 @@ object SimilarityQueries {
             col("cos"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None)
+      // per-label decimal-mean centroids, nprobe=2 by centroid cosine,
+      // exact rerank — all SQL; the final values depend only on the
+      // probed cell SETS (robust) and the bit-identical rerank cosines
+      Some(s"""WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), centp AS (
+        SELECT label, d AS pos,
+          CAST(sum(CAST(v[CAST(d AS INT)] AS DECIMAL(30,15))) / count(*)
+            AS DOUBLE) AS m
+        FROM e, range(1, ${Dims + 1}) t(d)
+        GROUP BY label, d
+      ), cent AS (
+        SELECT label AS cell, list(m ORDER BY pos) AS cv
+        FROM centp GROUP BY label
+      ), qs AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries
+      ), probes AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id ORDER BY
+              list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+              (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(cv, x -> x*x)))) DESC,
+              cell) AS crk
+          FROM qs CROSS JOIN cent)
+        WHERE crk <= 2
+      ), scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+          round(list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+             sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cos
+        FROM probes JOIN e ON probes.cell = e.label
+        WHERE query_id <> e.vec_id
+      ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, cos, rank FROM ranked
+      WHERE rank <= $TopK ORDER BY query_id, rank"""))
   )
 }
