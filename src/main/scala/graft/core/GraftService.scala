@@ -134,8 +134,13 @@ class GraftService(val rootDir: String,
   }
 
   private def octopus(id: Int): Octopus =
-    octopi.getOrElseUpdate(id,
-      new Octopus(ontology, knownModels, mdDir(id).toString))
+    octopi.getOrElseUpdate(id, {
+      val o = new Octopus(ontology, knownModels, mdDir(id).toString)
+      // rehydrate a model trained by a previous service instance/JVM:
+      // artifacts on disk + Complete in the store -> reload both legs
+      if (getModel(id).exists(_.state == "Complete")) o.reload()
+      o
+    })
 
   /** Train model `modelId` on dataset `datasetId`; persists the state
     * transition like the reference's async train endpoint records

@@ -52,6 +52,11 @@ class Octopus(
       m.write.overwrite().save(mp)
       Files.createDirectories(Paths.get(workDir))
       Files.writeString(Paths.get(s"$workDir/alignment.json"), a.toJson)
+      // known models as JSONL (one per line) so reload() can rebuild the
+      // alignment graph — the edge export above is for consumers, the
+      // model list is the graph's actual state
+      Files.writeString(Paths.get(s"$workDir/known_models.jsonl"),
+        knownModels.map(_.toJson.replace("\n", "")).mkString("\n"))
       Files.writeString(Paths.get(s"$workDir/features.json"),
         FeatureMatrix.featureCols.map(c => s""""$c"""")
           .mkString("""{"features":[""", ",", "]}"))
@@ -65,14 +70,27 @@ class Octopus(
     state
   }
 
-  /** Reload the persisted matcher leg (M9 deserialization path). */
-  def reload(): Option[PipelineModel] = {
+  /** Reload both persisted legs (M9 deserialization path): the matcher
+    * pipeline and the alignment graph rebuilt from the stored known
+    * models. When both restore, the state machine returns to Complete —
+    * a fresh JVM can predict without retraining. */
+  def reload(): Option[PipelineModel] = synchronized {
     val mp = s"$workDir/pipeline"
-    if (Files.exists(Paths.get(mp))) {
+    if (!Files.exists(Paths.get(mp))) None
+    else {
       val m = PipelineModel.load(mp)
       model = Some(m)
+      val kp = Paths.get(s"$workDir/known_models.jsonl")
+      if (Files.exists(kp)) {
+        val a = new AlignmentGraph(ontology)
+        Files.readString(kp).split("\n").filter(_.trim.nonEmpty)
+          .foreach(line => a.add(SemanticModel.fromJson(line)))
+        align = Some(a)
+        trainedAt = Files.getLastModifiedTime(kp).toMillis
+        state = Complete
+      }
       Some(m)
-    } else None
+    }
   }
 
   /** Predict: matcher semantic types for the held-out tables, then

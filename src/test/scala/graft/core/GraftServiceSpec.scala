@@ -52,6 +52,13 @@ class GraftServiceSpec extends SparkSpec {
     val sugg = svc.suggestions(spark, model.id, holdout.id)
     assert(sugg.nonEmpty && sugg.forall(_.model.isConnected))
 
+    // a fresh service instance (new JVM in production) rehydrates the
+    // trained model from disk and predicts without retraining
+    val svc2 = new GraftService(root,
+      knownModels = Seq(ModelerQueries.knownOrderModel))
+    val pred2 = svc2.predictModel(spark, model.id, holdout.id)
+    assert(pred2.columnPredictions.count() === Labels.holdout.size.toLong)
+
     assert(svc.deleteModel(model.id))
     assert(svc.getModel(model.id).isEmpty)
   }
