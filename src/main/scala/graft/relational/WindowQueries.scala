@@ -124,6 +124,58 @@ object WindowQueries {
       },
       None),
 
+    // ---- q22: as-of join (beyond the reference — the time-series
+    //      operator Spark lacks natively): each event matches its
+    //      user's latest order on or before the event date, ties by
+    //      highest order key. Implemented as the scalable union-merge
+    //      pattern: tag both sides, one window per key ordered by
+    //      (date, tag, key) with last(ignoreNulls) carrying the order
+    //      forward — NO join operator at all, so cost is one shuffle of
+    //      events+orders and a per-key ordered scan (each partition is
+    //      one customer's history; no per-pair blowup at any scale).
+    "q22_asof_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables.table(s, dir, "orders")
+          .select($"o_custkey".as("k"), $"o_orderdate".as("d"), lit(0).as("tag"),
+            $"o_orderkey", lit(null).cast("long").as("event_id"))
+        val events = Tables.table(s, dir, "events")
+          .select($"user_id".as("k"), to_date($"ts").as("d"), lit(1).as("tag"),
+            lit(null).cast("long").as("o_orderkey"), $"event_id")
+        val w = Window.partitionBy($"k")
+          .orderBy($"d", $"tag", coalesce($"o_orderkey", lit(Long.MaxValue)))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders.unionByName(events)
+          .withColumn("carried",
+            last(when($"tag" === 0, struct($"d".as("od"), $"o_orderkey")),
+              ignoreNulls = true).over(w))
+          .filter($"tag" === 1)
+          .select($"event_id", $"k".as("user_id"),
+            $"carried.o_orderkey".as("last_orderkey"),
+            $"carried.od".as("last_orderdate"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH tagged AS (
+          SELECT o_custkey AS k, o_orderdate AS d, 0 AS tag,
+            o_orderkey, CAST(NULL AS BIGINT) AS event_id
+          FROM orders
+          UNION ALL
+          SELECT user_id, CAST(ts AS DATE), 1,
+            CAST(NULL AS BIGINT), event_id
+          FROM events
+        ), carried AS (
+          SELECT k, tag, event_id,
+            last_value(CASE WHEN tag = 0
+                THEN struct_pack(od := d, ok := o_orderkey) END IGNORE NULLS)
+              OVER (PARTITION BY k
+                ORDER BY d, tag, coalesce(o_orderkey, 9223372036854775807)
+                ROWS UNBOUNDED PRECEDING) AS c
+          FROM tagged
+        )
+        SELECT event_id, k AS user_id,
+          c.ok AS last_orderkey, c.od AS last_orderdate
+        FROM carried WHERE tag = 1 ORDER BY event_id""")),
+
     // ---- q20: skew-aware salted aggregation — two-level aggregate over
     //      a salted key defeats single-hot-key skew; the final result is
     //      identical to the direct aggregate, which is what the oracle

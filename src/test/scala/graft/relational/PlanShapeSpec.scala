@@ -44,6 +44,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "LSH must bucket-join")
   }
 
+  test("as-of join is a union-merge window — no join operator at all") {
+    val p = plan("q22_asof_join")
+    assert(!p.contains("Join"), "as-of must not materialize a pair join")
+    assert(p.contains("Window"), p.take(400))
+  }
+
   test("ngram jaccard blocks on (source, length bucket) — no nested loop") {
     val p = plan("d4_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
