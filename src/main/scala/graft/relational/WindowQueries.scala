@@ -176,6 +176,91 @@ object WindowQueries {
           c.ok AS last_orderkey, c.od AS last_orderdate
         FROM carried WHERE tag = 1 ORDER BY event_id""")),
 
+    // ---- q23: range (interval) join, beyond the reference: each event
+    //      paired with the same user's events in the preceding hour.
+    //      The range predicate rides the JOIN KEY — both sides hash by
+    //      (user, 1-hour epoch bucket) and the probe side explodes into
+    //      its own and the previous bucket (bucket width = range width,
+    //      so the interval spans at most two buckets) — a key-equality
+    //      join, never a nested-loop range scan, at any scale.
+    "q23_range_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val hb = (t: org.apache.spark.sql.Column) =>
+          floor(unix_timestamp(t) / 3600L)
+        val base = Tables.table(s, dir, "events")
+          .select($"user_id".as("k"), $"event_id", $"event_type", $"ts")
+        val right = base
+          .select($"k", $"event_id".as("b_id"), $"ts".as("b_ts"),
+            hb($"ts").as("ob"))
+        val probes = base
+          .withColumn("pb", explode(array(hb($"ts") - 1, hb($"ts"))))
+        probes.join(right,
+            probes("k") === right("k") && $"pb" === $"ob" &&
+              $"b_ts" >= $"ts" - expr("INTERVAL 1 HOUR") && $"b_ts" < $"ts")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"event_id").as("n_events"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT a.event_type,
+          count(*) AS n_pairs,
+          count(DISTINCT a.event_id) AS n_events
+        FROM events a JOIN events b ON a.user_id = b.user_id
+          AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+        GROUP BY a.event_type ORDER BY a.event_type""")),
+
+    // ---- q24: sessionization (beyond the reference): split each
+    //      user's event stream into sessions at >30-minute gaps — lag +
+    //      cumulative sum over a per-user window (partition = one
+    //      user's history), then per-session stats. The standard
+    //      training-data sessionizer, fully distributed by user.
+    "q24_sessionize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val cum = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.table(s, dir, "events")
+          .withColumn("prev_ts", lag($"ts", 1).over(wu))
+          .withColumn("new_sess",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
+              .otherwise(0L))
+          .withColumn("session_no", sum($"new_sess").over(cum))
+          .groupBy($"user_id", $"session_no")
+          .agg(
+            min($"ts").as("session_start"),
+            count(lit(1)).as("n_events"),
+            (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts")))
+              .as("duration_sec"))
+          .orderBy($"user_id", $"session_no")
+      },
+      // floor(epoch(..)) matches Spark's unix_timestamp second
+      // truncation — ts carries microseconds, and a fractional-second
+      // gap comparison would split sessions differently at boundaries
+      Some("""WITH g AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM g
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+          min(ts) AS session_start,
+          count(*) AS n_events,
+          CAST(floor(epoch(max(ts))) AS BIGINT)
+            - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        FROM sess GROUP BY user_id, session_no
+        ORDER BY user_id, session_no""")),
+
     // ---- q20: skew-aware salted aggregation — two-level aggregate over
     //      a salted key defeats single-hot-key skew; the final result is
     //      identical to the direct aggregate, which is what the oracle

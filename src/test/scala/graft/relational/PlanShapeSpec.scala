@@ -50,6 +50,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(400))
   }
 
+  test("range join buckets the interval onto the join key — no nested loop") {
+    val p = plan("q23_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval predicate must ride a key-equality join")
+  }
+
   test("ngram jaccard blocks on (source, length bucket) — no nested loop") {
     val p = plan("d4_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
