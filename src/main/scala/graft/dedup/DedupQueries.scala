@@ -55,7 +55,8 @@ object DedupQueries {
         j -> array_to_string(list_slice($wordsSqlDuck, j+1, j+$n), ' ')))
       ELSE [] END"""
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: the map is assembled from otherDefs declared further down
+  lazy val defs: Map[String, QueryDef] = Map(
 
     // ---- d1: exact dedup via normalized-text hash; canonical = min doc id
     "d1_exact_dedup" -> QueryDef(
@@ -85,77 +86,155 @@ object DedupQueries {
 
     // ---- d2: MinHash + LSH near-dup pairs, exact-Jaccard verified
     "d2_minhash_lsh" -> QueryDef(
+      (s, dir) =>
+        minhashPairs(s, dir).orderBy(col("doc1"), col("doc2")),
+      Some(s"""WITH $d2CoreSql
+      SELECT doc1, doc2, jaccard FROM verified ORDER BY doc1, doc2""")),
+
+    // ---- d6: dedup cluster assignment — connected components over the
+    //      verified d2 pair graph (min-label propagation; see
+    //      [[connectedComponents]]), canonical = min doc id per
+    //      component. This is what a training pipeline actually
+    //      consumes: pairs -> clusters -> keep one canonical doc.
+    "d6_dup_clusters" -> QueryDef(
       (s, dir) => {
-        // signatures via explode + 64 min-aggregates instead of nested
-        // higher-order functions: HOFs fall out of whole-stage codegen,
-        // while an exploded shingle row with 64 codegen'd min() columns
-        // is a single map-side-combined shuffle of O(#shingles) rows.
-        // Same arithmetic as Text.minhash (and the DuckDB oracle).
-        // Two persisted frames, both O(#docs) rows: `docs` keeps the
-        // shingle arrays and is only joined in the final exact verify;
-        // `mins` is the slim (doc_id, mh) signature frame that feeds the
-        // band explode and the estimate joins — shingle arrays never
-        // shuffle through candidate generation.
-        val docs = Tables.table(s, dir, "documents")
-          .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
-          .filter(size(col("sh")) > 0)
-          .select(col("doc_id"), col("sh"))
-          .persist()
-        val p = Text.MinhashP
-        val hashed = docs
-          .select(col("doc_id"), explode(col("sh")).as("s"))
-          .withColumn("h",
-            conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % p)
-        val minExprs = (1 to MinhashK).map { i =>
-          val a = (i.toLong * 40503L + 12345L) % (p - 1) + 1L
-          val b = (i.toLong * 69069L + 7L) % p
-          min((col("h") * a + b) % p).as(s"m$i")
-        }
-        val mins = hashed.groupBy(col("doc_id"))
-          .agg(minExprs.head, minExprs.tail: _*)
-          .select(col("doc_id"),
-            array((1 to MinhashK).map(i => col(s"m$i")): _*).as("mh"))
-          .persist()
-        val banded = mins
-          .select(col("doc_id"),
-            explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
-        // hot-bucket guard without buffering the hot bucket: a map-side-
-        // combined groupBy counts each band bucket (never materializing
-        // its rows in one task), and the tiny over-cap key set is
-        // broadcast anti-joined away.
-        val hot = banded.groupBy(col("bk"))
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") > MaxBucket)
-          .select(col("bk"))
-        val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
-        val pairs = capped.as("x")
-          .join(capped.as("y"),
-            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-          .distinct()
-        // cheap signature-estimate pre-filter before the exact verify:
-        // matching-minhash share estimates Jaccard (sd ~= 0.06 at k=64),
-        // so est >= threshold - EstMargin keeps all true positives while
-        // dropping the random-collision bulk of candidates
-        val est = pairs
-          .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
-          .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
-          .withColumn("est",
-            aggregate(zip_with(col("mh1"), col("mh2"),
-              (a, b) => when(a === b, 1).otherwise(0)),
-              lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
-          .filter(col("est") >= JaccardThreshold - EstMargin)
-          .select(col("doc1"), col("doc2"))
-        val withSets = est
-          .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-          .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
-        withSets
-          .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
-          .filter(col("jac") >= JaccardThreshold)
-          .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
-          .orderBy(col("doc1"), col("doc2"))
+        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+        val comp = connectedComponents(docs, minhashPairs(s, dir))
+        val sizes = comp.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
+              .as("is_canonical"))
+          .orderBy(col("doc_id"))
       },
-      Some(s"""WITH docs AS (
+      Some(s"""WITH RECURSIVE $d2CoreSql,
+      nodes AS (SELECT doc_id FROM documents),
+      sym AS (
+        SELECT doc1 AS a, doc2 AS b FROM verified
+        UNION ALL SELECT doc2, doc1 FROM verified
+      ),
+      walk(doc, comp) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
+      ),
+      cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+      SELECT doc AS doc_id, cc.cluster_id, cluster_size,
+        CASE WHEN doc = cc.cluster_id THEN 1 ELSE 0 END AS is_canonical
+      FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+      ORDER BY doc_id"""))
+  ) ++ otherDefs
+
+  /** Verified MinHash near-dup pairs (doc1 < doc2, exact Jaccard >=
+    * [[JaccardThreshold]]) — the shared core of d2 and d6.
+    *
+    * Signatures via explode + 64 min-aggregates instead of nested
+    * higher-order functions: HOFs fall out of whole-stage codegen,
+    * while an exploded shingle row with 64 codegen'd min() columns
+    * is a single map-side-combined shuffle of O(#shingles) rows.
+    * Same arithmetic as Text.minhash (and the DuckDB oracle).
+    * Two persisted frames, both O(#docs) rows: `docs` keeps the
+    * shingle arrays and is only joined in the final exact verify;
+    * `mins` is the slim (doc_id, mh) signature frame that feeds the
+    * band explode and the estimate joins — shingle arrays never
+    * shuffle through candidate generation. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .persist()
+    val p = Text.MinhashP
+    val hashed = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h",
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % p)
+    val minExprs = (1 to MinhashK).map { i =>
+      val a = (i.toLong * 40503L + 12345L) % (p - 1) + 1L
+      val b = (i.toLong * 69069L + 7L) % p
+      min((col("h") * a + b) % p).as(s"m$i")
+    }
+    val mins = hashed.groupBy(col("doc_id"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"),
+        array((1 to MinhashK).map(i => col(s"m$i")): _*).as("mh"))
+      .persist()
+    val banded = mins
+      .select(col("doc_id"),
+        explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
+    // hot-bucket guard without buffering the hot bucket: a map-side-
+    // combined groupBy counts each band bucket (never materializing
+    // its rows in one task), and the tiny over-cap key set is
+    // broadcast anti-joined away.
+    val hot = banded.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxBucket)
+      .select(col("bk"))
+    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+    val pairs = capped.as("x")
+      .join(capped.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    // cheap signature-estimate pre-filter before the exact verify:
+    // matching-minhash share estimates Jaccard (sd ~= 0.06 at k=64),
+    // so est >= threshold - EstMargin keeps all true positives while
+    // dropping the random-collision bulk of candidates
+    val est = pairs
+      .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
+      .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
+      .withColumn("est",
+        aggregate(zip_with(col("mh1"), col("mh2"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
+      .filter(col("est") >= JaccardThreshold - EstMargin)
+      .select(col("doc1"), col("doc2"))
+    val withSets = est
+      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+    withSets
+      .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Connected components by iterative min-label propagation: every doc
+    * starts as its own label; each round takes the min of its own and
+    * its neighbours' labels until a fixpoint. Rounds are O(component
+    * diameter) — near-dup clusters are shallow, and each round is one
+    * map-side-combined groupBy; lineage is cut per round with
+    * localCheckpoint so the plan stays flat. Returns
+    * (doc_id, cluster_id = component-min doc id). */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("b"), col("comp")), "b")
+        .select(col("a").as("doc_id"), col("comp"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** DuckDB CTE chain producing `verified(doc1, doc2, jaccard)` — the
+    * oracle twin of [[minhashPairs]], shared by d2 and d6. */
+  private def d2CoreSql: String = s"""docs AS (
         SELECT doc_id, ${shinglesSqlDuck(2)} AS sh FROM documents
       ), base AS (
         SELECT doc_id, sh FROM docs WHERE len(sh) > 0
@@ -187,15 +266,17 @@ object DedupQueries {
         WHERE CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
                 i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE)
               / $MinhashK >= $JaccardThreshold - $EstMargin
-      )
-      SELECT doc1, doc2,
-        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-      FROM est JOIN base a ON est.doc1 = a.doc_id
-               JOIN base b ON est.doc2 = b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold
-      ORDER BY doc1, doc2""")),
+      ), verified AS (
+        SELECT doc1, doc2,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        FROM est JOIN base a ON est.doc1 = a.doc_id
+                 JOIN base b ON est.doc2 = b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold
+      )"""
+
+  private val otherDefs: Map[String, QueryDef] = Map(
 
     // ---- d3: 32-bit SimHash signatures + hamming-LSH chunk keys
     "d3_simhash" -> QueryDef(

@@ -31,6 +31,26 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("d6 clusters are consistent with the d2 pair graph") {
+    val out = DedupQueries.defs("d6_dup_clusters").fn(spark, sf).collect()
+    val cluster = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out.length === 500, "every doc gets a cluster")
+    // every verified near-dup pair lands in the same cluster
+    val pairs = DedupQueries.minhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => cluster(a) == cluster(b) })
+    // cluster id is the component minimum; canonical flag matches
+    assert(out.forall { r =>
+      val canonical = r.getAs[Long]("is_canonical") == 1L
+      canonical == (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id"))
+    })
+    assert(out.forall(r => r.getAs[Long]("cluster_id") <= r.getAs[Long]("doc_id")))
+    // at least one multi-doc cluster exists (planted dups)
+    assert(out.exists(_.getAs[Long]("cluster_size") > 1L))
+  }
+
   test("d5 LSH path: key-equality candidates, exact cosines, sane recall") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
