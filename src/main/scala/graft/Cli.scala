@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.GraftService
+import graft.core.{GraftService, Json}
 
 /** Command-line transport over [[graft.core.GraftService]] — the user
   * surface replacing the reference's REST endpoints one command per
@@ -39,8 +39,13 @@ object Cli {
 
   private def parseTables(s: String): Seq[(String, Seq[String])] =
     s.split("\\|").toSeq.filter(_.nonEmpty).map { part =>
-      val Array(t, cs) = part.split(":", 2)
-      t -> cs.split(",").toSeq.filter(_.nonEmpty)
+      part.split(":", 2) match {
+        case Array(t, cs) => t -> cs.split(",").toSeq.filter(_.nonEmpty)
+        case _ =>
+          System.err.println(
+            s"malformed table spec '$part' (expected table:col,col|table:col)")
+          sys.exit(2)
+      }
     }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -49,15 +54,15 @@ object Cli {
       rest match {
         case "dataset" :: "add" :: name :: dir :: tables :: Nil =>
           val ref = svc.createDataset(name, dir, parseTables(tables))
-          println(s"""{"id":${ref.id},"name":"${ref.name}"}""")
+          println(s"""{"id":${ref.id},"name":${Json.str(ref.name)}}""")
         case "dataset" :: "list" :: Nil =>
           svc.datasetKeys.flatMap(svc.getDataset).foreach(d =>
-            println(s"""{"id":${d.id},"name":"${d.name}","dir":"${d.dir}"}"""))
+            println(s"""{"id":${d.id},"name":${Json.str(d.name)},"dir":${Json.str(d.dir)}}"""))
         case "dataset" :: "get" :: id :: Nil =>
           svc.getDataset(id.toInt) match {
             case Some(d) => println(
-              s"""{"id":${d.id},"name":"${d.name}","dir":"${d.dir}","tables":"${d.tables.map { case (t, cs) => s"$t:${cs.mkString(",")}" }.mkString("|")}"}""")
-            case None => println(s"""{"error":"dataset $id not found"}""")
+              s"""{"id":${d.id},"name":${Json.str(d.name)},"dir":${Json.str(d.dir)},"tables":${Json.str(d.tables.map { case (t, cs) => s"$t:${cs.mkString(",")}" }.mkString("|"))}}""")
+            case None => println(s"""{"error":${Json.str(s"dataset $id not found")}}""")
           }
         case "dataset" :: "delete" :: id :: Nil =>
           println(s"""{"deleted":${svc.deleteDataset(id.toInt)}}""")
@@ -84,10 +89,10 @@ object Cli {
             pred.columnPredictions
               .select("col_name", "predicted_label", "confidence")
               .orderBy("col_name").collect().foreach(r => println(
-                s"""{"col":"${r.getString(0)}","label":"${r.getString(1)}","confidence":${r.getDouble(2)}}"""))
+                s"""{"col":${Json.str(r.getString(0))},"label":${Json.str(r.getString(1))},"confidence":${r.getDouble(2)}}"""))
             pred.suggestions.zipWithIndex.foreach { case (sug, i) =>
               val triples = sug.model.triples.toSeq.sorted.map { case (a, p, b) =>
-                s"""["$a","$p","$b"]""" }.mkString(",")
+                s"""[${Json.str(a)},${Json.str(p)},${Json.str(b)}]""" }.mkString(",")
               println(s"""{"suggestion":${i + 1},"linkCost":${sug.scores.linkCost},"triples":[$triples]}""")
             }
           } finally s.stop()

@@ -41,23 +41,19 @@ class GraftService(val rootDir: String,
   private val octopi = collection.concurrent.TrieMap.empty[Int, Octopus]
 
   // ---- tiny JSON helpers (flat string-field objects only) -------------
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c => c.toString
-    } + "\""
   private def writeMeta(p: Path, fields: (String, String)*): Unit = {
     Files.createDirectories(p)
     Files.writeString(p.resolve("meta.json"),
-      fields.map { case (k, v) => s"  ${jstr(k)}: ${jstr(v)}" }
+      fields.map { case (k, v) => s"  ${Json.str(k)}: ${Json.str(v)}" }
         .mkString("{\n", ",\n", "\n}\n"))
   }
   private def readMeta(p: Path): Map[String, String] = {
-    val re = """"([^"]+)":\s*"((?:[^"\\]|\\.)*)"""".r
+    // keys are writer-controlled identifiers; values are full JSON string
+    // bodies (escaped quotes/backslashes included), unescaped in a single
+    // pass — see Json.unescape for why sequential replace is wrong
+    val re = """"(\w+)":\s*"((?:[^"\\]|\\.)*)"""".r
     re.findAllMatchIn(Files.readString(p.resolve("meta.json")))
-      .map(m => m.group(1) ->
-        m.group(2).replace("\\n", "\n").replace("\\\"", "\"")
-          .replace("\\\\", "\\"))
+      .map(m => m.group(1) -> Json.unescape(m.group(2)))
       .toMap
   }
   private def keysUnder(kind: String): Seq[Int] = {
@@ -72,8 +68,23 @@ class GraftService(val rootDir: String,
       } finally s.close()
     }
   }
-  private def nextId(kind: String): Int =
-    (keysUnder(kind) :+ 0).max + 1
+  /** Ids are allocated from a persisted monotonic counter (next_id file)
+    * rather than max(existing)+1, so deleting the newest entity never
+    * recycles its id — stale external references can't silently bind to
+    * a later, unrelated entity. Floor at max(existing)+1 covers stores
+    * written before the counter existed. */
+  private def nextId(kind: String): Int = synchronized {
+    val dir = Paths.get(rootDir, kind)
+    Files.createDirectories(dir)
+    val counterFile = dir.resolve("next_id")
+    val stored =
+      if (Files.exists(counterFile))
+        Files.readString(counterFile).trim.toIntOption.getOrElse(1)
+      else 1
+    val id = math.max(stored, (keysUnder(kind) :+ 0).max + 1)
+    Files.writeString(counterFile, (id + 1).toString)
+    id
+  }
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
