@@ -127,109 +127,164 @@ object DedupQueries {
       ORDER BY doc_id"""))
   ) ++ otherDefs
 
-  /** Verified MinHash near-dup pairs (doc1 < doc2, exact Jaccard >=
-    * [[JaccardThreshold]]) — the shared core of d2 and d6.
-    *
+  /** Shingled documents `(doc_id, sh)` — materialized: the shingle
+    * arrays are scanned by signature generation and again by the exact
+    * verify, and at 100 TB this is the checkpoint a pipeline would
+    * write anyway rather than re-shingling the corpus per consumer. */
+  def shingled(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"d2-shingles|$dir") {
+      Tables.table(s, dir, "documents")
+        .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"))
+    }
+
+  /** Slim `(doc_id, mh)` minhash signature frame — materialized.
     * Signatures via explode + 64 min-aggregates instead of nested
     * higher-order functions: HOFs fall out of whole-stage codegen,
     * while an exploded shingle row with 64 codegen'd min() columns
     * is a single map-side-combined shuffle of O(#shingles) rows.
-    * Same arithmetic as Text.minhash (and the DuckDB oracle).
-    * Two persisted frames, both O(#docs) rows: `docs` keeps the
-    * shingle arrays and is only joined in the final exact verify;
-    * `mins` is the slim (doc_id, mh) signature frame that feeds the
-    * band explode and the estimate joins — shingle arrays never
-    * shuffle through candidate generation. */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(s, dir, "documents")
-      .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"))
-      .persist()
-    val p = Text.MinhashP
-    val hashed = docs
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h",
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % p)
-    val minExprs = (1 to MinhashK).map { i =>
-      val a = (i.toLong * 40503L + 12345L) % (p - 1) + 1L
-      val b = (i.toLong * 69069L + 7L) % p
-      min((col("h") * a + b) % p).as(s"m$i")
+    * Same arithmetic as Text.minhash (and the DuckDB oracle). */
+  def signatures(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"d2-sigs|$dir") {
+      val p = Text.MinhashP
+      val hashed = shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h",
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % p)
+      val minExprs = (1 to MinhashK).map { i =>
+        val a = (i.toLong * 40503L + 12345L) % (p - 1) + 1L
+        val b = (i.toLong * 69069L + 7L) % p
+        min((col("h") * a + b) % p).as(s"m$i")
+      }
+      hashed.groupBy(col("doc_id"))
+        .agg(minExprs.head, minExprs.tail: _*)
+        .select(col("doc_id"),
+          array((1 to MinhashK).map(i => col(s"m$i")): _*).as("mh"))
     }
-    val mins = hashed.groupBy(col("doc_id"))
-      .agg(minExprs.head, minExprs.tail: _*)
-      .select(col("doc_id"),
-        array((1 to MinhashK).map(i => col(s"m$i")): _*).as("mh"))
-      .persist()
-    val banded = mins
-      .select(col("doc_id"),
-        explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
-    // hot-bucket guard without buffering the hot bucket: a map-side-
-    // combined groupBy counts each band bucket (never materializing
-    // its rows in one task), and the tiny over-cap key set is
-    // broadcast anti-joined away.
-    val hot = banded.groupBy(col("bk"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > MaxBucket)
-      .select(col("bk"))
-    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
-    val pairs = capped.as("x")
-      .join(capped.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-      .distinct()
-    // cheap signature-estimate pre-filter before the exact verify:
-    // matching-minhash share estimates Jaccard (sd ~= 0.06 at k=64),
-    // so est >= threshold - EstMargin keeps all true positives while
-    // dropping the random-collision bulk of candidates
-    val est = pairs
-      .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
-      .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
-      .withColumn("est",
-        aggregate(zip_with(col("mh1"), col("mh2"),
-          (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
-      .filter(col("est") >= JaccardThreshold - EstMargin)
-      .select(col("doc1"), col("doc2"))
-    val withSets = est
-      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
-    withSets
-      .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
-      .filter(col("jac") >= JaccardThreshold)
-      .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
-  }
 
-  /** Connected components by iterative min-label propagation: every doc
-    * starts as its own label; each round takes the min of its own and
-    * its neighbours' labels until a fixpoint. Rounds are O(component
-    * diameter) — near-dup clusters are shallow, and each round is one
-    * map-side-combined groupBy; lineage is cut per round with
-    * localCheckpoint so the plan stays flat. Returns
-    * (doc_id, cluster_id = component-min doc id). */
+  /** Verified MinHash near-dup pairs (doc1 < doc2, exact Jaccard >=
+    * [[JaccardThreshold]]) — the shared core of d2 and d6, materialized
+    * so the cluster-assignment query consumes d2's pair table instead
+    * of re-deriving the whole minhash chain. The band explode and the
+    * estimate joins touch only the slim signature frame; shingle
+    * arrays join in solely for the final exact verify. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"d2-pairs|$dir") {
+      val mins = signatures(s, dir)
+      val banded = mins
+        .select(col("doc_id"),
+          explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
+      // hot-bucket guard without buffering the hot bucket: a map-side-
+      // combined groupBy counts each band bucket (never materializing
+      // its rows in one task), and the tiny over-cap key set is
+      // broadcast anti-joined away.
+      val hot = banded.groupBy(col("bk"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > MaxBucket)
+        .select(col("bk"))
+      val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+      val pairs = capped.as("x")
+        .join(capped.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+        .distinct()
+      // cheap signature-estimate pre-filter before the exact verify:
+      // matching-minhash share estimates Jaccard (sd ~= 0.06 at k=64),
+      // so est >= threshold - EstMargin keeps all true positives while
+      // dropping the random-collision bulk of candidates
+      val est = pairs
+        .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
+        .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
+        .withColumn("est",
+          aggregate(zip_with(col("mh1"), col("mh2"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
+        .filter(col("est") >= JaccardThreshold - EstMargin)
+        .select(col("doc1"), col("doc2"))
+      val docs = shingled(s, dir)
+      val withSets = est
+        .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+        .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      withSets
+        .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
+    }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — the standard O(log² n)-round algorithm, vs the
+    * O(diameter) rounds of naive min-label propagation, so a chain-shaped
+    * component of any length converges in a handful of rounds):
+    *
+    *  - large-star: every node connects each strictly-larger neighbour
+    *    to the minimum of its closed neighbourhood;
+    *  - small-star: every node connects its smaller neighbours (and
+    *    itself) to the minimum of those.
+    *
+    * Each half-round is one map-side-combined groupBy + join; lineage is
+    * cut per round with localCheckpoint. At the fixpoint the edge set is
+    * a star per component centred on the component-min id. Throws if the
+    * fixpoint is not reached within `maxRounds` (cannot happen below
+    * 2^maxRounds nodes) rather than silently returning split clusters.
+    * Returns (doc_id, cluster_id = component-min doc id). */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
-      .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
+      maxRounds: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(least(col("doc1"), col("doc2")).as("a"),
+        greatest(col("doc1"), col("doc2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
       .localCheckpoint(true)
+    // order-independent edge-set fingerprint; bit_xor (not sum) so the
+    // aggregation can't overflow under ANSI mode
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var chk = checksum(edges)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val nbr = edges
-        .join(labels.select(col("doc_id").as("b"), col("comp")), "b")
-        .select(col("a").as("doc_id"), col("comp"))
-      val next = labels.unionByName(nbr)
-        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+    var converged = chk._1 == 0L
+    while (!converged && round < maxRounds) {
+      // large-star: u's larger neighbours -> min of u's closed nbhd
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val lMins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(lMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star on (lo=a, hi=b) edges: hi's smaller neighbours and
+      // hi itself -> min of those neighbours
+      val sMins = large.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val small = large.join(sMins, "b")
+        .select(col("m"), col("a").as("p"))
+        .unionByName(sMins.select(col("m"), col("b").as("p")))
+        .filter(col("m") =!= col("p"))
+        .select(col("m").as("a"), col("p").as("b"))
+        .distinct()
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      val nextChk = checksum(small)
+      converged = nextChk == chk
+      chk = nextChk
+      edges = small
       round += 1
     }
-    edges.unpersist()
-    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+    if (!converged && chk._1 > 0L)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds")
+    // fixpoint edges form stars centred on the component min
+    val sym = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
+    val comp = sym.groupBy(col("node")).agg(min(col("nbr")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("cluster_id"))
+    docs.join(comp, docs("doc_id") === comp("node"), "left")
+      .select(docs("doc_id"),
+        coalesce(col("cluster_id"), docs("doc_id")).as("cluster_id"))
   }
 
   /** DuckDB CTE chain producing `verified(doc1, doc2, jaccard)` — the
@@ -365,6 +420,14 @@ object DedupQueries {
     //      Exact O(n^2) brute force only below [[NearDupBruteMax]];
     //      above it, candidates come from hyperplane-LSH band-key
     //      collisions (key-equality join) and are exact-reranked.
+    //      ORACLE BOUND: the DuckDB twin below is always the exact
+    //      brute-force scan, so it is a valid oracle only while the
+    //      embeddings corpus has <= NearDupBruteMax (1000) vectors —
+    //      true at the driver's correctness scale (sf0.01: 200 vectors;
+    //      sf0.001: 20). At larger corpora the Spark side is
+    //      approximate BY DESIGN (recall-tested in DedupSpec instead);
+    //      a hash-compare there would spuriously flag the intended
+    //      approximation, not a bug.
     "d5_embedding_neardup" -> QueryDef(
       (s, dir) => {
         val e = Tables.table(s, dir, "embeddings")
@@ -377,7 +440,11 @@ object DedupQueries {
           .orderBy(col("cos").desc, col("vec1"), col("vec2"))
           .limit(20)
       },
-      Some("""WITH e AS (
+      Some("""-- exact-oracle bound: valid only while count(embeddings) <= 1000
+      -- (NearDupBruteMax); above that the engine intentionally switches
+      -- to approximate LSH candidates and this brute-force twin no
+      -- longer describes the contract (recall spec covers it instead)
+      WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
       ), p AS (

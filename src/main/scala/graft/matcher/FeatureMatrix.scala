@@ -87,8 +87,25 @@ object FeatureMatrix {
     * scale), then an md5-ordered row_number takes SampleN values per
     * column. md5 (not xxhash64) so the oracle can reproduce the exact
     * sample in DuckDB (`ORDER BY md5(value), value`) — both engines hash
-    * the UTF-8 bytes to the same lowercase hex. */
+    * the UTF-8 bytes to the same lowercase hex.
+    *
+    * Materialized (compute-once parquet, [[graft.core.Materialize]]):
+    * every matcher query branches off this sample, so it is the natural
+    * pipeline checkpoint — m3/m4/m6/m7/m8/m9 share one physical copy
+    * instead of re-running the bounded scan + sample window each. */
   def sampledMelt(spark: SparkSession, dir: String,
+      tables: Seq[(String, Seq[String])]): DataFrame = {
+    val spec = tables.map { case (t, cs) => t + ":" + cs.mkString(",") }
+      .mkString(";")
+    graft.core.Materialize(spark, s"melt|$dir|$spec") {
+      sampledMeltCompute(spark, dir, tables)
+    }
+  }
+
+  /** The raw (unmaterialized) sample computation — exposed so plan-shape
+    * tests can assert the S9 bound on the compute plan itself; callers
+    * use [[sampledMelt]]. */
+  def sampledMeltCompute(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("col_name"))
@@ -101,8 +118,9 @@ object FeatureMatrix {
   def features(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): DataFrame = {
     import spark.implicits._
+    // the melt is materialized (parquet-backed) — each profiling pass
+    // below re-scans a small bounded file, no executor-memory cache held
     val m = sampledMelt(spark, dir, tables)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val colsDf = tables
       .flatMap { case (t, cs) => cs.map(c => s"$t.$c") }
       .toDF("col_name")

@@ -56,6 +56,22 @@ object MatcherQueries {
 
   val K = 3
 
+  /** m8's pinned output at sf0.01 (driver correctness scale):
+    * (col_name, predicted_label, confidence, n_bags). Kept in sync with
+    * the live bagged pipeline by PredictionPinSpec. */
+  val PinnedM8Sf001: Seq[(String, String, Double, Long)] = Seq(
+    ("events.event_id", "identifier", 0.438594, 50L),
+    ("events.event_type", "category", 0.624688, 50L),
+    ("events.props", "category", 0.34, 50L),
+    ("events.ts", "date", 0.359375, 50L),
+    ("events.user_id", "identifier", 0.432813, 50L),
+    ("events.value", "money", 0.460938, 50L),
+    ("nation.n_name", "name", 0.588542, 50L),
+    ("nation.n_nationkey", "identifier", 0.976563, 50L),
+    ("nation.n_regionkey", "identifier", 0.664063, 50L),
+    ("region.r_name", "category", 0.46875, 50L),
+    ("region.r_regionkey", "identifier", 0.664063, 50L))
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- m1: k-NN class proportions on column-name edit distance (J1/A22)
@@ -168,7 +184,22 @@ object MatcherQueries {
           .select(col("col_name"), col("predicted_label"), col("confidence"))
           .orderBy(col("col_name"))
       },
-      None),
+      // pinned regression oracle at the driver's correctness sf (0.01):
+      // the RF is deterministic (fixed seed, single-partition fit), so
+      // its output at a fixed sf is a constant, pinned in
+      // EvalQueries.PinnedM4Sf001 and guarded live-vs-pin by
+      // PredictionPinSpec (same contract as the m6 pin).
+      Some {
+        val vals = EvalQueries.PinnedM4Sf001
+          .map { case (c, l, cf) => s"('$c', '$l', $cf)" }
+          .mkString(",\n      ")
+        s"""SELECT col_name, predicted_label,
+          CAST(confidence AS DOUBLE) AS confidence
+        FROM (VALUES
+      $vals
+        ) AS t(col_name, predicted_label, confidence)
+        ORDER BY col_name"""
+      }),
 
     // ---- m8: bagged prediction — per-bag profiles classified then
     //      score-averaged per column (A28/A29 bag aggregation)
@@ -177,7 +208,21 @@ object MatcherQueries {
         val melted = FeatureMatrix.sampledMelt(s, dir, Labels.holdoutTables)
         BaggedPrediction.predict(MatcherSession.model(s, dir), melted)
       },
-      None),
+      // pinned regression oracle at sf0.01 (deterministic hash-bagged
+      // profiles + deterministic RF ⇒ constant output at a fixed sf);
+      // guarded live-vs-pin by PredictionPinSpec.
+      Some {
+        val vals = PinnedM8Sf001
+          .map { case (c, l, cf, n) => s"('$c', '$l', $cf, $n)" }
+          .mkString(",\n      ")
+        s"""SELECT col_name, predicted_label,
+          CAST(confidence AS DOUBLE) AS confidence,
+          CAST(n_bags AS BIGINT) AS n_bags
+        FROM (VALUES
+      $vals
+        ) AS t(col_name, predicted_label, confidence, n_bags)
+        ORDER BY col_name"""
+      }),
 
     // ---- m9: A26 word-level normalized term-frequency vectors on the
     //      bounded documents sample (two-level agg; exact norms)

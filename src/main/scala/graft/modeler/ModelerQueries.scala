@@ -57,7 +57,22 @@ object ModelerQueries {
         }.toDF("rank", "src", "property", "dst", "link_cost", "confidence")
           .orderBy(col("rank"), col("src"), col("property"), col("dst"))
       },
-      None),
+      // data-independent deterministic output (ontology + column names
+      // only) — pinned as a VALUES regression oracle; ModelerSpec checks
+      // the pin against the live suggester so drift fails sbt test first.
+      Some {
+        val vals = PinnedSuggestions
+          .map { case (r, s0, p0, d0, lc, cf) =>
+            s"($r, '$s0', '$p0', '$d0', $lc, $cf)" }
+          .mkString(",\n          ")
+        s"""SELECT CAST(rank AS BIGINT) AS rank, src, property, dst,
+          CAST(link_cost AS DOUBLE) AS link_cost,
+          CAST(confidence AS DOUBLE) AS confidence
+        FROM (VALUES
+          $vals
+        ) AS t(rank, src, property, dst, link_cost, confidence)
+        ORDER BY rank, src, property, dst"""
+      }),
 
     // ---- g2: alignment-graph edges with known-model re-weighting
     "g2_alignment_graph" -> QueryDef(
@@ -104,6 +119,92 @@ object ModelerQueries {
         val (p, r, j) = SemanticModel.evaluate(top, gold)
         Seq(("top1", p, r, j)).toDF("model", "precision", "recall", "jaccard")
       },
-      None)
+      // data-independent: the top suggestion reconstructs the gold model
+      // exactly (pinned, guarded by ModelerSpec's live-vs-pin check)
+      Some("""SELECT model, CAST(precision AS DOUBLE) AS precision,
+        CAST(recall AS DOUBLE) AS recall, CAST(jaccard AS DOUBLE) AS jaccard
+        FROM (VALUES ('top1', 1.0, 1.0, 1.0))
+          AS t(model, precision, recall, jaccard)"""))
   )
+
+  /** g1's pinned suggestion list (data-independent — derived from the
+    * tpch ontology and the flat column names alone): (rank, src,
+    * property, dst, link_cost, confidence), sorted. ModelerSpec checks
+    * the live suggester against this pin. */
+  lazy val PinnedSuggestions: Seq[(Long, String, String, String, Double, Double)] = Seq(
+    (1L, "Customer", "acctbal", "acctbal", 5.02, 1.0),
+    (1L, "Customer", "custNation", "Nation", 5.02, 1.0),
+    (1L, "Customer", "name", "name", 5.02, 1.0),
+    (1L, "Nation", "nationname", "nationname", 5.02, 1.0),
+    (1L, "Order", "orderdate", "orderdate", 5.02, 1.0),
+    (1L, "Order", "orderkey", "orderkey", 5.02, 1.0),
+    (1L, "Order", "placedBy", "Customer", 5.02, 1.0),
+    (2L, "Customer", "acctbal", "acctbal", 5.02, 0.927273),
+    (2L, "Customer", "custNation", "Nation", 5.02, 0.927273),
+    (2L, "Customer", "name", "name", 5.02, 0.927273),
+    (2L, "Nation", "nationname", "nationname", 5.02, 0.927273),
+    (2L, "Order", "orderkey", "orderkey", 5.02, 0.927273),
+    (2L, "Order", "orderstatus", "orderdate", 5.02, 0.927273),
+    (2L, "Order", "placedBy", "Customer", 5.02, 0.927273),
+    (3L, "Customer", "acctbal", "acctbal", 5.02, 0.911111),
+    (3L, "Customer", "custNation", "Nation", 5.02, 0.911111),
+    (3L, "Customer", "name", "name", 5.02, 0.911111),
+    (3L, "Nation", "nationname", "nationname", 5.02, 0.911111),
+    (3L, "Order", "orderdate", "orderdate", 5.02, 0.911111),
+    (3L, "Order", "orderdate", "orderkey", 5.02, 0.911111),
+    (3L, "Order", "placedBy", "Customer", 5.02, 0.911111),
+    (4L, "Customer", "acctbal", "acctbal", 5.02, 0.911111),
+    (4L, "Customer", "custNation", "Nation", 5.02, 0.911111),
+    (4L, "Customer", "name", "name", 5.02, 0.911111),
+    (4L, "Nation", "nationname", "nationname", 5.02, 0.911111),
+    (4L, "Order", "orderkey", "orderdate", 5.02, 0.911111),
+    (4L, "Order", "orderkey", "orderkey", 5.02, 0.911111),
+    (4L, "Order", "placedBy", "Customer", 5.02, 0.911111),
+    (5L, "Customer", "acctbal", "acctbal", 5.02, 0.892308),
+    (5L, "Customer", "custNation", "Nation", 5.02, 0.892308),
+    (5L, "Customer", "name", "name", 5.02, 0.892308),
+    (5L, "Nation", "nationname", "nationname", 5.02, 0.892308),
+    (5L, "Order", "orderdate", "orderdate", 5.02, 0.892308),
+    (5L, "Order", "orderpriority", "orderkey", 5.02, 0.892308),
+    (5L, "Order", "placedBy", "Customer", 5.02, 0.892308),
+    (6L, "Customer", "acctbal", "acctbal", 5.02, 0.892308),
+    (6L, "Customer", "custNation", "Nation", 5.02, 0.892308),
+    (6L, "Customer", "name", "name", 5.02, 0.892308),
+    (6L, "Nation", "nationname", "nationname", 5.02, 0.892308),
+    (6L, "Order", "orderkey", "orderkey", 5.02, 0.892308),
+    (6L, "Order", "orderpriority", "orderdate", 5.02, 0.892308),
+    (6L, "Order", "placedBy", "Customer", 5.02, 0.892308),
+    (7L, "Customer", "acctbal", "acctbal", 6.02, 0.94),
+    (7L, "Customer", "custNation", "Nation", 6.02, 0.94),
+    (7L, "Customer", "name", "name", 6.02, 0.94),
+    (7L, "Nation", "inRegion", "Region", 6.02, 0.94),
+    (7L, "Order", "orderdate", "orderdate", 6.02, 0.94),
+    (7L, "Order", "orderkey", "orderkey", 6.02, 0.94),
+    (7L, "Order", "placedBy", "Customer", 6.02, 0.94),
+    (7L, "Region", "regionname", "nationname", 6.02, 0.94),
+    (8L, "Customer", "acctbal", "acctbal", 6.02, 0.9),
+    (8L, "Customer", "custNation", "Nation", 6.02, 0.9),
+    (8L, "Nation", "nationname", "nationname", 6.02, 0.9),
+    (8L, "Order", "orderdate", "orderdate", 6.02, 0.9),
+    (8L, "Order", "orderkey", "orderkey", 6.02, 0.9),
+    (8L, "Order", "placedBy", "Customer", 6.02, 0.9),
+    (8L, "Supplier", "suppNation", "Nation", 6.02, 0.9),
+    (8L, "Supplier", "suppname", "name", 6.02, 0.9),
+    (9L, "Customer", "acctbal", "acctbal", 7.01, 0.9),
+    (9L, "Customer", "name", "name", 7.01, 0.9),
+    (9L, "LineItem", "ofPart", "Part", 7.01, 0.9),
+    (9L, "Order", "contains", "LineItem", 7.01, 0.9),
+    (9L, "Order", "orderdate", "orderdate", 7.01, 0.9),
+    (9L, "Order", "orderkey", "orderkey", 7.01, 0.9),
+    (9L, "Order", "placedBy", "Customer", 7.01, 0.9),
+    (9L, "Part", "partname", "nationname", 7.01, 0.9),
+    (10L, "Customer", "acctbal", "acctbal", 7.02, 0.9),
+    (10L, "Customer", "custNation", "Nation", 7.02, 0.9),
+    (10L, "LineItem", "ofPart", "Part", 7.02, 0.9),
+    (10L, "Nation", "nationname", "nationname", 7.02, 0.9),
+    (10L, "Order", "contains", "LineItem", 7.02, 0.9),
+    (10L, "Order", "orderdate", "orderdate", 7.02, 0.9),
+    (10L, "Order", "orderkey", "orderkey", 7.02, 0.9),
+    (10L, "Order", "placedBy", "Customer", 7.02, 0.9),
+    (10L, "Part", "partname", "name", 7.02, 0.9))
 }

@@ -4,9 +4,21 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 
-/** Multimodal pipeline queries (rows-only: the stub codec is not
-  * SQL-expressible; MultimodalSpec asserts the semantics). */
+/** Multimodal pipeline queries. The stub codec is deterministic pure
+  * byte arithmetic (Java Arrays.hashCode + nibble histogram), so both
+  * queries have full value-exact DuckDB oracle twins that re-derive the
+  * same features from the UTF-8 payload bytes — the oracle checks the
+  * whole Spark plumbing (schema, mapPartitions batch shape, frame
+  * explode) end to end. MultimodalSpec asserts the batch semantics. */
 object MultimodalQueries {
+
+  /** DuckDB: UTF-8 payload bytes as signed ints via the hex string
+    * (byte i = hex chars 2i+1..2i+2). */
+  private val bytesSql =
+    """list_transform(range(0, n),
+         i -> CASE WHEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) >= 128
+              THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) - 256
+              ELSE CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) END)"""
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -19,7 +31,47 @@ object MultimodalQueries {
             col("width"), col("height"), col("byte_entropy"))
           .orderBy(col("media_id"))
       },
-      None),
+      // oracle re-derives the stub decode: Java Arrays.hashCode is the
+      // 31-based rolling hash over signed bytes in 32-bit wraparound;
+      // entropy is over the 16 high-nibble classes of the payload bytes
+      Some(s"""WITH m AS (
+        SELECT doc_id AS media_id,
+          ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+          hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS n
+        FROM documents
+      ), hashed AS (
+        SELECT media_id, mime, hx, n,
+          list_reduce(list_prepend(CAST(1 AS BIGINT), $bytesSql),
+            (acc, b) -> ((31*acc + b) % 4294967296 + 4294967296) % 4294967296) AS u
+        FROM m
+      ), dims AS (
+        SELECT media_id, mime, hx, n,
+          ((CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END % 480)
+            + 480) % 480 + 16 AS height
+        FROM hashed
+      ), wh AS (
+        SELECT media_id, mime, hx, n, height,
+          ((height * 31 + n) % 640 + 640) % 640 + 16 AS width
+        FROM dims
+      ), nib AS (
+        SELECT media_id,
+          unnest(list_transform(range(0, n),
+            i -> substr(hx, CAST(2*i+1 AS INT), 1))) AS c
+        FROM wh
+      ), cnt AS (
+        SELECT media_id, c, count(*) AS k FROM nib GROUP BY 1, 2
+      ), ent AS (
+        SELECT cnt.media_id,
+          -sum((CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n)) AS e
+        FROM cnt JOIN wh ON cnt.media_id = wh.media_id
+        GROUP BY 1
+      )
+      SELECT wh.media_id, mime, CAST(n AS BIGINT) AS n_bytes,
+        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        floor(coalesce(e, 0.0) * 1e6 + 0.5) / 1e6 AS byte_entropy
+      FROM wh LEFT JOIN ent ON wh.media_id = ent.media_id
+      ORDER BY wh.media_id""")),
 
     // ---- mm2: video frame sampling (one row per sampled frame)
     "mm2_frame_samples" -> QueryDef(
@@ -30,6 +82,19 @@ object MultimodalQueries {
             length(col("payload")).cast("long").as("frame_bytes"))
           .orderBy(col("media_id"), col("frame_no"))
       },
-      None)
+      // oracle re-derives the byte-window frame sampler: video payloads
+      // are doc_id % 3 == 2 (mime array index 3), frame i spans
+      // [len*i/4, min(len, len*i/4 + max(1, len/4))) in integer division
+      Some("""WITH v AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+        FROM documents WHERE doc_id % 3 = 2
+      ), f AS (
+        SELECT media_id, unnest(range(0, 4)) AS i, len
+        FROM v WHERE len > 0
+      )
+      SELECT media_id, CAST(i AS INT) AS frame_no,
+        CAST(least(len, (len * i) // 4 + greatest(1, len // 4))
+          - (len * i) // 4 AS BIGINT) AS frame_bytes
+      FROM f ORDER BY media_id, frame_no"""))
   )
 }

@@ -38,6 +38,24 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** PII patterns shared by the scrub/count operators — conservative
+    * regexes that parse identically under Java regex (Spark) and RE2
+    * (DuckDB): no backrefs, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, IPv4 addresses and phone numbers (in that order —
+    * the patterns are disjoint on any one token, so order only matters
+    * for the replacement text). Row-wise codegen'd regex work — the
+    * standard pre-training PII pass, embarrassingly parallel. */
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("[EMAIL]")),
+        lit(Ipv4Re), lit("[IP]")),
+      lit(PhoneRe), lit("[PHONE]"))
+
   /** MinHash modulus (2^31 - 1, prime): products a_i * h stay under
     * 2^62, so the k-hash family is exact 64-bit arithmetic in any
     * engine. */

@@ -169,6 +169,143 @@ object TextQueries {
       )
       SELECT doc_id, fp_exact,
         coalesce(list_min(list_transform(sh, x -> md5(x))), '') AS fp_min_shingle
-      FROM d ORDER BY doc_id"""))
+      FROM d ORDER BY doc_id""")),
+
+    // ---- t5: PII scrub — count + redact emails/phones/IPv4s. The test
+    //      corpus carries no real PII, so the contact block is
+    //      synthesized deterministically from customer keys; the
+    //      operator under test is the scrubber itself (Text.piiScrub),
+    //      the standard pre-training redaction pass.
+    "t5_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val k = col("c_custkey")
+        val email = concat(lit("user"), k.cast("string"), lit("@example.com"))
+        val phone = concat(lit("555-"),
+          lpad((k % 900 + 100).cast("string"), 3, "0"), lit("-"),
+          lpad((k * 7 % 10000).cast("string"), 4, "0"))
+        val ip = concat(lit("10."), (k % 256).cast("string"), lit("."),
+          (k * 3 % 256).cast("string"), lit("."), (k * 7 % 256).cast("string"))
+        Tables.table(s, dir, "customer")
+          .withColumn("contact", concat_ws(" ", col("c_name"),
+            when(k % 2 === 0, email).otherwise(lit("(none)")),
+            when(k % 3 === 0, phone).otherwise(lit("-")),
+            when(k % 5 === 0, ip).otherwise(lit("-")),
+            col("c_mktsegment")))
+          .select(
+            k.as("c_custkey"),
+            regexp_count(col("contact"), lit(Text.EmailRe)).cast("long")
+              .as("n_emails"),
+            regexp_count(col("contact"), lit(Text.PhoneRe)).cast("long")
+              .as("n_phones"),
+            regexp_count(col("contact"), lit(Text.Ipv4Re)).cast("long")
+              .as("n_ips"),
+            Text.piiScrub(col("contact")).as("scrubbed"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH c AS (
+        SELECT c_custkey,
+          concat_ws(' ', c_name,
+            CASE WHEN c_custkey % 2 = 0
+              THEN 'user' || c_custkey || '@example.com' ELSE '(none)' END,
+            CASE WHEN c_custkey % 3 = 0
+              THEN '555-' || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0')
+              ELSE '-' END,
+            CASE WHEN c_custkey % 5 = 0
+              THEN '10.' || (c_custkey % 256) || '.' || (c_custkey * 3 % 256)
+                || '.' || (c_custkey * 7 % 256)
+              ELSE '-' END,
+            c_mktsegment) AS contact
+        FROM customer
+      )
+      SELECT c_custkey,
+        CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(contact, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(contact, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        regexp_replace(regexp_replace(regexp_replace(contact,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed
+      FROM c ORDER BY c_custkey"""),
+    ),
+
+    // ---- t6: repetition-quality metrics (Gopher-style repetition
+    //      rules): distinct-word ratio, most-frequent-word share, and
+    //      most-frequent-bigram share per document. Two-level explode +
+    //      groupBy aggregation — no per-doc state exceeds one (doc_id,
+    //      term) count row, so the pass is skew-robust at any corpus
+    //      size (a pathological single doc costs one group, not one
+    //      task's memory).
+    "t6_repetition" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), Text.words(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
+        val wc = d.select(col("doc_id"), explode(col("w")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("k"))
+        val ws = wc.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_distinct"),
+          max(col("k")).as("top_word_k"),
+          sum(col("k")).as("n_words"))
+        val bg = d.filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(0), size(col("w")) - 2), j =>
+              concat(element_at(col("w"), j + 1), lit(" "),
+                element_at(col("w"), j + 2)))).as("b"))
+        val bc = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+        val bs = bc.groupBy(col("doc_id")).agg(
+          max(col("k")).as("top_bigram_k"),
+          sum(col("k")).as("n_bigrams"))
+        val r6 = (c: org.apache.spark.sql.Column) =>
+          floor(c * 1e6 + 0.5) / 1e6
+        ws.join(bs, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("n_words").cast("long").as("n_words"),
+            col("n_distinct").cast("long").as("n_distinct"),
+            r6(col("n_distinct").cast("double") / col("n_words"))
+              .as("distinct_ratio"),
+            r6(col("top_word_k").cast("double") / col("n_words"))
+              .as("top_word_frac"),
+            coalesce(r6(col("top_bigram_k").cast("double") / col("n_bigrams")),
+              lit(0.0)).as("top_bigram_frac"))
+          .withColumn("is_repetitive",
+            when(col("top_bigram_frac") > 0.08 || col("distinct_ratio") < 0.3,
+              1L).otherwise(0L))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+        SELECT doc_id, $wordsSqlDuck AS w FROM documents
+        WHERE len($wordsSqlDuck) > 0
+      ), wc AS (
+        SELECT doc_id, unnest(w) AS word FROM d
+      ), c AS (
+        SELECT doc_id, word, count(*) AS k FROM wc GROUP BY 1, 2
+      ), ws AS (
+        SELECT doc_id, count(*) AS n_distinct, max(k) AS top_word_k,
+          sum(k) AS n_words
+        FROM c GROUP BY 1
+      ), bg AS (
+        SELECT doc_id, unnest(list_transform(range(0, len(w) - 1),
+          j -> w[j+1] || ' ' || w[j+2])) AS b
+        FROM d WHERE len(w) >= 2
+      ), bc AS (
+        SELECT doc_id, b, count(*) AS k FROM bg GROUP BY 1, 2
+      ), bs AS (
+        SELECT doc_id, max(k) AS top_bigram_k, sum(k) AS n_bigrams
+        FROM bc GROUP BY 1
+      ), f AS (
+        SELECT ws.doc_id,
+          CAST(ws.n_words AS BIGINT) AS n_words,
+          CAST(n_distinct AS BIGINT) AS n_distinct,
+          floor(CAST(n_distinct AS DOUBLE) / ws.n_words * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+          floor(CAST(top_word_k AS DOUBLE) / ws.n_words * 1e6 + 0.5) / 1e6 AS top_word_frac,
+          coalesce(floor(CAST(top_bigram_k AS DOUBLE) / n_bigrams * 1e6 + 0.5) / 1e6, 0.0) AS top_bigram_frac
+        FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+      )
+      SELECT doc_id, n_words, n_distinct, distinct_ratio, top_word_frac,
+        top_bigram_frac,
+        CAST(CASE WHEN top_bigram_frac > 0.08 OR distinct_ratio < 0.3
+          THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+      FROM f ORDER BY doc_id"""))
   )
 }

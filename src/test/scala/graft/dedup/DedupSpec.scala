@@ -51,6 +51,32 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("cluster_size") > 1L))
   }
 
+  test("connected components converge on a chain far longer than the round budget") {
+    import spark.implicits._
+    // a 200-node chain has diameter 199 — naive min-label propagation
+    // needs 199 rounds; large-star/small-star must close it within the
+    // default 30-round budget (and assign everyone to the chain min)
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val out = DedupQueries.connectedComponents(docs, pairs).collect()
+    assert(out.length === n)
+    assert(out.forall(_.getAs[Long]("cluster_id") == 0L))
+    // two components + singletons keep distinct minima
+    val pairs2 = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc1", "doc2")
+    val docs2 = (0L until 25L).toDF("doc_id")
+    val out2 = DedupQueries.connectedComponents(docs2, pairs2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(out2(10L) == 10L && out2(11L) == 10L && out2(12L) == 10L)
+    assert(out2(20L) == 20L && out2(21L) == 20L)
+    assert(out2(5L) == 5L, "isolated docs are their own singleton cluster")
+    // empty pair set: everyone is a singleton
+    val out3 = DedupQueries.connectedComponents(
+      docs2, Seq.empty[(Long, Long)].toDF("doc1", "doc2")).collect()
+    assert(out3.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+  }
+
   test("d5 LSH path: key-equality candidates, exact cosines, sane recall") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, sf, "embeddings")

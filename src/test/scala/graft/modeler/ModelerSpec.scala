@@ -138,4 +138,5 @@ class ModelerSpec extends AnyFunSuite {
       .map(s => (s.model.triples, s.scores))
     assert(run() === run())
   }
+
 }

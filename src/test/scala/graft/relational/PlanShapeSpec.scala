@@ -75,7 +75,7 @@ class PlanShapeSpec extends SparkSpec {
     // can't be substituted for the parquet scans under test
     val tables = Seq("orders" -> Seq("o_orderkey", "o_orderpriority"),
       "region" -> Seq("r_name"))
-    val df = graft.matcher.FeatureMatrix.sampledMelt(spark, sf, tables)
+    val df = graft.matcher.FeatureMatrix.sampledMeltCompute(spark, sf, tables)
     val p = df.queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(p).size
     val limits = "GlobalLimit".r.findAllIn(p).size

@@ -38,6 +38,33 @@ class TextSpec extends SparkSpec {
       array(lit("b"), lit("c"), lit("d")))) === 0.5)
   }
 
+  test("pii scrub redacts emails, phones and IPv4s, leaves the rest") {
+    val in = "mail bob.smith+x@corp.example.org call 555-123-4567 " +
+      "from 192.168.0.1 at five o'clock"
+    assert(one[String](Text.piiScrub(lit(in)))
+      === "mail [EMAIL] call [PHONE] from [IP] at five o'clock")
+    // version-ish dotted numbers shorter than 4 octets survive
+    assert(one[String](Text.piiScrub(lit("v1.2.3 is out"))) === "v1.2.3 is out")
+    // digits that are not phone-shaped survive
+    assert(one[String](Text.piiScrub(lit("order 555-12345"))) === "order 555-12345")
+  }
+
+  test("t5/t6 run end-to-end with expected shapes") {
+    val sf = "/root/testdata/sf0.001"
+    val t5 = graft.SparkEntry.queries("t5_pii_scrub")(spark, sf).collect()
+    assert(t5.nonEmpty)
+    assert(t5.forall(r => !r.getAs[String]("scrubbed").contains("@")))
+    val evens = t5.filter(_.getAs[Long]("c_custkey") % 2 == 0)
+    assert(evens.forall(_.getAs[Long]("n_emails") == 1L))
+    assert(evens.forall(_.getAs[String]("scrubbed").contains("[EMAIL]")))
+    val t6 = graft.SparkEntry.queries("t6_repetition")(spark, sf).collect()
+    assert(t6.nonEmpty)
+    assert(t6.forall { r =>
+      val d = r.getAs[Double]("distinct_ratio")
+      d > 0.0 && d <= 1.0 && r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_words")
+    })
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val a = array(lit(1.0), lit(2.0))
     val b = array(lit(-2.0), lit(1.0))
