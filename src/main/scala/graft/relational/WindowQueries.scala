@@ -18,6 +18,16 @@ object WindowQueries {
   private def money(c: org.apache.spark.sql.Column) =
     round(dsum(c).cast("double"), 2)
 
+  /** q21's pinned HLL++ output at the driver's correctness scale
+    * (sf0.01): (l_returnflag, approx_parts, approx_supps). The sketch is
+    * deterministic for a fixed input set, so this is a constant; guarded
+    * live-vs-pin by ApproxDistinctPinSpec (which also bounds the
+    * estimates against the exact distinct counts). */
+  val PinnedQ21Sf001: Seq[(String, Long, Long)] = Seq(
+    ("A", 2019L, 100L),
+    ("N", 2019L, 100L),
+    ("R", 2019L, 100L))
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- q16: lag/lead deltas per user over event time
@@ -110,8 +120,11 @@ object WindowQueries {
     // ---- q21: HyperLogLog approximate distinct — the 100 TB path for
     //      q7's exact countDistinct (sketch state is constant-size per
     //      group; exact distinct shuffles every distinct value). Sketch
-    //      internals differ across engines, so this is rows-only; the
-    //      spec bounds the error against the exact counts.
+    //      internals differ across engines, so the oracle is the pinned
+    //      sf0.01 output (HLL++ is deterministic for a fixed input set —
+    //      merge is a commutative register max, so the result is
+    //      partition-order independent); ApproxDistinctPinSpec guards
+    //      the pin live-vs-constant and bounds the error vs exact.
     "q21_approx_distinct" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -122,7 +135,14 @@ object WindowQueries {
             approx_count_distinct($"l_suppkey", 0.02).as("approx_supps"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some {
+        val vals = PinnedQ21Sf001
+          .map { case (f, p, sup) => s"('$f', $p, $sup)" }.mkString(", ")
+        s"""SELECT l_returnflag, CAST(approx_parts AS BIGINT) AS approx_parts,
+          CAST(approx_supps AS BIGINT) AS approx_supps
+        FROM (VALUES $vals) AS t(l_returnflag, approx_parts, approx_supps)
+        ORDER BY l_returnflag"""
+      }),
 
     // ---- q22: as-of join (beyond the reference — the time-series
     //      operator Spark lacks natively): each event matches its

@@ -23,6 +23,12 @@ object SimilarityQueries {
   val TopK = 10
   val NumQueries = 10
 
+  /** s4 k-means cells (also the learned-centroid count for an IVF
+    * index) and Lloyd iteration count. NOTE: must be declared before
+    * `defs` — the map (and its generated oracle SQL) is built eagerly. */
+  val KmeansK = 4
+  val KmeansIters = 3
+
   /** 16 deterministic pseudo-random +/-1 hyperplanes over 64 dims. */
   val Planes = 16
   val Dims = 64
@@ -226,6 +232,99 @@ object SimilarityQueries {
         FROM scored
       )
       SELECT query_id, neighbor_id, cos, rank FROM ranked
-      WHERE rank <= $TopK ORDER BY query_id, rank"""))
+      WHERE rank <= $TopK ORDER BY query_id, rank""")),
+
+    // ---- s4: distributed k-means over the embedding corpus (Lloyd's
+    //      algorithm, the learned-centroid path that IVF cell files are
+    //      built from at scale). All arithmetic is exact 64-bit integer:
+    //      components are scaled to 1e-6 units up front, distances are
+    //      integer sums of squares, and the centroid update does one
+    //      deterministic half-up rounding per component — so every
+    //      iteration is bit-identical across engines, partitionings and
+    //      cluster sizes (no float-summation-order nondeterminism).
+    //      Scale shape per iteration: centroids are a K*Dims frame
+    //      (tiny, broadcast); the corpus melt is the only big table and
+    //      it flows through one broadcast join + two map-side-combined
+    //      aggregations — no corpus self-join anywhere.
+    "s4_kmeans_embeddings" -> QueryDef(
+      (s, dir) => {
+        val m = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+          .select(col("vec_id"), col("d"),
+            floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("x6"))
+          .persist()
+        // initial centroids: the K lowest vec_ids (deterministic seed);
+        // the window sorts a K-row frame, not the corpus
+        val init = m.select(col("vec_id")).distinct()
+          .orderBy(col("vec_id")).limit(KmeansK)
+          .withColumn("k", (row_number().over(
+            Window.orderBy(col("vec_id"))) - 1).cast("long"))
+        def assign(c: DataFrame): DataFrame =
+          m.join(broadcast(c), "d")
+            .groupBy(col("vec_id"), col("k"))
+            .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6")))
+              .as("dist"))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("dist"), col("k"))).as("a"))
+            .select(col("vec_id"), col("a.k").as("k"), col("a.dist").as("dist"))
+        var cents = m.join(broadcast(init), "vec_id")
+          .select(col("k"), col("d"), col("x6").as("c6"))
+          .localCheckpoint(true)
+        for (_ <- 1 to KmeansIters) {
+          val a = assign(cents)
+          cents = a.join(m, "vec_id")
+            .groupBy(col("k"), col("d"))
+            .agg(floor(sum(col("x6")).cast("double") / count(lit(1)) + 0.5)
+              .cast("long").as("c6"))
+            .localCheckpoint(true)
+        }
+        val out = assign(cents)
+          .select(col("vec_id"), col("k").as("cluster"),
+            col("dist").as("sq_dist_e12"))
+          .orderBy(col("vec_id"))
+        m.unpersist()
+        out
+      },
+      Some(kmeansOracleSql))
   )
+
+  /** DuckDB twin of s4: the same integer-exact Lloyd iterations as
+    * chained CTEs (d_i = distances, a_i = argmin assignment, c_i =
+    * rounded centroid update). */
+  private def kmeansOracleSql: String = {
+    val iters = (1 to KmeansIters).map { i =>
+      s"""d$i AS (
+        SELECT m.vec_id, c.k, CAST(sum((m.x6 - c.x6)*(m.x6 - c.x6)) AS BIGINT) AS dist
+        FROM m JOIN c${i - 1} c ON m.d = c.d GROUP BY 1, 2
+      ), a$i AS (
+        SELECT vec_id, k FROM (
+          SELECT vec_id, k,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+          FROM d$i) WHERE rn = 1
+      ), c$i AS (
+        SELECT a.k, m.d,
+          CAST(floor(CAST(sum(m.x6) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS x6
+        FROM a$i a JOIN m ON a.vec_id = m.vec_id GROUP BY 1, 2
+      )"""
+    }.mkString(", ")
+    s"""WITH m AS (
+      SELECT vec_id, unnest(range(0, $Dims)) AS d,
+        unnest(list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 0.5) AS BIGINT))) AS x6
+      FROM embeddings
+    ), init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT DISTINCT vec_id FROM m ORDER BY vec_id LIMIT $KmeansK)
+    ), c0 AS (
+      SELECT init.k, m.d, m.x6 FROM m JOIN init USING (vec_id)
+    ), $iters, fin AS (
+      SELECT m.vec_id, c.k, CAST(sum((m.x6 - c.x6)*(m.x6 - c.x6)) AS BIGINT) AS dist
+      FROM m JOIN c$KmeansIters c ON m.d = c.d GROUP BY 1, 2
+    )
+    SELECT vec_id, k AS cluster, dist AS sq_dist_e12 FROM (
+      SELECT vec_id, k, dist,
+        row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+      FROM fin) WHERE rn = 1
+    ORDER BY vec_id"""
+  }
 }
