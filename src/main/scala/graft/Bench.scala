@@ -34,7 +34,7 @@ object Bench {
       "q15_part_type_volume", "q16_event_deltas", "q17_moving_avg",
       "q18_priority_count", "q19_rollup_revenue", "q20_salted_agg",
       "q21_approx_distinct", "q22_asof_join", "q23_range_join",
-      "q24_sessionize"),
+      "q24_sessionize", "q25_bucketed_join", "q26_partition_pruned"),
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part"),
@@ -46,7 +46,8 @@ object Bench {
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
       "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup"),
     // similarity search
-    Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf"),
+    Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
+      "s4_kmeans_embeddings"),
     // matcher: m4 is charged the sample + feature matrix + model train;
     // the rest consume the materialized stages / cached model
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",

@@ -7,6 +7,7 @@ object SparkEntry {
   private val registries: Seq[Map[String, QueryDef]] = Seq(
     relational.RelationalQueries.defs,
     relational.WindowQueries.defs,
+    relational.LayoutQueries.defs,
     profile.ProfileQueries.defs,
     text.TextQueries.defs,
     dedup.DedupQueries.defs,

@@ -83,4 +83,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(limits >= scans,
       s"every scan needs a row bound before the sample window ($limits limits / $scans scans)")
   }
+
+  test("bucketed join is exchange-free (layout prepays the shuffle)") {
+    // disable broadcast so the assert proves the bucketed sort-merge
+    // path (at real scale neither fact side is broadcastable anyway)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (ot, lt) = LayoutQueries.bucketedTables(spark, sf)
+      val joined = spark.table(ot).join(spark.table(lt),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(500))
+      assert(!p.contains("Exchange"),
+        "bucketed co-located join must not shuffle either side:\n" + p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("partitioned layout prunes to the filtered month at the scan") {
+    val path = LayoutQueries.partitionedOrders(spark, sf)
+    val df = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("o_month") ===
+        LayoutQueries.PruneMonth)
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(scanLine.contains("o_month"),
+      "month filter must become a PartitionFilter, not a data filter:\n" +
+        p.take(800))
+    // and the partition count actually read is 1
+    val parts = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(parts.forall(_ == 1), s"expected exactly one partition read: $parts")
+  }
 }
