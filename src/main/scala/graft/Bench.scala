@@ -47,7 +47,7 @@ object Bench {
       "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
-      "s4_kmeans_embeddings"),
+      "s4_kmeans_embeddings", "s5_ann_ivf_kmeans"),
     // matcher: m4 is charged the sample + feature matrix + model train;
     // the rest consume the materialized stages / cached model
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",

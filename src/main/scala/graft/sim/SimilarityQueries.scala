@@ -29,6 +29,9 @@ object SimilarityQueries {
   val KmeansK = 4
   val KmeansIters = 3
 
+  /** IVF cells probed per query in s5. */
+  val IvfNprobe = 2
+
   /** 16 deterministic pseudo-random +/-1 hyperplanes over 64 dims. */
   val Planes = 16
   val Dims = 64
@@ -248,50 +251,115 @@ object SimilarityQueries {
     //      aggregations — no corpus self-join anywhere.
     "s4_kmeans_embeddings" -> QueryDef(
       (s, dir) => {
-        val m = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-          .select(col("vec_id"), col("d"),
-            floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("x6"))
-          .persist()
-        // initial centroids: the K lowest vec_ids (deterministic seed);
-        // the window sorts a K-row frame, not the corpus
-        val init = m.select(col("vec_id")).distinct()
-          .orderBy(col("vec_id")).limit(KmeansK)
-          .withColumn("k", (row_number().over(
-            Window.orderBy(col("vec_id"))) - 1).cast("long"))
-        def assign(c: DataFrame): DataFrame =
-          m.join(broadcast(c), "d")
-            .groupBy(col("vec_id"), col("k"))
-            .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6")))
-              .as("dist"))
-            .groupBy(col("vec_id"))
-            .agg(min(struct(col("dist"), col("k"))).as("a"))
-            .select(col("vec_id"), col("a.k").as("k"), col("a.dist").as("dist"))
-        var cents = m.join(broadcast(init), "vec_id")
-          .select(col("k"), col("d"), col("x6").as("c6"))
-          .localCheckpoint(true)
-        for (_ <- 1 to KmeansIters) {
-          val a = assign(cents)
-          cents = a.join(m, "vec_id")
-            .groupBy(col("k"), col("d"))
-            .agg(floor(sum(col("x6")).cast("double") / count(lit(1)) + 0.5)
-              .cast("long").as("c6"))
-            .localCheckpoint(true)
-        }
-        val out = assign(cents)
+        val m = kmeansMelt(s, dir)
+        assignToCentroids(m, kmeansCentroids(s, dir))
           .select(col("vec_id"), col("k").as("cluster"),
             col("dist").as("sq_dist_e12"))
           .orderBy(col("vec_id"))
-        m.unpersist()
-        out
       },
-      Some(kmeansOracleSql))
+      Some(kmeansOracleSql)),
+
+    // ---- s5: IVF over the LEARNED k-means centroids (s4's cells) —
+    //      the full scale-path ANN index: cluster the corpus once,
+    //      assign every vector to its nearest centroid (the "inverted
+    //      file"), then answer queries by probing only the nprobe
+    //      nearest cells and exact-reranking inside them. Candidate
+    //      generation is a key-equality join on the cell id; the
+    //      centroid table is K*Dims rows — broadcast — so no stage
+    //      touches more than (corpus/K)*nprobe rows per query.
+    "s5_ann_ivf_kmeans" -> QueryDef(
+      (s, dir) => {
+        val m = kmeansMelt(s, dir)
+        val cents = kmeansCentroids(s, dir)
+        val cells = assignToCentroids(m, cents).select(col("vec_id"), col("k"))
+        val e = corpus(s, dir)
+        // query -> nprobe nearest cells, by the same integer metric the
+        // index was built with (ties -> lower cell id)
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist"), col("k"))
+        val probes = m.filter(col("vec_id") < NumQueries)
+          .join(broadcast(cents), "d")
+          .groupBy(col("vec_id").as("query_id"), col("k"))
+          .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6")))
+            .as("cdist"))
+          .withColumn("crk", row_number().over(wProbe))
+          .filter(col("crk") <= IvfNprobe)
+          .select(col("query_id"), col("k"))
+        val qs = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        probes.join(cells, "k")
+          .filter(col("query_id") =!= col("vec_id"))
+          .join(e, "vec_id")
+          .join(broadcast(qs), "query_id")
+          .withColumn("cos", round(Text.dot(col("qv"), col("v")) /
+            (col("qnrm") * col("nrm")), 6))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("cos"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfKmeansOracleSql))
   )
 
-  /** DuckDB twin of s4: the same integer-exact Lloyd iterations as
-    * chained CTEs (d_i = distances, a_i = argmin assignment, c_i =
-    * rounded centroid update). */
-  private def kmeansOracleSql: String = {
+
+  /** Long-format scaled-integer melt of the embedding corpus:
+    * (vec_id, d, x6) with x6 = half-up-rounded 1e6 * component — the
+    * exact-arithmetic representation the k-means loop runs on. */
+  def kmeansMelt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("x6"))
+
+  /** Nearest-centroid assignment (vec_id, k, dist): one broadcast join
+    * of the corpus melt against the K*Dims centroid frame + two
+    * map-side-combined aggregations. Ties break to the lower cell id
+    * via the lexicographic struct min. */
+  def assignToCentroids(m: DataFrame, c: DataFrame): DataFrame =
+    m.join(broadcast(c), "d")
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("k"))).as("a"))
+      .select(col("vec_id"), col("a.k").as("k"), col("a.dist").as("dist"))
+
+  /** Lloyd-trained centroids (k, d, c6), materialized once per dir —
+    * s4 (assignments) and s5 (IVF probe + cells) share one training
+    * run, as a production pipeline shares one index build. Initial
+    * centroids are the K lowest vec_ids (deterministic seed); the init
+    * window sorts a K-row frame, not the corpus. */
+  def kmeansCentroids(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.Materialize(s, s"kmeans-cents|$dir") {
+      val m = kmeansMelt(s, dir).persist()
+      val init = m.select(col("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(KmeansK)
+        .withColumn("k", (row_number().over(
+          Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      var cents = m.join(broadcast(init), "vec_id")
+        .select(col("k"), col("d"), col("x6").as("c6"))
+        .localCheckpoint(true)
+      for (_ <- 1 to KmeansIters) {
+        val a = assignToCentroids(m, cents)
+        cents = a.join(m, "vec_id")
+          .groupBy(col("k"), col("d"))
+          .agg(floor(sum(col("x6")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("c6"))
+          .localCheckpoint(true)
+      }
+      m.unpersist()
+      cents
+    }
+
+  /** Shared DuckDB CTE chain reproducing the integer-exact Lloyd loop
+    * (d_i = distances, a_i = argmin assignment, c_i = rounded centroid
+    * update), ending with `fin` = distances against the trained
+    * centroids `c{KmeansIters}`. */
+  private def kmeansCtes: String = {
     val iters = (1 to KmeansIters).map { i =>
       s"""d$i AS (
         SELECT m.vec_id, c.k, CAST(sum((m.x6 - c.x6)*(m.x6 - c.x6)) AS BIGINT) AS dist
@@ -307,7 +375,7 @@ object SimilarityQueries {
         FROM a$i a JOIN m ON a.vec_id = m.vec_id GROUP BY 1, 2
       )"""
     }.mkString(", ")
-    s"""WITH m AS (
+    s"""m AS (
       SELECT vec_id, unnest(range(0, $Dims)) AS d,
         unnest(list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 0.5) AS BIGINT))) AS x6
@@ -320,11 +388,52 @@ object SimilarityQueries {
     ), $iters, fin AS (
       SELECT m.vec_id, c.k, CAST(sum((m.x6 - c.x6)*(m.x6 - c.x6)) AS BIGINT) AS dist
       FROM m JOIN c$KmeansIters c ON m.d = c.d GROUP BY 1, 2
-    )
+    )"""
+  }
+
+  /** DuckDB twin of s4: nearest-centroid assignment off the shared
+    * Lloyd chain. */
+  private def kmeansOracleSql: String =
+    s"""WITH $kmeansCtes
     SELECT vec_id, k AS cluster, dist AS sq_dist_e12 FROM (
       SELECT vec_id, k, dist,
         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
       FROM fin) WHERE rn = 1
     ORDER BY vec_id"""
-  }
+
+  /** DuckDB twin of s5: cells + probes off the shared Lloyd chain, then
+    * the same double-precision cosine rerank as s1/s2/s3. */
+  private def ivfKmeansOracleSql: String =
+    s"""WITH $kmeansCtes, cells AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM fin) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, k FROM (
+        SELECT vec_id, k,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM fin WHERE vec_id < $NumQueries) WHERE rn <= $IvfNprobe
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries
+    ), scored AS (
+      SELECT p.query_id, cl.vec_id AS neighbor_id,
+        round(list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+           sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cos
+      FROM probes p JOIN cells cl ON p.k = cl.k
+      JOIN e ON e.vec_id = cl.vec_id
+      JOIN q ON q.query_id = p.query_id
+      WHERE p.query_id <> cl.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY query_id, rank"""
 }

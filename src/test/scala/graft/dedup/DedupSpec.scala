@@ -110,10 +110,14 @@ class DedupSpec extends SparkSpec {
     val exact = pairs("s1_ann_bruteforce")
     val lsh = pairs("s2_ann_lsh")
     val ivf = pairs("s3_ann_ivf")
+    val ivfK = pairs("s5_ann_ivf_kmeans")
     val lshRecall = (exact & lsh).size.toDouble / exact.size
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
-    info(s"LSH recall: $lshRecall, IVF recall: $ivfRecall")
+    val ivfKRecall = (exact & ivfK).size.toDouble / exact.size
+    info(s"LSH recall: $lshRecall, IVF recall: $ivfRecall, " +
+      s"IVF-kmeans recall: $ivfKRecall")
     assert(lshRecall >= 0.3, s"LSH recall too low: $lshRecall")
     assert(ivfRecall >= 0.3, s"IVF recall too low: $ivfRecall")
+    assert(ivfKRecall >= 0.3, s"IVF-kmeans recall too low: $ivfKRecall")
   }
 }
