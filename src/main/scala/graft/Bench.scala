@@ -40,11 +40,13 @@ object Bench {
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part"),
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
-      "t4_fingerprints", "t5_pii_scrub", "t6_repetition"),
+      "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
+      "t7_mixture_sample"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
-      "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup"),
+      "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
+      "d7_decontamination"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans"),

@@ -331,7 +331,56 @@ object DedupQueries {
               len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold
       )"""
 
+  /** d7: word n-gram size for benchmark decontamination. */
+  val DecontamN = 5
+  /** d7: the held-out "benchmark" subset — every 50th doc id. */
+  val DecontamEvalMod = 50
+
   private val otherDefs: Map[String, QueryDef] = Map(
+
+    // ---- d7: benchmark decontamination — flag training documents that
+    //      share any word n-gram with a held-out eval set (the standard
+    //      pre-training hygiene pass: eval suites are small, so their
+    //      n-gram set broadcasts, and the corpus-side scan is one
+    //      explode + key-equality join — no corpus self-join, O(corpus
+    //      n-grams) work at any scale). The "benchmark" here is the
+    //      deterministic every-50th-doc subset of the corpus itself.
+    "d7_decontamination" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val isEval = col("doc_id") % DecontamEvalMod === 0
+        val grams = docs
+          .select(col("doc_id"),
+            explode(Text.wordShingles(Text.words(col("text")), DecontamN))
+              .as("g"))
+        val evalGrams = broadcast(
+          grams.filter(isEval).select(col("g")).distinct())
+        val shared = grams.filter(!isEval)
+          .join(evalGrams, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+        docs.filter(!isEval)
+          .join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n"), lit(0L)).as("n_shared_ngrams"),
+            (coalesce(col("n"), lit(0L)) > 0L).cast("long").as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH g AS (
+        SELECT doc_id, unnest(${shinglesSqlDuck(DecontamN)}) AS g
+        FROM documents
+      ), e AS (
+        SELECT DISTINCT g FROM g WHERE doc_id % $DecontamEvalMod = 0
+      ), c AS (
+        SELECT g.doc_id, count(*) AS n
+        FROM g JOIN e USING (g) WHERE g.doc_id % $DecontamEvalMod <> 0
+        GROUP BY 1
+      )
+      SELECT d.doc_id, coalesce(n, 0) AS n_shared_ngrams,
+        CAST(coalesce(n, 0) > 0 AS BIGINT) AS contaminated
+      FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % $DecontamEvalMod <> 0
+      ORDER BY d.doc_id""")),
 
     // ---- d3: 32-bit SimHash signatures + hamming-LSH chunk keys
     "d3_simhash" -> QueryDef(

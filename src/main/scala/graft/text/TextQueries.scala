@@ -22,6 +22,13 @@ object TextQueries {
 
   val enStopwords: Seq[String] = langMarkers.head._2
 
+  /** t7 target sampling rates per language (English-heavy mixture);
+    * languages not listed fall back to [[MixtureDefaultRate]]. Declared
+    * before `defs` — the map (and its oracle SQL) is built eagerly. */
+  val MixtureRates: Seq[(String, Double)] = Seq(
+    "en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25)
+  val MixtureDefaultRate = 0.1
+
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   val defs: Map[String, QueryDef] = Map(
@@ -306,6 +313,50 @@ object TextQueries {
         top_bigram_frac,
         CAST(CASE WHEN top_bigram_frac > 0.08 OR distinct_ratio < 0.3
           THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
-      FROM f ORDER BY doc_id"""))
+      FROM f ORDER BY doc_id""")),
+
+    // ---- t7: deterministic mixture sampling — downsample each language
+    //      to a target rate with a content-independent md5(doc_id) coin,
+    //      the data-mixing primitive of a pre-training pipeline. Pure
+    //      row-wise codegen'd decision (no shuffle for the keep/drop;
+    //      one tiny groupBy for the report), deterministic under any
+    //      partitioning, and the same doc keeps/drops at every scale
+    //      factor that contains it.
+    "t7_mixture_sample" -> QueryDef(
+      (s, dir) => {
+        val rate = MixtureRates.foldLeft(lit(MixtureDefaultRate)) {
+          case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+        }
+        val u = (conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 15), 16, 10).cast("long") % 1000000L)
+          .cast("double") / 1e6
+        Tables.table(s, dir, "documents")
+          .withColumn("kept", (u < rate).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+          .withColumn("kept_frac",
+            floor(col("n_kept").cast("double") / col("n_total") * 1e6 + 0.5)
+              / 1e6)
+          .orderBy(col("lang"))
+      },
+      Some {
+        val rateSql = MixtureRates
+          .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString(" ")
+        s"""WITH k AS (
+          SELECT lang,
+            CASE WHEN (CAST(('0x' ||
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000) / 1e6
+              < (CASE $rateSql ELSE $MixtureDefaultRate END)
+            THEN 1 ELSE 0 END AS kept
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_total,
+          CAST(sum(kept) AS BIGINT) AS n_kept,
+          floor(CAST(sum(kept) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+            AS kept_frac
+        FROM k GROUP BY lang ORDER BY lang"""
+      })
   )
 }

@@ -77,6 +77,19 @@ class DedupSpec extends SparkSpec {
     assert(out3.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
   }
 
+  test("decontamination excludes the eval subset and flags only n-gram overlap") {
+    val out = DedupQueries.defs("d7_decontamination").fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r =>
+      r.getAs[Long]("doc_id") % DedupQueries.DecontamEvalMod != 0L),
+      "eval docs must not appear in the training-side report")
+    assert(out.forall { r =>
+      val n = r.getAs[Long]("n_shared_ngrams")
+      val c = r.getAs[Long]("contaminated")
+      (n > 0L) == (c == 1L) && n >= 0L
+    })
+  }
+
   test("d5 LSH path: key-equality candidates, exact cosines, sane recall") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, sf, "embeddings")

@@ -65,6 +65,27 @@ class TextSpec extends SparkSpec {
     })
   }
 
+  test("t7 mixture sampling: en kept fully, others near their target rate") {
+    val sf = "/root/testdata/sf0.01"
+    val out = graft.SparkEntry.queries("t7_mixture_sample")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("kept_frac")))
+      .toMap
+    assert(out("en")._3 === 1.0, "rate-1.0 language must keep everything")
+    val rates = graft.text.TextQueries.MixtureRates.toMap
+    out.foreach { case (lang, (total, kept, frac)) =>
+      val target = rates.getOrElse(lang, graft.text.TextQueries.MixtureDefaultRate)
+      assert(kept <= total)
+      assert(math.abs(frac - target) < 0.15,
+        s"$lang kept_frac $frac too far from target $target")
+    }
+    // determinism: the coin is content-independent md5(doc_id)
+    val again = graft.SparkEntry.queries("t7_mixture_sample")(spark, sf).collect()
+    assert(again.length === out.size)
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val a = array(lit(1.0), lit(2.0))
     val b = array(lit(-2.0), lit(1.0))
