@@ -1,0 +1,180 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{GraftService, Json}
+
+/** Minimal REST transport over [[graft.core.GraftService]] — the HTTP
+  * surface the reference boots in core Serene.scala:49-56 (Finch
+  * endpoints; api/DatasetAPI + api/ModelAPI.scala:153-193), rebuilt on
+  * the JDK's built-in `com.sun.net.httpserver` so the build takes no
+  * server dependency. One route per reference endpoint, same entity
+  * model as the CLI (every route is also a `graft.Cli` command over the
+  * same store — transports are thin, the service is the product):
+  *
+  *   GET    /v1.0/dataset                     list datasets
+  *   POST   /v1.0/dataset                     {"name","dir","tables"} (tables = "t:c1,c2|t2:c3")
+  *   GET    /v1.0/dataset/{id}
+  *   DELETE /v1.0/dataset/{id}
+  *   GET    /v1.0/model                       list models
+  *   POST   /v1.0/model                       {"description"}
+  *   GET    /v1.0/model/{id}                  (state mirrors Octopus TrainState)
+  *   DELETE /v1.0/model/{id}
+  *   POST   /v1.0/model/{id}/train?dataset={id}    train, return final state
+  *   POST   /v1.0/model/{id}/predict?dataset={id}  column predictions + ranked suggestions
+  *
+  * Handlers run on the server's executor; Spark work reuses one shared
+  * session (getOrCreate), matching the reference's single embedded
+  * Spark context per server process.
+  */
+final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
+
+  private var server: HttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/v1.0/", handle _)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = (body + "\n").getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def err(ex: HttpExchange, code: Int, msg: String): Unit =
+    respond(ex, code, s"""{"error":${Json.str(msg)}}""")
+
+  private def queryParam(ex: HttpExchange, key: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.startsWith(key + "=") => kv.substring(key.length + 1)
+    })
+
+  private def body(ex: HttpExchange): Map[String, String] =
+    Json.parseFlat(new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8))
+
+  private def datasetJson(d: graft.core.DatasetRef): String = {
+    val tables = d.tables
+      .map { case (t, cs) => s"$t:${cs.mkString(",")}" }.mkString("|")
+    s"""{"id":${d.id},"name":${Json.str(d.name)},"dir":${Json.str(d.dir)},"tables":${Json.str(tables)}}"""
+  }
+
+  private def modelJson(m: graft.core.ModelRef): String =
+    s"""{"id":${m.id},"description":${Json.str(m.description)},"state":"${m.state}"}"""
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath.stripPrefix("/v1.0/")
+      .split("/").toList.filter(_.nonEmpty)
+    (ex.getRequestMethod, path) match {
+
+      case ("GET", "dataset" :: Nil) =>
+        respond(ex, 200, svc.datasetKeys.flatMap(svc.getDataset)
+          .map(datasetJson).mkString("[", ",", "]"))
+      case ("POST", "dataset" :: Nil) =>
+        val b = body(ex)
+        (b.get("name"), b.get("dir")) match {
+          case (Some(name), Some(dir)) =>
+            val tables = b.getOrElse("tables", "")
+              .split("\\|").toSeq.filter(_.nonEmpty).map { part =>
+                part.split(":", 2) match {
+                  case Array(t, cs) =>
+                    t -> cs.split(",").toSeq.filter(_.nonEmpty)
+                  case _ => return err(ex, 400,
+                    s"malformed table spec '$part' (expected t:c1,c2|t2:c3)")
+                }
+              }
+            respond(ex, 200, datasetJson(svc.createDataset(name, dir, tables)))
+          case _ => err(ex, 400, "body must carry name and dir")
+        }
+      case ("GET", "dataset" :: id :: Nil) =>
+        svc.getDataset(id.toInt) match {
+          case Some(d) => respond(ex, 200, datasetJson(d))
+          case None => err(ex, 404, s"dataset $id not found")
+        }
+      case ("DELETE", "dataset" :: id :: Nil) =>
+        respond(ex, 200, s"""{"deleted":${svc.deleteDataset(id.toInt)}}""")
+
+      case ("GET", "model" :: Nil) =>
+        respond(ex, 200, svc.modelKeys.flatMap(svc.getModel)
+          .map(modelJson).mkString("[", ",", "]"))
+      case ("POST", "model" :: Nil) =>
+        body(ex).get("description") match {
+          case Some(d) => respond(ex, 200, modelJson(svc.createModel(d)))
+          case None => err(ex, 400, "body must carry description")
+        }
+      case ("GET", "model" :: id :: Nil) =>
+        svc.getModel(id.toInt) match {
+          case Some(m) => respond(ex, 200, modelJson(m))
+          case None => err(ex, 404, s"model $id not found")
+        }
+      case ("DELETE", "model" :: id :: Nil) =>
+        respond(ex, 200, s"""{"deleted":${svc.deleteModel(id.toInt)}}""")
+
+      case ("POST", "model" :: id :: "train" :: Nil) =>
+        queryParam(ex, "dataset") match {
+          case Some(ds) =>
+            val st = svc.trainModel(spark(), id.toInt, ds.toInt)
+            respond(ex, 200, s"""{"state":"$st"}""")
+          case None => err(ex, 400, "query param dataset required")
+        }
+      case ("POST", "model" :: id :: "predict" :: Nil) =>
+        queryParam(ex, "dataset") match {
+          case Some(ds) =>
+            val pred = svc.predictModel(spark(), id.toInt, ds.toInt)
+            val cols = pred.columnPredictions
+              .select("col_name", "predicted_label", "confidence")
+              .orderBy("col_name").collect().map(r =>
+                s"""{"col":${Json.str(r.getString(0))},"label":${Json.str(r.getString(1))},"confidence":${r.getDouble(2)}}""")
+              .mkString("[", ",", "]")
+            val sugs = pred.suggestions.zipWithIndex.map { case (sug, i) =>
+              val triples = sug.model.triples.toSeq.sorted
+                .map { case (a, p, b) =>
+                  s"[${Json.str(a)},${Json.str(p)},${Json.str(b)}]" }
+                .mkString(",")
+              s"""{"suggestion":${i + 1},"linkCost":${sug.scores.linkCost},"triples":[$triples]}"""
+            }.mkString("[", ",", "]")
+            respond(ex, 200, s"""{"predictions":$cols,"suggestions":$sugs}""")
+          case None => err(ex, 400, "query param dataset required")
+        }
+
+      case _ => err(ex, 404, "no such route")
+    }
+  } catch {
+    case _: NumberFormatException => err(ex, 400, "ids must be integers")
+    case e: NoSuchElementException => err(ex, 404, e.getMessage)
+    case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
+  }
+}
+
+/** Boot the REST server: `runMain graft.Server <storeRoot> [port]`. */
+object Server {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse {
+      System.err.println("usage: graft.Server <storeRoot> [port]")
+      sys.exit(2)
+    }
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    lazy val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val bound = new GraftHttpServer(new GraftService(root), () => spark)
+      .start(port)
+    println(s"""{"listening":$bound,"store":${Json.str(root)}}""")
+    Thread.currentThread.join()
+  }
+}

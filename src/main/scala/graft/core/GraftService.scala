@@ -22,10 +22,10 @@ final case class ModelRef(id: Int, description: String, state: String,
   * boots Finch endpoints; api/ModelAPI.scala:153-193 exposes
   * create/list/get/train/predict/delete; storage/Storage.scala:1-271 is
   * the id-keyed file-backed store). Each REST endpoint maps 1:1 to a
-  * method here and to a [[Cli]] command; the HTTP transport itself is
-  * the one part not reproduced (SURVEY §7 phase 6: a CLI or programmatic
-  * layer satisfies parity — no HTTP server dependency is available in
-  * the build).
+  * method here, to a [[graft.Cli]] command, and to a
+  * [[graft.GraftHttpServer]] HTTP route (JDK httpserver — no server
+  * dependency in the build); the transports are thin, this service is
+  * the product.
   *
   * Layout: rootDir/datasets/<id>/meta.json,
   * rootDir/models/<id>/{meta.json, pipeline/, alignment.json} — trained

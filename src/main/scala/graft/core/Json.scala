@@ -18,6 +18,17 @@ object Json {
       case c => c.toString
     } + "\""
 
+  /** Parse a flat JSON object's string fields: {"k":"v", ...} ->
+    * Map(k -> unescaped v). Non-string fields and nesting are ignored —
+    * the service transports (meta sidecars, HTTP bodies) are flat
+    * string-field objects by contract. */
+  def parseFlat(s: String): Map[String, String] = {
+    val re = """"(\w+)":\s*"((?:[^"\\]|\\.)*)"""".r
+    re.findAllMatchIn(s)
+      .map(m => m.group(1) -> unescape(m.group(2)))
+      .toMap
+  }
+
   /** Unescape the body of a JSON string literal in ONE left-to-right
     * pass — sequential String.replace calls corrupt inputs where one
     * replacement manufactures another's pattern (a literal backslash

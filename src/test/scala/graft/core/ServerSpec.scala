@@ -1,0 +1,96 @@
+package graft.core
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.{GraftHttpServer, SparkSpec}
+import graft.matcher.Labels
+import graft.modeler.ModelerQueries
+
+/** REST transport parity: the full reference endpoint lifecycle —
+  * register datasets, create model, train, predict, CRUD — driven over
+  * real HTTP against the JDK-httpserver transport on an ephemeral port.
+  * The handlers are thin (every route delegates to GraftService, itself
+  * covered by GraftServiceSpec); this spec pins the wire contract. */
+class ServerSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(base: String, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body().trim)
+  }
+  private def post(base: String, path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body().trim)
+  }
+  private def delete(base: String, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body().trim)
+  }
+
+  test("dataset/model lifecycle over HTTP: CRUD, train, predict") {
+    val root = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val svc = new GraftService(root,
+      knownModels = Seq(ModelerQueries.knownOrderModel))
+    val server = new GraftHttpServer(svc, () => spark)
+    val port = server.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      assert(get(base, "/v1.0/dataset") === (200, "[]"))
+
+      val trainTables = Labels.trainTables
+        .map { case (t, cs) => s"$t:${cs.mkString(",")}" }.mkString("|")
+      val holdTables = Labels.holdoutTables
+        .map { case (t, cs) => s"$t:${cs.mkString(",")}" }.mkString("|")
+      val (c1, b1) = post(base, "/v1.0/dataset",
+        s"""{"name":"train","dir":"$sf","tables":"$trainTables"}""")
+      assert(c1 === 200 && b1.contains("\"name\":\"train\""), b1)
+      val trainId = Json.parseFlat(b1.replaceAll(""""id":(\d+)""",
+        """"id":"$1"""")).apply("id")
+      val (c2, b2) = post(base, "/v1.0/dataset",
+        s"""{"name":"holdout","dir":"$sf","tables":"$holdTables"}""")
+      assert(c2 === 200, b2)
+      val holdId = Json.parseFlat(b2.replaceAll(""""id":(\d+)""",
+        """"id":"$1"""")).apply("id")
+
+      // escaping survives the wire: a name with a quote and backslash
+      val (cq, bq) = post(base, "/v1.0/dataset",
+        """{"name":"we\"ird\\path","dir":"/tmp/x","tables":""}""")
+      assert(cq === 200 && bq.contains("""we\"ird\\path"""), bq)
+
+      val (cm, bm) = post(base, "/v1.0/model",
+        """{"description":"semantic-typer"}""")
+      assert(cm === 200 && bm.contains("\"state\":\"Untrained\""), bm)
+      val modelId = Json.parseFlat(bm.replaceAll(""""id":(\d+)""",
+        """"id":"$1"""")).apply("id")
+
+      val (ct, bt) = post(base,
+        s"/v1.0/model/$modelId/train?dataset=$trainId", "")
+      assert(ct === 200 && bt === """{"state":"Complete"}""", bt)
+      assert(get(base, s"/v1.0/model/$modelId")._2
+        .contains("\"state\":\"Complete\""))
+
+      val (cp, bp) = post(base,
+        s"/v1.0/model/$modelId/predict?dataset=$holdId", "")
+      assert(cp === 200, bp)
+      assert(bp.contains("\"predictions\":[") &&
+        bp.contains("\"label\":") && bp.contains("\"suggestions\":["), bp)
+
+      // error contract
+      assert(get(base, "/v1.0/dataset/999")._1 === 404)
+      assert(post(base, s"/v1.0/model/$modelId/train", "")._1 === 400)
+      assert(get(base, "/v1.0/nope")._1 === 404)
+      assert(delete(base, s"/v1.0/model/$modelId") ===
+        (200, """{"deleted":true}"""))
+      assert(get(base, s"/v1.0/model/$modelId")._1 === 404)
+    } finally server.stop()
+  }
+}
