@@ -29,6 +29,9 @@ object TextQueries {
     "en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25)
   val MixtureDefaultRate = 0.1
 
+  /** t8 context-window size in (coarse BPE) tokens. */
+  val PackContextTokens = 512
+
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   val defs: Map[String, QueryDef] = Map(
@@ -357,6 +360,47 @@ object TextQueries {
           floor(CAST(sum(kept) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
             AS kept_frac
         FROM k GROUP BY lang ORDER BY lang"""
-      })
+      }),
+
+    // ---- t8: sequence packing — concat-then-chop documents into
+    //      fixed-token context windows, the batching primitive of a
+    //      pre-training pipeline. Packing is a running token prefix-sum
+    //      partitioned BY SOURCE (domains pack together and each window
+    //      is per-source, so no global single-task prefix sum exists at
+    //      any corpus size — the per-source groups are the parallel
+    //      unit, exactly how a sharded corpus packs per shard).
+    "t8_sequence_pack" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables.table(s, dir, "documents")
+          .withColumn("n_tokens",
+            Text.bpeTokenCount(col("text")).cast("long"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            ((col("cum") - col("n_tokens")) / PackContextTokens)
+              .cast("long").as("pack_id"),
+            (col("cum") - col("n_tokens") -
+              ((col("cum") - col("n_tokens")) / PackContextTokens)
+                .cast("long") * PackContextTokens).as("pack_offset"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+        SELECT doc_id, source,
+          len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+      )
+      SELECT doc_id, source, n_tokens,
+        CAST((cum - n_tokens) // $PackContextTokens AS BIGINT) AS pack_id,
+        CAST(cum - n_tokens
+          - ((cum - n_tokens) // $PackContextTokens) * $PackContextTokens
+          AS BIGINT) AS pack_offset
+      FROM c ORDER BY doc_id"""))
   )
 }

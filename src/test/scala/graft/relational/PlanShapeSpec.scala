@@ -84,6 +84,30 @@ class PlanShapeSpec extends SparkSpec {
       s"every scan needs a row bound before the sample window ($limits limits / $scans scans)")
   }
 
+  test("decontamination broadcasts the eval n-gram set, no cartesian") {
+    val p = plan("d7_decontamination")
+    assert(p.contains("Broadcast"), p.take(400))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "eval-gram candidates must come from a key-equality join")
+  }
+
+  test("learned-IVF ANN probes cells via key-equality joins only") {
+    val p = plan("s5_ann_ivf_kmeans")
+    assert(!p.contains("CartesianProduct"),
+      "cell probe and rerank must ride key-equality joins")
+  }
+
+  test("sequence packing never runs a global single-partition prefix sum") {
+    val p = plan("t8_sequence_pack")
+    // the running sum must stay partitioned by source; a missing
+    // partitionBy shows up as Exchange SinglePartition under the Window
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0, p.take(400))
+    assert(!p.contains("SinglePartition"),
+      "prefix sum collapsed to one partition:\n" + p.take(800))
+  }
+
   test("bucketed join is exchange-free (layout prepays the shuffle)") {
     // disable broadcast so the assert proves the bucketed sort-merge
     // path (at real scale neither fact side is broadcastable anyway)
