@@ -97,9 +97,11 @@ object Bench {
     ordered.foreach { group =>
       group.filter(SparkEntry.queries.contains).foreach { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
-        results(name) = (System.nanoTime() - t0) / 1e9
+        // a failed query must be visible, never a fast time: -1 marker
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: $e"); false }
+        results(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       releaseCaches(spark)
     }

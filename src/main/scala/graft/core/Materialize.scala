@@ -39,13 +39,25 @@ object Materialize {
     d.toString
   }
 
-  /** Read-through materialization of `compute` under `key`. */
+  /** Read-through materialization of `compute` under `key`.
+    *
+    * Deliberately NOT `computeIfAbsent`: materialized stages nest
+    * (d2 pairs -> signatures -> shingles; matcher features -> melt), and
+    * a compute function that re-enters the same ConcurrentHashMap throws
+    * `IllegalStateException: Recursive update` whenever the nested key
+    * hashes into the locked bin — a hash-collision-dependent crash.
+    * Two-phase get/putIfAbsent holds no lock during compute, so nesting
+    * is always safe; the worst case under a concurrent race is one
+    * duplicate compute whose result is discarded. */
   def apply(spark: SparkSession, key: String)(compute: => DataFrame): DataFrame = {
-    val p = paths.computeIfAbsent(key, _ => {
-      val dir = s"$root/t${n.incrementAndGet()}"
-      compute.write.mode("overwrite").parquet(dir)
-      dir
-    })
+    val p = paths.get(key) match {
+      case existing: String => existing
+      case null =>
+        val dir = s"$root/t${n.incrementAndGet()}"
+        compute.write.mode("overwrite").parquet(dir)
+        val prev = paths.putIfAbsent(key, dir)
+        if (prev != null) prev else dir
+    }
     spark.read.parquet(p)
   }
 

@@ -133,10 +133,19 @@ object DedupQueries {
     * write anyway rather than re-shingling the corpus per consumer. */
   def shingled(s: SparkSession, dir: String): DataFrame =
     graft.core.Materialize(s, s"d2-shingles|$dir") {
-      Tables.table(s, dir, "documents")
-        .withColumn("sh", Text.wordShingles(Text.words(col("text")), 2))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("sh"))
+      // Three plan traps, each measured at ~5-10s on a 5000-doc corpus
+      // before the fix: (a) words bound to a column FIRST — HOFs defeat
+      // common-subexpression elimination, inlining the regex re-tokenizes
+      // per shingle; (b) the emptiness filter is the cheap equivalent
+      // `size(w) >= n`, NOT `size(sh) > 0` — a filter on the computed
+      // column gets pushed below the exchange with the whole shingle
+      // expression re-expanded into it; (c) the scan is rebalanced so the
+      // interpreted (non-codegen) shingle projection never runs on one
+      // small-file task.
+      Tables.rebalance(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"), Text.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), Text.wordShingles(col("w"), 2).as("sh"))
     }
 
   /** Slim `(doc_id, mh)` minhash signature frame — materialized.
@@ -148,7 +157,7 @@ object DedupQueries {
   def signatures(s: SparkSession, dir: String): DataFrame =
     graft.core.Materialize(s, s"d2-sigs|$dir") {
       val p = Text.MinhashP
-      val hashed = shingled(s, dir)
+      val hashed = Tables.rebalance(shingled(s, dir))
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .withColumn("h",
           conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % p)
@@ -350,9 +359,9 @@ object DedupQueries {
         val docs = Tables.table(s, dir, "documents")
         val isEval = col("doc_id") % DecontamEvalMod === 0
         val grams = docs
+          .select(col("doc_id"), Text.words(col("text")).as("w"))
           .select(col("doc_id"),
-            explode(Text.wordShingles(Text.words(col("text")), DecontamN))
-              .as("g"))
+            explode(Text.wordShingles(col("w"), DecontamN)).as("g"))
         val evalGrams = broadcast(
           grams.filter(isEval).select(col("g")).distinct())
         val shared = grams.filter(!isEval)

@@ -25,6 +25,18 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance a frame to full parallelism IF its scan yields fewer
+    * partitions than cores — the small-input guard for expensive
+    * interpreted projections (higher-order functions don't participate
+    * in whole-stage codegen, so a shingle/melt pass over a one-split
+    * file would otherwise run on one task). At production scale the
+    * input arrives in many splits and this is a no-op — the condition
+    * makes the rebalance shuffle small-input-only by construction. */
+  def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** All tables as a name->DataFrame map. */
   def all(spark: SparkSession, dir: String): Map[String, DataFrame] =
     names.map(n => n -> table(spark, dir, n)).toMap

@@ -84,8 +84,9 @@ object StreamingDedup {
     * d2, so a stream and a backfill produce the same candidates. */
   def bandedSignatures(docs: DataFrame, minhashK: Int, bands: Int,
       rows: Int): DataFrame = {
-    val sh = Text.wordShingles(Text.words(col("text")), 2)
-    docs.withColumn("sh", sh)
+    // words bound to a column first — see DedupQueries.shingled
+    docs.withColumn("w", Text.words(col("text")))
+      .withColumn("sh", Text.wordShingles(col("w"), 2))
       .filter(size(col("sh")) > 0)
       .withColumn("mh", Text.minhash(col("sh"), minhashK))
       .select(col("doc_id").as("docId"), col("mh"),

@@ -162,7 +162,8 @@ object TextQueries {
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
         Tables.table(s, dir, "documents")
           .withColumn("fp_exact", md5(trim(norm)))
-          .withColumn("sh", Text.wordShingles(Text.words(col("text")), 4))
+          .withColumn("w", Text.words(col("text")))
+          .withColumn("sh", Text.wordShingles(col("w"), 4))
           .withColumn("fp_min_shingle",
             coalesce(array_min(transform(col("sh"), x => md5(x))), lit("")))
           .select(col("doc_id"), col("fp_exact"), col("fp_min_shingle"))
