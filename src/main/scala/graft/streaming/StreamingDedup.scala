@@ -84,10 +84,10 @@ object StreamingDedup {
     * d2, so a stream and a backfill produce the same candidates. */
   def bandedSignatures(docs: DataFrame, minhashK: Int, bands: Int,
       rows: Int): DataFrame = {
-    // words bound to a column first — see DedupQueries.shingled
+    // words bound first + cheap emptiness filter — see DedupQueries.shingled
     docs.withColumn("w", Text.words(col("text")))
+      .filter(size(col("w")) >= 2)
       .withColumn("sh", Text.wordShingles(col("w"), 2))
-      .filter(size(col("sh")) > 0)
       .withColumn("mh", Text.minhash(col("sh"), minhashK))
       .select(col("doc_id").as("docId"), col("mh"),
         explode(Text.bandKeys(col("mh"), bands, rows)).as("bucket"))
