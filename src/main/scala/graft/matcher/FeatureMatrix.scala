@@ -119,8 +119,10 @@ object FeatureMatrix {
       tables: Seq[(String, Seq[String])]): DataFrame = {
     import spark.implicits._
     // the melt is materialized (parquet-backed) — each profiling pass
-    // below re-scans a small bounded file, no executor-memory cache held
-    val m = sampledMelt(spark, dir, tables)
+    // below re-scans a small bounded file, no executor-memory cache
+    // held — and rebalanced: the bounded sample is one small file, and
+    // the profiler's explode-heavy passes must not start on one task
+    val m = graft.sources.Tables.rebalance(sampledMelt(spark, dir, tables))
     val colsDf = tables
       .flatMap { case (t, cs) => cs.map(c => s"$t.$c") }
       .toDF("col_name")

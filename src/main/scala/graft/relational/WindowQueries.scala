@@ -117,6 +117,53 @@ object WindowQueries {
         GROUP BY ROLLUP (n_name, c_mktsegment)
         ORDER BY nation, segment""")),
 
+    // ---- q27: exact grouped percentiles (interpolated) — the exact
+    //      path; at 100 TB a percentile over an unbounded group buffers
+    //      the group's values, so the scale path is approx_percentile
+    //      (t-digest sketch, constant state), exactly as q21 is the
+    //      scale path for q7's exact distinct. Sketch internals differ
+    //      per engine, so the oracle checks the exact form.
+    "q27_percentiles" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val r2 = (c: org.apache.spark.sql.Column) =>
+          floor(c * 100 + 0.5) / 100
+        Tables.table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+            r2(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+            r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50,
+          floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90,
+          floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q28: pivot — order counts and money by status per priority
+    "q28_pivot" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.table(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select($"o_orderpriority",
+            coalesce($"F", lit(0L)).as("n_f"),
+            coalesce($"O", lit(0L)).as("n_o"),
+            coalesce($"P", lit(0L)).as("n_p"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+          CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- q21: HyperLogLog approximate distinct — the 100 TB path for
     //      q7's exact countDistinct (sketch state is constant-size per
     //      group; exact distinct shuffles every distinct value). Sketch
