@@ -38,6 +38,9 @@ object ProfileQueries {
         val bounded = ColumnProfiler.melt(
           Tables.table(s, dir, table).limit(4 * n), cols)
         ColumnProfiler.typeShares(m)
+          .join(ColumnProfiler.sampledDateShare(bounded), Seq("col_name"), "left")
+          .withColumn("share_date_sampled",
+            coalesce(col("share_date_sampled"), lit(0.0)))
           .join(ColumnProfiler.inferredTypeOneHots(bounded), Seq("col_name"))
           .orderBy("col_name")
       },
@@ -91,6 +94,11 @@ object ProfileQueries {
                 ORDER BY md5(value), value) AS rn
             FROM lm WHERE value IS NOT NULL AND length(value) > 0)
           WHERE rn <= $n
+        ), sds AS (
+          SELECT col_name,
+            round(CAST(sum(CASE WHEN regexp_matches(lower(trim(value)), '$dateRe')
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_date_sampled
+          FROM samp GROUP BY col_name
         ), typed AS (
           SELECT col_name, $typeCase AS t FROM samp
         ), tcnt AS (
@@ -107,9 +115,11 @@ object ProfileQueries {
           LEFT JOIN moded ON allc.col_name = moded.col_name
         )
         SELECT sh.col_name, share_int, share_float, share_bool, share_date,
+          coalesce(share_date_sampled, 0.0) AS share_date_sampled,
           inferred_type,
           $oneHots
         FROM sh JOIN withdef ON sh.col_name = withdef.col_name
+        LEFT JOIN sds ON sh.col_name = sds.col_name
         ORDER BY sh.col_name"""
       })
   }
