@@ -164,6 +164,35 @@ object WindowQueries {
           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- q29: latest-snapshot consolidation (CDC/upsert semantics) —
+    //      events as a change stream keyed by user: the MERGE-INTO
+    //      pattern done relationally, latest event per key wins (ties
+    //      by highest event_id). One hash-partitioned window per key —
+    //      no driver state, no sort of anything but each key's own
+    //      rows; the standard compaction step before training-data
+    //      snapshots ship.
+    "q29_latest_snapshot" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)
+        Tables.table(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id".as("last_event_id"),
+            $"event_type".as("last_type"),
+            round($"value", 6).as("last_value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+          event_type AS last_type, round(value, 6) AS last_value
+        FROM (
+          SELECT user_id, event_id, event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 ORDER BY user_id""")),
+
     // ---- q21: HyperLogLog approximate distinct — the 100 TB path for
     //      q7's exact countDistinct (sketch state is constant-size per
     //      group; exact distinct shuffles every distinct value). Sketch

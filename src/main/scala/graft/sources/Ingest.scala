@@ -247,6 +247,15 @@ object Ingest {
   /** S8: write a frame back to CSV (reference CSVDataWriter.scala). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Columnar sink/source beyond the reference's CSV: ORC round-trip
+    * (Spark-native second columnar format besides parquet — schema,
+    * types, and predicate pushdown all apply; no extra dependency). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
 
 /** Alias for the melt helper so ingestion doesn't depend on the profile

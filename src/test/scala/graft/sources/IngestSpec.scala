@@ -150,4 +150,19 @@ class IngestSpec extends SparkSpec {
     assert(back.count() === 2)
     assert(back.columns.toSeq === df.columns.toSeq)
   }
+
+  test("orc roundtrip preserves schema, values, and pushes filters") {
+    val df = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "nation")
+    val out = s"$tmp/out_orc"
+    Ingest.writeOrc(df, out)
+    val back = Ingest.orc(spark, out)
+    assert(back.schema === df.schema, "ORC round-trip keeps exact types")
+    assert(back.count() === df.count())
+    val filtered = back.filter(org.apache.spark.sql.functions
+      .col("n_regionkey") === 0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      "predicate reaches the ORC scan:\n" + plan.take(400))
+    assert(filtered.count() === df.filter("n_regionkey = 0").count())
+  }
 }
