@@ -60,7 +60,7 @@ object Bench {
     // modeler (ontology-sized graphs)
     Seq("g1_semantic_models", "g2_alignment_graph", "g3_model_evaluation"),
     // multimodal plumbing
-    Seq("mm1_media_features", "mm2_frame_samples"))
+    Seq("mm1_media_features", "mm2_frame_samples", "mm3_resized"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

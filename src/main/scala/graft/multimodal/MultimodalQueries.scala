@@ -95,6 +95,38 @@ object MultimodalQueries {
       SELECT media_id, CAST(i AS INT) AS frame_no,
         CAST(least(len, (len * i) // 4 + greatest(1, len // 4))
           - (len * i) // 4 AS BIGINT) AS frame_bytes
-      FROM f ORDER BY media_id, frame_no"""))
+      FROM f ORDER BY media_id, frame_no""")),
+
+    // ---- mm3: batched resize pass over binary payloads — the schema-
+    //      preserving transform stage of a media pipeline (decode ->
+    //      resize -> re-encode), stub-codec'd like mm1/mm2 but with the
+    //      mapPartitions batch shape and payload round-trip real. The
+    //      oracle re-derives the stub's byte contract: resized payload =
+    //      first min(len, 224*224/64) bytes, fingerprinted via
+    //      md5(hex(prefix)) (DuckDB md5 is VARCHAR-only, so both
+    //      engines hash the identical uppercase-hex string).
+    "mm3_resized" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.resizeAll(Multimodal.mediaTable(s, dir), 224, 224)
+          .toDF()
+          .select(col("media_id"), col("mime"),
+            col("width").cast("int").as("width"),
+            col("height").cast("int").as("height"),
+            length(col("payload")).cast("long").as("n_bytes_resized"),
+            md5(hex(col("payload"))).as("fp"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+        SELECT doc_id AS media_id,
+          ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+          encode(text) AS p
+        FROM documents
+      )
+      SELECT media_id, mime,
+        CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+        CAST(least(octet_length(p), 784) AS BIGINT) AS n_bytes_resized,
+        md5(substr(hex(p), 1, CAST(2 * least(octet_length(p), 784) AS INT))) AS fp
+      FROM m ORDER BY media_id"""))
   )
 }
