@@ -124,8 +124,56 @@ object DedupQueries {
       SELECT doc AS doc_id, cc.cluster_id, cluster_size,
         CASE WHEN doc = cc.cluster_id THEN 1 ELSE 0 END AS is_canonical
       FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- d8: leakage-safe train/val/test split — the assignment coin
+    //      hashes the dedup CLUSTER id, not the document id, so every
+    //      near-duplicate lands in the same split (hashing doc ids leaks
+    //      paraphrases of eval docs into train — the subtle bug this
+    //      operator exists to prevent). Consumes d6's components off the
+    //      materialized pair table; the split itself is a row-wise
+    //      deterministic decision, no extra shuffle.
+    "d8_leakage_safe_split" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+        val comp = connectedComponents(docs, minhashPairs(s, dir))
+        val u = (conv(substring(md5(col("cluster_id").cast("string")
+          .cast("binary")), 1, 15), 16, 10).cast("long") % 1000L)
+          .cast("double") / 1000.0
+        comp
+          .withColumn("split",
+            when(u < SplitTrainFrac, "train")
+              .when(u < SplitTrainFrac + SplitValFrac, "val")
+              .otherwise("test"))
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $d2CoreSql,
+      nodes AS (SELECT doc_id FROM documents),
+      sym AS (
+        SELECT doc1 AS a, doc2 AS b FROM verified
+        UNION ALL SELECT doc2, doc1 FROM verified
+      ),
+      walk(doc, comp) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
+      ),
+      cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc)
+      SELECT doc AS doc_id, cluster_id,
+        CASE WHEN (CAST(('0x' ||
+            substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000) / 1000.0 < $SplitTrainFrac THEN 'train'
+          WHEN (CAST(('0x' ||
+            substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000) / 1000.0 < ${SplitTrainFrac + SplitValFrac} THEN 'val'
+          ELSE 'test' END AS split
+      FROM cc ORDER BY doc_id"""))
   ) ++ otherDefs
+
+  /** d8 split fractions (train/val; test = remainder). */
+  val SplitTrainFrac = 0.8
+  val SplitValFrac = 0.1
 
   /** Shingled documents `(doc_id, sh)` — materialized: the shingle
     * arrays are scanned by signature generation and again by the exact

@@ -90,6 +90,19 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    val out = DedupQueries.defs("d8_leakage_safe_split").fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.forall { case (_, rows) =>
+      rows.map(_.getAs[String]("split")).distinct.length == 1
+    }, "all docs of a cluster must share a split — else eval leaks into train")
+    val fracs = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length.toDouble / out.length).toMap
+    assert(fracs.getOrElse("train", 0.0) > 0.6, s"train frac off: $fracs")
+    assert(fracs.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("d5 LSH path: key-equality candidates, exact cosines, sane recall") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
