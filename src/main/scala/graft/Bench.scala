@@ -35,7 +35,7 @@ object Bench {
       "q18_priority_count", "q19_rollup_revenue", "q20_salted_agg",
       "q21_approx_distinct", "q22_asof_join", "q23_range_join",
       "q24_sessionize", "q25_bucketed_join", "q26_partition_pruned",
-      "q27_percentiles", "q28_pivot", "q29_latest_snapshot"),
+      "q27_percentiles", "q28_pivot", "q29_latest_snapshot", "q30_cube"),
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part"),
@@ -47,7 +47,8 @@ object Bench {
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
       "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
-      "d7_decontamination", "d8_leakage_safe_split"),
+      "d7_decontamination", "d8_leakage_safe_split",
+      "d9_embedding_clusters"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans"),

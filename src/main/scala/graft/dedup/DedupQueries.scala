@@ -40,6 +40,12 @@ object DedupQueries {
   val NdBits = 4
   val NdMaxBucket = 2000
 
+  /** d9: cosine threshold for an embedding near-dup EDGE (cluster
+    * membership). Below d5's top-k reporting cut, chosen so the synthetic
+    * corpus yields non-trivial clusters at every sf. NOTE: declared
+    * before the eager `otherDefs` map that interpolates it. */
+  val NearDupCosThreshold = 0.4
+
   val MinhashK = 64
   val Bands = 32
   val Rows = 2
@@ -561,7 +567,58 @@ object DedupQueries {
              sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
       )
-      SELECT vec1, vec2, cos FROM p ORDER BY cos DESC, vec1, vec2 LIMIT 20"""))
+      SELECT vec1, vec2, cos FROM p ORDER BY cos DESC, vec1, vec2 LIMIT 20""")),
+
+    // ---- d9: semantic dedup clusters — connected components over the
+    //      embedding near-dup pair graph (d6's analogue in embedding
+    //      space): pairs above [[NearDupCosThreshold]] by cosine, then
+    //      large-star/small-star contraction. Same oracle bound as d5
+    //      (brute twin valid only under NearDupBruteMax; above it the
+    //      LSH candidates are approximate by design).
+    "d9_embedding_clusters" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", Text.norm(col("v")))
+          .persist()
+        val all = if (e.count() <= NearDupBruteMax)
+          embeddingPairsBrute(e) else embeddingPairsLsh(e)
+        val pairs = all.filter(col("cos") >= NearDupCosThreshold)
+          .select(col("vec1").as("doc1"), col("vec2").as("doc2"))
+        val vecs = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"))
+        val comp = connectedComponents(vecs, pairs)
+        val sizes = comp.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, "cluster_id")
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            col("cluster_size"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""-- same exact-oracle bound as d5: brute pair twin, valid
+      -- while count(embeddings) <= $NearDupBruteMax
+      WITH RECURSIVE e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), p AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(
+            list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6)
+          >= $NearDupCosThreshold
+      ), sym AS (
+        SELECT v1 AS a, v2 AS b FROM p UNION ALL SELECT v2, v1 FROM p
+      ), walk(vec, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.vec
+      ), cc AS (SELECT vec, min(comp) AS cluster_id FROM walk GROUP BY vec),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+      SELECT vec AS vec_id, cc.cluster_id, cluster_size
+      FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+      ORDER BY vec_id"""))
   )
 
   /** Exact all-pairs cosine (norms precomputed per vector). O(n^2)

@@ -164,6 +164,27 @@ object WindowQueries {
           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- q30: CUBE — all grouping-set combinations over two dims
+    "q30_cube" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.table(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), money($"o_totalprice").as("sum_price"))
+          .select(
+            coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"n", $"sum_price")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2)
+            AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
     // ---- q29: latest-snapshot consolidation (CDC/upsert semantics) —
     //      events as a change stream keyed by user: the MERGE-INTO
     //      pattern done relationally, latest event per key wins (ties

@@ -15,6 +15,8 @@ class GlobalPlanSpec extends SparkSpec {
       "query side is NumQueries rows, broadcast"),
     "d5_embedding_neardup" -> ("brute-force pair scan below " +
       "NearDupBruteMax=1000 vectors only; LSH key-equality above"),
+    "d9_embedding_clusters" -> ("same gate as d5: brute pair edges " +
+      "below NearDupBruteMax, LSH band-key candidates above"),
     "m1_knn_name_features" -> ("kNN over COLUMN NAMES — the pool is " +
       "O(#labelled columns), broadcast crossJoin by design"),
     "m2_min_class_distance" -> "same column-name pool as m1",
