@@ -15,7 +15,8 @@ object SparkEntry {
     matcher.MatcherQueries.defs,
     matcher.EvalQueries.defs,
     modeler.ModelerQueries.defs,
-    multimodal.MultimodalQueries.defs
+    multimodal.MultimodalQueries.defs,
+    streaming.StreamingQueries.defs
   )
 
   private lazy val (qs, oracles) = QueryDef.split(registries: _*)

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Harness-visible Structured-Streaming queries: each runs a REAL
+  * streaming query (parquet file source → Trigger.AvailableNow → memory
+  * sink) and returns the sink table, so the driver's DuckDB oracle
+  * checks the stream's output value-exactly against the batch SQL
+  * answer. This pins the batch/stream unification contract end-to-end —
+  * not just "a streaming variant exists" (the §2.13 specs) but "the
+  * stream computes the same answer as the warehouse would".
+  *
+  * Scale notes (the reason each shape is 100-TB-safe):
+  *  - st1: windowed aggregation state is O(#windows × #event_types),
+  *    independent of stream length; sums are decimal-accumulated so the
+  *    answer is batch-identical regardless of micro-batch boundaries.
+  *  - st2: `session_window` keeps state per OPEN session only; the
+  *    watermark closes and emits sessions exactly once (append mode).
+  *    Emission is watermark-gated, so the oracle filters to sessions
+  *    the final watermark (max event time - delay) has passed — the
+  *    same answer any executor count or batch split produces.
+  *  - st3: streaming dropDuplicates keys state by the 128-bit content
+  *    fingerprint only (no document bodies in the state store). For
+  *    time-bounded retention at production scale the engine pairs this
+  *    with `dropDuplicatesWithinWatermark` (see [[StreamingDedup]]).
+  *  - st4: stateless projection — no state store at all; a stream and
+  *    its batch backfill are identical by construction.
+  */
+object StreamingQueries {
+
+  private val runId = new AtomicInteger(0)
+
+  /** Stream a scale-factor parquet table through the file source.
+    * Schema comes from the batch catalog ([[Tables.table]]), so the
+    * nanos-timestamp handling is shared; `maxFilesPerTrigger=1` keeps
+    * the source honest about micro-batching when a table has several
+    * files. */
+  private def streamTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    // the file source wants a directory: stream the sf dir, glob-filtered
+    // to this table's file(s)
+    if (name == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/$name.parquet").schema
+    val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    if (name == "events")
+      src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else src
+  }
+
+  /** Run `df` as a streaming query into a memory sink until all
+    * available input is processed (Trigger.AvailableNow, which also
+    * runs the final no-data batch that advances the watermark and
+    * flushes closed windows), then return the sink table. */
+  private def runStream(df: DataFrame, mode: String): DataFrame = {
+    val nm = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(nm)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(nm)
+  }
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(25,6)"))
+  private def money(c: org.apache.spark.sql.Column) =
+    round(dsum(c).cast("double"), 2)
+
+  val SessionGapSec = 1800L
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- st1: streaming daily event rollup (complete-mode windowed agg)
+    "st1_stream_event_rollup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = streamTable(s, dir, "events")
+          .groupBy(window($"ts", "1 day"), $"event_type")
+          .agg(count(lit(1)).as("n_events"), money($"value").as("sum_value"))
+          .select($"window.start".cast("date").as("day"), $"event_type",
+            $"n_events", $"sum_value")
+        runStream(out, "complete")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // ---- st2: streaming sessionization (session_window, append mode,
+    // watermark-gated emission). The oracle mirrors BOTH semantics that
+    // differ from batch q24: the half-open session close (new session
+    // when the gap is >= 30 min, exact microseconds) and the emission
+    // gate (only sessions whose end the final watermark passed are out).
+    "st2_stream_sessions" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = StreamingSessions.sessionize(
+          streamTable(s, dir, "events").select($"user_id", $"ts"),
+          "30 minutes", "0 seconds")
+        runStream(out, "append")
+      },
+      Some(s"""WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${SessionGapSec}000000
+            THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM g
+        ), agg AS (
+          SELECT user_id, min(ts) AS session_start,
+            max(ts) + INTERVAL $SessionGapSec SECOND AS session_end,
+            count(*) AS n_events
+          FROM sess GROUP BY user_id, session_no
+        )
+        SELECT user_id, session_start, session_end, n_events FROM agg
+        WHERE session_end <= (SELECT max(ts) FROM events)
+        ORDER BY user_id, session_start""")),
+
+    // ---- st3: streaming exact-dedup — distinct content fingerprints
+    // via streaming dropDuplicates (state = fingerprint keys only)
+    "st3_stream_distinct_docs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = streamTable(s, dir, "documents")
+          .select(md5($"text").as("fingerprint"))
+          .dropDuplicates("fingerprint")
+        runStream(out, "append")
+      },
+      Some("SELECT DISTINCT md5(text) AS fingerprint FROM documents")),
+
+    // ---- st4: streaming quality gate + PII scrub (stateless pass)
+    "st4_stream_quality_scrub" -> QueryDef(
+      (s, dir) => {
+        val out = StreamingQuality.qualityScrub(
+          streamTable(s, dir, "documents"))
+        runStream(out, "append")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, text,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+        ), f AS (
+          SELECT doc_id, text,
+            CAST(len(w) AS BIGINT) AS n_words,
+            round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+            round(CAST(len(list_filter(w, x -> x IN (${graft.text.TextQueries.enStopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / greatest(len(w), 1), 6) AS stop_ratio
+          FROM d
+        ), q AS (
+          SELECT doc_id, text, n_words,
+            floor((least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                  (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+                  least(stop_ratio * 5.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6 AS quality_score
+          FROM f
+        )
+        SELECT doc_id, n_words, quality_score,
+          CAST(CASE WHEN quality_score >= ${StreamingQuality.MinQuality} THEN 1 ELSE 0 END AS BIGINT) AS keep,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+            '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS scrubbed
+        FROM q ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The harness-visible streaming queries (st1-st4) are oracle-checked
+  * by the driver in DuckDB; these specs pin the stream-vs-batch
+  * equivalence INSIDE Spark at sf0.001 so `sbt test` catches a broken
+  * file-source/trigger/sink pipeline without the oracle harness. */
+class StreamingQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("st1 streaming daily rollup equals the batch aggregation") {
+    val streamed = run("st1_stream_event_rollup")
+      .orderBy("day", "event_type").collect().toSeq
+    val batch = graft.sources.Tables.table(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(25,6)")).cast("double"), 2)
+          .as("sum_value"))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("st2 emits exactly the sessions the final watermark closed") {
+    val events = graft.sources.Tables.table(spark, sf, "events")
+    // batch twin of session_window semantics: half-open close (>= gap),
+    // microsecond-exact — then the append-mode emission gate
+    val sessions = StreamingSessions.sessionize(
+      events.select(col("user_id"), col("ts")), "30 minutes", "0 seconds")
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val expected = sessions
+      .where(col("session_end") <= lit(maxTs))
+      .orderBy("user_id", "session_start").collect().toSeq
+    val streamed = run("st2_stream_sessions")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed.nonEmpty && streamed === expected)
+  }
+
+  test("st3 streaming dedup yields the batch-distinct fingerprint set") {
+    val streamed = run("st3_stream_distinct_docs")
+      .orderBy("fingerprint").collect().map(_.getString(0)).toSeq
+    val batch = graft.sources.Tables.table(spark, sf, "documents")
+      .select(md5(col("text")).as("f")).distinct()
+      .orderBy("f").collect().map(_.getString(0)).toSeq
+    assert(streamed === batch)
+  }
+
+  test("st4 stateless quality scrub equals its batch backfill") {
+    val streamed = run("st4_stream_quality_scrub")
+      .orderBy("doc_id").collect().toSeq
+    val batch = StreamingQuality.qualityScrub(
+        graft.sources.Tables.table(spark, sf, "documents"))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+  }
+}
