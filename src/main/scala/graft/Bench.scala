@@ -57,7 +57,8 @@ object Bench {
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",
       "m7_pairwise_features", "m8_bagged_predictions",
       "m1_knn_name_features", "m2_min_class_distance",
-      "m3_char_cosine_features", "m5_resample_counts", "m9_word_tf"),
+      "m3_char_cosine_features", "m5_resample_counts", "m9_word_tf",
+      "m10_lexical_features"),
     // modeler (ontology-sized graphs)
     Seq("g1_semantic_models", "g2_alignment_graph", "g3_model_evaluation"),
     // multimodal plumbing

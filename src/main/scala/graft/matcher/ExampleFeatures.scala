@@ -117,6 +117,35 @@ object ExampleFeatures {
     * double (sums of squared counts), so tf values are bit-identical
     * across engines; the final value floor-rounds half-up at 6
     * decimals. Returns (col_name, term, tf). */
+  /** Lexical (WordNet-family) min distance from each class's example
+    * headers (reference J4/A25:
+    * MinWordNetDistFromClassExamplesFeatureExtractor.scala:35-266) —
+    * JCN / LIN / WUP over the pluggable [[graft.functions.Lexical]]
+    * taxonomy. Same broadcast-pool shape as [[knn]]; the pair metric is
+    * a name-level UDF (tiny cardinality, the sanctioned exception).
+    * Output long-format: (query_col, class_name, jcn_dist, lin_dist,
+    * wup_dist), min over each class's examples. */
+  def lexicalMinDistPerClass(queries: DataFrame, pool: DataFrame): DataFrame = {
+    val pair = udf { (q: String, p: String) =>
+      val t = graft.functions.Lexical.Taxonomy.builtin
+      val qt = graft.functions.StringFunctions.tokenize(q)
+      val pt = graft.functions.StringFunctions.tokenize(p)
+      if (qt.isEmpty || pt.isEmpty) (-1.0, -1.0, -1.0)
+      else t.compoundDistance(qt, pt)
+    }
+    val q = queries.select(col("col_name").as("query_col"))
+      .withColumn("qname", shortName(col("query_col")))
+    val p = broadcast(pool.select(col("col_name").as("pool_col"), col("label"))
+      .withColumn("pname", shortName(col("pool_col"))))
+    q.join(p)
+      .withColumn("d", pair(col("qname"), col("pname")))
+      .groupBy(col("query_col"), col("label").as("class_name"))
+      .agg(min(col("d._1")).as("jcn_dist"),
+        min(col("d._2")).as("lin_dist"),
+        min(col("d._3")).as("wup_dist"))
+      .orderBy(col("query_col"), col("class_name"))
+  }
+
   def wordTfVector(melted: DataFrame): DataFrame = {
     val v = col("value")
     val terms = melted.filter(v.isNotNull && length(v) > 0)

@@ -298,6 +298,88 @@ object MatcherQueries {
           UNION ALL SELECT 'upsample_to_median', label, greatest(c, med) FROM counts, stats
         )
         SELECT strategy, label, CAST(n AS BIGINT) AS n FROM strat
-        ORDER BY strategy, label"""))
+        ORDER BY strategy, label""")),
+
+    // ---- m10: lexical (WordNet-family) min class-example distances
+    // (J4/A25/F5). The oracle is fully relational: header tokenizations
+    // and word-level metric values enter as VALUES (both are pure
+    // functions of literal header strings — data-independent, like m1's
+    // pool), and DuckDB re-derives the alignment (per-bigger-token min,
+    // truncated micro-mean, min over examples) from relational algebra.
+    "m10_lexical_features" -> QueryDef(
+      (s, dir) =>
+        ExampleFeatures.lexicalMinDistPerClass(holdoutColsDf(s), trainLabelsDf(s)),
+      Some(lexicalOracleSql))
   )
+
+  /** Build the m10 oracle: token VALUES + word-distance-micros VALUES +
+    * the alignment SQL. Direction rule mirrors the reference: iterate
+    * the BIGGER token set (amin/aavg iterate query tokens, bmin/bavg
+    * example tokens; the CASE picks by set size). */
+  private def lexicalOracleSql: String = {
+    import graft.functions.{Lexical, StringFunctions}
+    val tax = Lexical.Taxonomy.builtin
+    val qtoks = Labels.holdout.map { case (t, c, _) =>
+      s"$t.$c" -> StringFunctions.tokenize(c) }
+    val ptoks = Labels.train.map { case (t, c, l) =>
+      (s"$t.$c", l, StringFunctions.tokenize(c)) }
+    val qvals = qtoks.flatMap { case (n, ts) =>
+      ts.map(tk => s"('$n', '$tk')") }.mkString(",\n      ")
+    val pvals = ptoks.flatMap { case (n, l, ts) =>
+      ts.map(tk => s"('$n', '$l', '$tk')") }.mkString(",\n      ")
+    val qvocab = qtoks.flatMap(_._2).distinct.sorted
+    val pvocab = ptoks.flatMap(_._3).distinct.sorted
+    val wdvals = (for (qw <- qvocab; pw <- pvocab) yield {
+      val (j, l, w) = tax.wordDistanceMicros(qw, pw)
+      s"('$qw', '$pw', $j, $l, $w)"
+    }).mkString(",\n      ")
+    s"""WITH qtok(col_name, tok) AS (VALUES
+      $qvals
+      ), ptok(col_name, label, tok) AS (VALUES
+      $pvals
+      ), wd(w1, w2, jcn_u, lin_u, wup_u) AS (VALUES
+      $wdvals
+      ), qn AS (SELECT col_name, count(*) AS n FROM qtok GROUP BY 1
+      ), pn AS (SELECT col_name, count(*) AS n FROM ptok GROUP BY 1
+      ), pairs AS (
+        SELECT q.col_name AS qcol, p.col_name AS pcol, p.label,
+               q.tok AS qt, p.tok AS pt, wd.jcn_u, wd.lin_u, wd.wup_u
+        FROM qtok q CROSS JOIN ptok p
+        JOIN wd ON wd.w1 = q.tok AND wd.w2 = p.tok
+      ), amin AS (
+        SELECT qcol, pcol, label, qt, min(jcn_u) AS jcn_u,
+               min(lin_u) AS lin_u, min(wup_u) AS wup_u
+        FROM pairs GROUP BY 1, 2, 3, 4
+      ), aavg AS (
+        SELECT qcol, pcol, label,
+          CAST(floor(CAST(sum(jcn_u) AS DOUBLE) / count(*)) AS BIGINT) AS jcn_u,
+          CAST(floor(CAST(sum(lin_u) AS DOUBLE) / count(*)) AS BIGINT) AS lin_u,
+          CAST(floor(CAST(sum(wup_u) AS DOUBLE) / count(*)) AS BIGINT) AS wup_u
+        FROM amin GROUP BY 1, 2, 3
+      ), bmin AS (
+        SELECT qcol, pcol, label, pt, min(jcn_u) AS jcn_u,
+               min(lin_u) AS lin_u, min(wup_u) AS wup_u
+        FROM pairs GROUP BY 1, 2, 3, 4
+      ), bavg AS (
+        SELECT qcol, pcol, label,
+          CAST(floor(CAST(sum(jcn_u) AS DOUBLE) / count(*)) AS BIGINT) AS jcn_u,
+          CAST(floor(CAST(sum(lin_u) AS DOUBLE) / count(*)) AS BIGINT) AS lin_u,
+          CAST(floor(CAST(sum(wup_u) AS DOUBLE) / count(*)) AS BIGINT) AS wup_u
+        FROM bmin GROUP BY 1, 2, 3
+      ), pairdist AS (
+        SELECT a.qcol, a.pcol, a.label,
+          CASE WHEN qn.n <= pn.n THEN b.jcn_u ELSE a.jcn_u END AS jcn_u,
+          CASE WHEN qn.n <= pn.n THEN b.lin_u ELSE a.lin_u END AS lin_u,
+          CASE WHEN qn.n <= pn.n THEN b.wup_u ELSE a.wup_u END AS wup_u
+        FROM aavg a
+        JOIN bavg b ON a.qcol = b.qcol AND a.pcol = b.pcol AND a.label = b.label
+        JOIN qn ON qn.col_name = a.qcol
+        JOIN pn ON pn.col_name = a.pcol
+      )
+      SELECT qcol AS query_col, label AS class_name,
+        min(jcn_u) / 1000000.0 AS jcn_dist,
+        min(lin_u) / 1000000.0 AS lin_dist,
+        min(wup_u) / 1000000.0 AS wup_dist
+      FROM pairdist GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 }

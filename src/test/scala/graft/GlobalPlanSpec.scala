@@ -20,6 +20,8 @@ class GlobalPlanSpec extends SparkSpec {
     "m1_knn_name_features" -> ("kNN over COLUMN NAMES — the pool is " +
       "O(#labelled columns), broadcast crossJoin by design"),
     "m2_min_class_distance" -> "same column-name pool as m1",
+    "m10_lexical_features" -> ("lexical distances over COLUMN NAMES — " +
+      "same broadcast O(#labelled columns) pool as m1/m2"),
     "m3_char_cosine_features" -> "class-example histogram pairs, O(#columns)",
     "m7_pairwise_features" -> "all-pairs of holdout COLUMNS, O(#columns^2)",
     "q25_bucketed_join" -> ("no all-pairs operator; listed because the " +
