@@ -32,6 +32,12 @@ object SimilarityQueries {
   /** IVF cells probed per query in s5. */
   val IvfNprobe = 2
 
+  /** s6 product quantization: M subspaces × K codes per subspace,
+    * trained by the same integer-exact Lloyd arithmetic as s4. */
+  val PqM = 4
+  val PqK = 8
+  val PqIters = 2
+
   /** 16 deterministic pseudo-random +/-1 hyperplanes over 64 dims. */
   val Planes = 16
   val Dims = 64
@@ -302,8 +308,155 @@ object SimilarityQueries {
             col("cos"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfKmeansOracleSql))
+      Some(ivfKmeansOracleSql)),
+
+    // ---- s6: product-quantization ANN (ADC scan) — the memory-scale
+    //      path: each vector compresses to M sub-codes (4×3 bits here
+    //      vs 64 floats), and queries score candidates through a
+    //      per-query lookup table of query-subvector→sub-centroid
+    //      distances (asymmetric distance computation), so the scan
+    //      touches codes only, never raw vectors. At 100 TB this is
+    //      what keeps an ANN index in memory: codes are ~50× smaller
+    //      than the embeddings. Every join is key-equality — the
+    //      (sub, code) probe against a broadcast NumQueries×M×K
+    //      table — and the arithmetic is integer-exact end-to-end, so
+    //      the DuckDB oracle reproduces codebooks, code assignments,
+    //      and ADC scores bit-for-bit.
+    "s6_ann_pq" -> QueryDef(
+      (s, dir) => {
+        val m = pqMelt(s, dir)
+        val cents = pqCodebooks(s, dir)
+        val codes = assignToSubCentroids(m, cents)
+          .select(col("vec_id"), col("sub"), col("k"))
+        // per-query ADC table: dist from each query subvector to each
+        // sub-centroid — NumQueries*M*K rows, broadcast
+        val qd = m.filter(col("vec_id") < NumQueries)
+          .join(broadcast(cents), Seq("sub", "d"))
+          .groupBy(col("vec_id").as("query_id"), col("sub"), col("k"))
+          .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6")))
+            .as("dist"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("neighbor_id"))
+        codes.join(broadcast(qd), Seq("sub", "k"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum(col("dist")).as("adc"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("neighbor_id"),
+            col("adc").as("adc_e12"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqOracleSql))
   )
+
+  /** Subspaced melt for PQ: (vec_id, sub, d, x6), sub = d div subDim. */
+  private def pqMelt(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    kmeansMelt(s, dir)
+      .withColumn("sub", (col("d") / lit(Dims / PqM)).cast("long"))
+
+  /** Per-(vector, subspace) nearest code: (vec_id, sub, k, dist); ties
+    * to the lower code id via the struct min, like [[assignToCentroids]]. */
+  private def assignToSubCentroids(m: DataFrame, c: DataFrame): DataFrame =
+    m.join(broadcast(c), Seq("sub", "d"))
+      .groupBy(col("vec_id"), col("sub"), col("k"))
+      .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("k"))).as("a"))
+      .select(col("vec_id"), col("sub"),
+        col("a.k").as("k"), col("a.dist").as("dist"))
+
+  /** PQ codebooks (sub, k, d, c6), materialized once per dir. Seeds:
+    * the PqK lowest vec_ids provide the initial sub-centroids in every
+    * subspace (deterministic, mirrors the s4 init). */
+  def pqCodebooks(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.Materialize(s, s"pq-cents|$dir") {
+      val m = pqMelt(s, dir).persist()
+      val init = m.select(col("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(PqK)
+        .withColumn("k", (row_number().over(
+          Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      var cents = m.join(broadcast(init), "vec_id")
+        .select(col("sub"), col("k"), col("d"), col("x6").as("c6"))
+        .localCheckpoint(true)
+      for (_ <- 1 to PqIters) {
+        val a = assignToSubCentroids(m, cents)
+        cents = a.join(m, Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("k"), col("d"))
+          .agg(floor(sum(col("x6")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("c6"))
+          .localCheckpoint(true)
+      }
+      m.unpersist()
+      cents
+    }
+
+  /** DuckDB twin of the PQ chain: subspaced Lloyd loop (pd/pa/pc),
+    * final code assignment, and the ADC join — `qd` falls out of the
+    * same `pfin` distance table the codes come from. */
+  private def pqCtes: String = {
+    val subDim = Dims / PqM
+    val iters = (1 to PqIters).map { i =>
+      s"""pd$i AS (
+        SELECT m.vec_id, c.sub, c.k,
+          CAST(sum((m.x6 - c.x6)*(m.x6 - c.x6)) AS BIGINT) AS dist
+        FROM pm m JOIN pc${i - 1} c ON m.d = c.d AND m.sub = c.sub
+        GROUP BY 1, 2, 3
+      ), pa$i AS (
+        SELECT vec_id, sub, k FROM (
+          SELECT vec_id, sub, k,
+            row_number() OVER (PARTITION BY vec_id, sub
+              ORDER BY dist, k) AS rn
+          FROM pd$i) WHERE rn = 1
+      ), pc$i AS (
+        SELECT a.sub, a.k, m.d,
+          CAST(floor(CAST(sum(m.x6) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS x6
+        FROM pa$i a JOIN pm m ON a.vec_id = m.vec_id AND a.sub = m.sub
+        GROUP BY 1, 2, 3
+      )"""
+    }.mkString(", ")
+    s"""pm AS (
+      SELECT vec_id, d, d // $subDim AS sub, x6 FROM (
+        SELECT vec_id, unnest(range(0, $Dims)) AS d,
+          unnest(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 0.5) AS BIGINT))) AS x6
+        FROM embeddings)
+    ), pinit AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT DISTINCT vec_id FROM pm ORDER BY vec_id LIMIT $PqK)
+    ), pc0 AS (
+      SELECT m.sub, i.k, m.d, m.x6 FROM pm m JOIN pinit i USING (vec_id)
+    ), $iters, pfin AS (
+      SELECT m.vec_id, c.sub, c.k,
+        CAST(sum((m.x6 - c.x6)*(m.x6 - c.x6)) AS BIGINT) AS dist
+      FROM pm m JOIN pc$PqIters c ON m.d = c.d AND m.sub = c.sub
+      GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id, sub, k FROM (
+        SELECT vec_id, sub, k,
+          row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, k) AS rn
+        FROM pfin) WHERE rn = 1
+    ), qd AS (
+      SELECT vec_id AS query_id, sub, k, dist FROM pfin
+      WHERE vec_id < $NumQueries
+    ), adc AS (
+      SELECT qd.query_id, codes.vec_id AS neighbor_id,
+        CAST(sum(qd.dist) AS BIGINT) AS adc
+      FROM codes JOIN qd ON qd.sub = codes.sub AND qd.k = codes.k
+      WHERE qd.query_id <> codes.vec_id GROUP BY 1, 2
+    )"""
+  }
+
+  private def pqOracleSql: String =
+    s"""WITH $pqCtes
+    SELECT query_id, neighbor_id, adc AS adc_e12, rank FROM (
+      SELECT query_id, neighbor_id, adc,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY adc, neighbor_id) AS rank
+      FROM adc) WHERE rank <= $TopK
+    ORDER BY query_id, rank"""
 
 
   /** Long-format scaled-integer melt of the embedding corpus:
