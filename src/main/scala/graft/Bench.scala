@@ -87,6 +87,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional args: query names to run (in the fixed group order);
+    // no args = the full portfolio
+    val only: Set[String] = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -101,7 +104,8 @@ object Bench {
     val ordered = if (extras.isEmpty) groups else groups :+ extras
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     ordered.foreach { group =>
-      group.filter(SparkEntry.queries.contains).foreach { name =>
+      group.filter(SparkEntry.queries.contains)
+        .filter(n => only.isEmpty || only.contains(n)).foreach { name =>
         val t0 = System.nanoTime()
         // a failed query must be visible, never a fast time: -1 marker
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
