@@ -42,7 +42,7 @@ object Bench {
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
-      "t7_mixture_sample", "t8_sequence_pack"),
+      "t7_mixture_sample", "t8_sequence_pack", "t9_gopher_rules"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",

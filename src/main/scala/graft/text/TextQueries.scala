@@ -34,6 +34,10 @@ object TextQueries {
 
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** Gopher word-count lower bound (the paper uses 50). NOTE: must be
+    * declared before `defs` — the oracle SQL interpolates it eagerly. */
+  val GopherMinWords = 50L
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- t1: token statistics per (lang, source)
@@ -402,6 +406,97 @@ object TextQueries {
         CAST(cum - n_tokens
           - ((cum - n_tokens) // $PackContextTokens) * $PackContextTokens
           AS BIGINT) AS pack_offset
-      FROM c ORDER BY doc_id"""))
+      FROM c ORDER BY doc_id""")),
+
+    // ---- t9: Gopher-style quality-rule battery (Rae et al. 2021,
+    //      "Scaling Language Models" §A1.1) — the standard rule set a
+    //      pretraining pipeline applies before model-based filters:
+    //      word-count bounds, mean-word-length band, symbol-to-word
+    //      ratio, alphabetic-word fraction, stopword evidence, and
+    //      line-shape rules (bullet/ellipsis fractions; exact zeros on
+    //      this single-line corpus, verified as such by the oracle).
+    //      Pure per-row codegen expressions — no joins, no state.
+    "t9_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        val r6 = (c: org.apache.spark.sql.Column) =>
+          floor(c * 1e6 + 0.5) / 1e6
+        val stop = enStopwords.map(w => s"'$w'").mkString(", ")
+        Tables.table(s, dir, "documents")
+          .withColumn("w", Text.words(col("text")))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .filter(col("n_words") > 0)
+          .withColumn("mean_word_len", r6(
+            expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double")
+              / col("n_words")))
+          .withColumn("symbol_ratio", r6((
+            (length(col("text"))
+              - length(regexp_replace(col("text"), lit("#"), lit("")))) +
+            (length(col("text"))
+              - length(regexp_replace(col("text"), lit("\\.\\.\\."), lit("")))) / 3)
+            .cast("double") / col("n_words")))
+          .withColumn("alpha_word_frac", r6(
+            expr("size(filter(w, x -> x rlike '[a-z]'))").cast("double")
+              / col("n_words")))
+          .withColumn("n_stop_hits",
+            expr(s"size(filter(array($stop), s -> array_contains(w, s)))")
+              .cast("long"))
+          .withColumn("lines", split(col("text"), "\n"))
+          .withColumn("bullet_line_frac", r6(
+            expr("size(filter(lines, x -> ltrim(x) rlike '^[-*•]'))")
+              .cast("double") / size(col("lines"))))
+          .withColumn("ellipsis_line_frac", r6(
+            expr("size(filter(lines, x -> rtrim(x) rlike '\\\\.\\\\.\\\\.$'))")
+              .cast("double") / size(col("lines"))))
+          .withColumn("gopher_keep", (
+            col("n_words").between(GopherMinWords, 100000L) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("alpha_word_frac") >= 0.8 &&
+            col("n_stop_hits") >= 2 &&
+            col("bullet_line_frac") <= 0.9 &&
+            col("ellipsis_line_frac") <= 0.3).cast("long"))
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("symbol_ratio"), col("alpha_word_frac"), col("n_stop_hits"),
+            col("bullet_line_frac"), col("ellipsis_line_frac"),
+            col("gopher_keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = enStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH d AS (
+        SELECT doc_id, text, $wordsSqlDuck AS w,
+          string_split(text, chr(10)) AS lines
+        FROM documents WHERE len($wordsSqlDuck) > 0
+      ), f AS (
+        SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_words,
+          floor(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+            / len(w) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+          floor(CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+            AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+          floor(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+            AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6 AS alpha_word_frac,
+          CAST(len(list_filter([$stop], s -> list_contains(w, s)))
+            AS BIGINT) AS n_stop_hits,
+          floor(CAST(len(list_filter(lines,
+              x -> regexp_matches(ltrim(x), '^[-*•]')))
+            AS DOUBLE) / len(lines) * 1e6 + 0.5) / 1e6 AS bullet_line_frac,
+          floor(CAST(len(list_filter(lines,
+              x -> regexp_matches(rtrim(x), '\\.\\.\\.$$')))
+            AS DOUBLE) / len(lines) * 1e6 + 0.5) / 1e6 AS ellipsis_line_frac
+        FROM d
+      )
+      SELECT *, CAST(CASE WHEN
+          n_words BETWEEN $GopherMinWords AND 100000
+          AND mean_word_len BETWEEN 3.0 AND 10.0
+          AND symbol_ratio <= 0.1
+          AND alpha_word_frac >= 0.8
+          AND n_stop_hits >= 2
+          AND bullet_line_frac <= 0.9
+          AND ellipsis_line_frac <= 0.3
+        THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+      FROM f ORDER BY doc_id"""
+      })
   )
 }
