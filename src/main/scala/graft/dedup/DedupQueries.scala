@@ -54,6 +54,10 @@ object DedupQueries {
     * k=64 minhash estimator) for the verify pre-filter. */
   val EstMargin = 0.15
 
+  /** d10 repeated-window size in words (Lee et al. 2022 use 50 BPE
+    * tokens; 8 words fits this corpus's 10-99-word documents). */
+  val SubstringWindow = 8
+
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private def shinglesSqlDuck(n: Int) =
     s"""CASE WHEN len($wordsSqlDuck) >= $n THEN
@@ -618,7 +622,64 @@ object DedupQueries {
       sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
       SELECT vec AS vec_id, cc.cluster_id, cluster_size
       FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
-      ORDER BY vec_id"""))
+      ORDER BY vec_id""")),
+
+    // ---- d10: substring-level duplication (repeated n-gram windows —
+    //      the Lee et al. 2022 exact-substring-dedup family; d1-d9 are
+    //      all DOCUMENT-level). Every distinct W-word window is hashed
+    //      (md5 — the shuffle carries 32-char digests, not window
+    //      text), counted across the corpus by key-equality groupBy,
+    //      and each document reports how much of it is corpus-repeated
+    //      material. Two map-side-combined aggregations, no pair join:
+    //      cost is O(total windows), never O(docs^2).
+    "d10_substring_windows" -> QueryDef(
+      (s, dir) => {
+        val W = SubstringWindow
+        val d = Tables.rebalance(Tables.table(s, dir, "documents"))
+          .select(col("doc_id"), Text.words(col("text")).as("w"))
+          .filter(size(col("w")) >= W)
+        val wins = d.select(col("doc_id"), explode(
+            array_distinct(transform(sequence(lit(0), size(col("w")) - W),
+              j => md5(concat_ws(" ", slice(col("w"), j + 1, lit(W)))
+                .cast("binary"))))).as("h"))
+          .persist()
+        val counts = wins.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val out = wins.join(counts, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("shared_frac",
+            floor(col("n_shared").cast("double") / col("n_windows") * 1e6
+              + 0.5) / 1e6)
+          .withColumn("is_substring_dup",
+            (col("n_shared") > 0).cast("long"))
+          .orderBy(col("doc_id"))
+        out.count() // materialize before unpersisting the shared windows
+        wins.unpersist()
+        out
+      },
+      Some(s"""WITH d AS (
+        SELECT doc_id, $wordsSqlDuck AS w FROM documents
+        WHERE len($wordsSqlDuck) >= $SubstringWindow
+      ), wins AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(0, len(w) - ${SubstringWindow - 1}),
+          j -> md5(array_to_string(
+            list_slice(w, j+1, j+$SubstringWindow), ' '))))) AS h
+        FROM d
+      ), counts AS (
+        SELECT h, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY 1
+      )
+      SELECT w.doc_id, count(*) AS n_windows,
+        CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_shared,
+        floor(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) * 1e6 + 0.5) / 1e6 AS shared_frac,
+        CAST(CASE WHEN sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) > 0
+          THEN 1 ELSE 0 END AS BIGINT) AS is_substring_dup
+      FROM wins w JOIN counts c ON w.h = c.h
+      GROUP BY w.doc_id ORDER BY w.doc_id"""))
   )
 
   /** Exact all-pairs cosine (norms precomputed per vector). O(n^2)
