@@ -35,7 +35,8 @@ object Bench {
       "q18_priority_count", "q19_rollup_revenue", "q20_salted_agg",
       "q21_approx_distinct", "q22_asof_join", "q23_range_join",
       "q24_sessionize", "q25_bucketed_join", "q26_partition_pruned",
-      "q27_percentiles", "q28_pivot", "q29_latest_snapshot", "q30_cube"),
+      "q27_percentiles", "q28_pivot", "q29_latest_snapshot", "q30_cube",
+      "q31_grouping_sets"),
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part"),

@@ -185,6 +185,42 @@ object WindowQueries {
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY status, priority""")),
 
+    // ---- q31: GROUPING SETS — the general form of q19/q30: exactly
+    //      the (status, priority) and (month) breakdowns in ONE pass
+    //      over orders (Spark expands the sets and aggregates once —
+    //      no self-union of scans, which is what a naive two-query
+    //      implementation would shuffle twice for)
+    "q31_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.table(s, dir, "orders")
+          .withColumn("month", date_format($"o_orderdate", "yyyy-MM"))
+          .groupingSets(
+            Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"month")),
+            $"o_orderstatus", $"o_orderpriority", $"month")
+          .agg(count(lit(1)).as("n"), money($"o_totalprice").as("sum_price"))
+          .select(
+            coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            coalesce($"month", lit("ALL")).as("month"),
+            $"n", $"sum_price")
+          .orderBy($"status", $"priority", $"month")
+      },
+      Some("""WITH o AS (
+          SELECT o_orderstatus, o_orderpriority, o_totalprice,
+            strftime(o_orderdate, '%Y-%m') AS month
+          FROM orders
+        )
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          coalesce(month, 'ALL') AS month,
+          count(*) AS n,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2)
+            AS sum_price
+        FROM o
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (month))
+        ORDER BY status, priority, month""")),
+
     // ---- q29: latest-snapshot consolidation (CDC/upsert semantics) —
     //      events as a change stream keyed by user: the MERGE-INTO
     //      pattern done relationally, latest event per key wins (ties
