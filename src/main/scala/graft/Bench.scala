@@ -43,7 +43,8 @@ object Bench {
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
-      "t7_mixture_sample", "t8_sequence_pack", "t9_gopher_rules"),
+      "t7_mixture_sample", "t8_sequence_pack", "t9_gopher_rules",
+      "t10_word_rarity"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
@@ -66,7 +67,8 @@ object Bench {
     Seq("mm1_media_features", "mm2_frame_samples", "mm3_resized"),
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
-      "st3_stream_distinct_docs", "st4_stream_quality_scrub"))
+      "st3_stream_distinct_docs", "st4_stream_quality_scrub",
+      "st5_stream_decontaminate"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

@@ -74,6 +74,10 @@ object StreamingQueries {
 
   val SessionGapSec = 1800L
 
+  /** st5 eval subset: denser than batch d7's every-50th (every 10th
+    * doc) so the stream-static join has hits to count at small sf. */
+  val StreamEvalMod = 10
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- st1: streaming daily event rollup (complete-mode windowed agg)
@@ -167,6 +171,49 @@ object StreamingQueries {
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
             '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS scrubbed
-        FROM q ORDER BY doc_id"""))
+        FROM q ORDER BY doc_id""")),
+
+    // ---- st5: streaming benchmark decontamination — the STREAM-STATIC
+    // join modality (the one join shape streams need that st1-st4 don't
+    // cover): the eval-set n-gram table is a static broadcast side, the
+    // training stream explodes to n-grams and inner-joins it statelessly;
+    // only the per-doc count is stateful. At 100 TB the eval set stays
+    // benchmark-sized (tiny, broadcast), so the streaming pass costs
+    // O(stream n-grams) regardless of corpus size.
+    "st5_stream_decontaminate" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.DedupQueries.DecontamN
+        val isEval = col("doc_id") % StreamEvalMod === 0
+        // static side: the eval subset's distinct n-grams (batch read)
+        val evalGrams = broadcast(
+          graft.sources.Tables.table(s, dir, "documents").filter(isEval)
+            .select(explode(graft.text.Text.wordShingles(
+              graft.text.Text.words(col("text")), DecontamN)).as("g"))
+            .distinct())
+        val hits = streamTable(s, dir, "documents").filter(!isEval)
+          .select(col("doc_id"),
+            explode(graft.text.Text.wordShingles(
+              graft.text.Text.words(col("text")), DecontamN)).as("g"))
+          .join(evalGrams, "g") // stream-static inner join, stateless
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_ngrams"))
+        runStream(hits, "complete").orderBy(col("doc_id"))
+      },
+      // d7's oracle restricted to contaminated docs (the inner join
+      // emits only docs sharing >= 1 eval n-gram)
+      Some(s"""WITH g AS (
+        SELECT doc_id,
+          unnest(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= ${graft.dedup.DedupQueries.DecontamN} THEN
+            list_distinct(list_transform(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - ${graft.dedup.DedupQueries.DecontamN - 1}),
+              j -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), j+1, j+${graft.dedup.DedupQueries.DecontamN}), ' ')))
+          ELSE [] END) AS g
+        FROM documents
+      ), e AS (
+        SELECT DISTINCT g FROM g WHERE doc_id % $StreamEvalMod = 0
+      )
+      SELECT g.doc_id, count(*) AS n_shared_ngrams
+      FROM g JOIN e USING (g)
+      WHERE g.doc_id % $StreamEvalMod <> 0
+      GROUP BY 1 ORDER BY doc_id"""))
   )
 }

@@ -497,6 +497,45 @@ object TextQueries {
           AND ellipsis_line_frac <= 0.3
         THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
       FROM f ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- t10: corpus-statistics rarity score (CCNet-style LM
+    //      filtering, engine-exact variant): score each document by the
+    //      arithmetic mean of inverse unigram probability of its words
+    //      under the corpus's own unigram distribution. High scores =
+    //      rare vocabulary (noise, other-language, gibberish); low =
+    //      boilerplate. Two corpus passes (count words, score docs),
+    //      both map-side-combined; the per-word inverse probability is
+    //      integer-floored at micro resolution so sums are
+    //      order-independent BIGINTs and the DuckDB twin is exact —
+    //      the reason this is mean 1/p rather than log-perplexity
+    //      (ln() is libm-dependent across engines).
+    "t10_word_rarity" -> QueryDef(
+      (s, dir) => {
+        val words = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+        val total = words.count() // single scalar, O(1) driver state
+        val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        words.join(wc, "word")
+          .withColumn("r", expr(s"(${total}L * 1000000L) div c"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("r")).as("sr"))
+          .withColumn("mean_inv_p",
+            expr("sr div n_words").cast("double") / 1e6)
+          .select(col("doc_id"), col("n_words"), col("mean_inv_p"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (
+        SELECT doc_id, unnest($wordsSqlDuck) AS word FROM documents
+      ), wc AS (
+        SELECT word, count(*) AS c FROM w GROUP BY 1
+      ), tot AS (SELECT count(*) AS t FROM w
+      ), scored AS (
+        SELECT w.doc_id, (tot.t * 1000000) // wc.c AS r
+        FROM w JOIN wc USING (word) CROSS JOIN tot
+      )
+      SELECT doc_id, count(*) AS n_words,
+        CAST((sum(r) // count(*)) AS DOUBLE) / 1e6 AS mean_inv_p
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
