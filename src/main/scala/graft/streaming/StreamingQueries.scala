@@ -186,11 +186,17 @@ object StreamingQueries {
         val isEval = col("doc_id") % StreamEvalMod === 0
         // static side: the eval subset's distinct n-grams (batch read)
         val evalGrams = broadcast(
-          graft.sources.Tables.table(s, dir, "documents").filter(isEval)
+          Tables.rebalance(
+            Tables.table(s, dir, "documents").filter(isEval))
             .select(explode(graft.text.Text.wordShingles(
               graft.text.Text.words(col("text")), DecontamN)).as("g"))
             .distinct())
+        // a one-file source yields one input partition; spread the
+        // interpreted shingle HOF across cores before the explode (the
+        // streaming analogue of Tables.rebalance — a no-op cost at
+        // production split counts, where the source is many files)
         val hits = streamTable(s, dir, "documents").filter(!isEval)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
             explode(graft.text.Text.wordShingles(
               graft.text.Text.words(col("text")), DecontamN)).as("g"))
