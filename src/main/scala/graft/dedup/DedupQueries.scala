@@ -645,7 +645,9 @@ object DedupQueries {
           .persist()
         val counts = wins.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("n_docs"))
-        val out = wins.join(counts, "h")
+        // wins stays persisted across its two consumers (counts + join);
+        // the bench's group-boundary cache release frees it
+        wins.join(counts, "h")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_windows"),
             sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
@@ -655,9 +657,6 @@ object DedupQueries {
           .withColumn("is_substring_dup",
             (col("n_shared") > 0).cast("long"))
           .orderBy(col("doc_id"))
-        out.count() // materialize before unpersisting the shared windows
-        wins.unpersist()
-        out
       },
       Some(s"""WITH d AS (
         SELECT doc_id, $wordsSqlDuck AS w FROM documents

@@ -514,8 +514,11 @@ object TextQueries {
       (s, dir) => {
         val words = Tables.table(s, dir, "documents")
           .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
-        val total = words.count() // single scalar, O(1) driver state
+        // vocab-sized count table persists; the corpus-total scalar
+        // comes from it (one corpus pass, not two), O(1) driver state
         val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .persist()
+        val total = wc.agg(sum(col("c"))).head().getLong(0)
         words.join(wc, "word")
           .withColumn("r", expr(s"(${total}L * 1000000L) div c"))
           .groupBy(col("doc_id"))
