@@ -518,7 +518,8 @@ object TextQueries {
         // comes from it (one corpus pass, not two), O(1) driver state
         val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
           .persist()
-        val total = wc.agg(sum(col("c"))).head().getLong(0)
+        val total = Option(wc.agg(sum(col("c"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L) // null on empty corpus
         words.join(wc, "word")
           .withColumn("r", expr(s"(${total}L * 1000000L) div c"))
           .groupBy(col("doc_id"))
