@@ -40,6 +40,30 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === expected)
   }
 
+  test("st2 emission boundary: a session ending exactly AT the final " +
+      "watermark is emitted (the oracle's <= gate)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1's session: single event at 10:00, end = 10:30 (gap 30 min);
+    // user 2's event at exactly 10:30 pins max ts == that session end
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingSessions.sessionize(
+        in.toDS().toDF("ts", "user_id"), "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("st2_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((t("2026-01-01 10:00:00"), 1L), (t("2026-01-01 10:30:00"), 2L))
+      q.processAllAvailable()
+      val emitted = spark.table("st2_boundary").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(emitted === Set((1L, t("2026-01-01 10:00:00"))),
+        "exactly the boundary session emits; user 2's open session does not")
+    } finally q.stop()
+  }
+
   test("st3 streaming dedup yields the batch-distinct fingerprint set") {
     val streamed = run("st3_stream_distinct_docs")
       .orderBy("fingerprint").collect().map(_.getString(0)).toSeq
