@@ -190,7 +190,34 @@ object Lexical {
               s"bad taxonomy line: '${bad.mkString("|")}'")
           }
         }
-      Taxonomy(parent.result(), count.result(), syn.result())
+      validated(Taxonomy(parent.result(), count.result(), syn.result()))
+    }
+
+    /** Structural validation at load time — the format is user-pluggable
+      * (a WordNet export), so malformed input must fail HERE with a
+      * clear message, not later inside a metric with a stack overflow
+      * (cycle) or a missing-key lookup (undefined parent). */
+    private def validated(t: Taxonomy): Taxonomy = {
+      val nodes = t.count.keySet ++ t.parent.keySet ++ t.parent.values
+      val undefinedParents = t.parent.values.toSet -- t.count.keySet
+      val roots = nodes -- t.parent.keySet
+      require(undefinedParents.isEmpty,
+        s"taxonomy parents without a node line: ${undefinedParents.mkString(", ")}")
+      require(roots.size == 1,
+        s"taxonomy must have exactly one root, found: ${roots.mkString(", ")}")
+      // cycle check: every node must reach the root within |nodes| hops
+      val limit = nodes.size
+      t.parent.keys.foreach { n =>
+        var cur = n; var hops = 0
+        while (t.parent.contains(cur)) {
+          cur = t.parent(cur); hops += 1
+          require(hops <= limit, s"taxonomy cycle through '$n'")
+        }
+      }
+      val badSyn = t.synonym.values.toSet -- nodes
+      require(badSyn.isEmpty,
+        s"synonyms of undefined nodes: ${badSyn.mkString(", ")}")
+      t
     }
 
     /** Built-in mini-taxonomy over schema-header vocabulary (hand-

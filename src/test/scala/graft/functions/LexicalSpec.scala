@@ -78,6 +78,17 @@ class LexicalSpec extends AnyFunSuite {
     assert(out("c2") === ((-1.0, -1.0, -1.0)))
   }
 
+  test("parse rejects cycles, undefined parents, and multiple roots") {
+    def bad(src: String) =
+      intercept[IllegalArgumentException](
+        Lexical.Taxonomy.parse(src.linesIterator))
+    assert(bad("a|b|1\nb|a|1").getMessage.contains("cycle") ||
+      bad("a|b|1\nb|a|1").getMessage.contains("root"))
+    assert(bad("root||1\nx|ghost|1").getMessage.contains("ghost"))
+    assert(bad("r1||1\nr2||1\na|r1|1").getMessage.contains("root"))
+    assert(bad("root||1\na|root|1\nz=ghost2").getMessage.contains("ghost2"))
+  }
+
   test("builtin taxonomy is well-formed and covers schema vocabulary") {
     val t = Lexical.Taxonomy.builtin
     // related attribute words are closer than cross-branch words (LIN)
