@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * be charged to whichever query happened to run first. */
 object Bench {
 
-  private val groups: Seq[Seq[String]] = Seq(
+  private[graft] val groups: Seq[Seq[String]] = Seq(
     // relational + window (stateless scans, no shared stages)
     Seq("q1_pricing_summary", "q2_filter_project", "q3_top_customers",
       "q5_nation_revenue", "q6_revenue_delta", "q7_distinct_parts",
