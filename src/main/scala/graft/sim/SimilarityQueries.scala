@@ -33,9 +33,11 @@ object SimilarityQueries {
   val IvfNprobe = 2
 
   /** s6 product quantization: M subspaces × K codes per subspace,
-    * trained by the same integer-exact Lloyd arithmetic as s4. */
-  val PqM = 4
-  val PqK = 8
+    * trained by the same integer-exact Lloyd arithmetic as s4.
+    * 8×16 = 32 bits/vector (64× compression of the 64-float
+    * embedding) — the recall/compression operating point PERF quotes. */
+  val PqM = 8
+  val PqK = 16
   val PqIters = 2
 
   /** 16 deterministic pseudo-random +/-1 hyperplanes over 64 dims. */
