@@ -349,7 +349,87 @@ object SimilarityQueries {
             col("adc").as("adc_e12"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(pqOracleSql))
+      Some(pqOracleSql)),
+
+    // ---- s7: IVFADC — the canonical production ANN shape (Jégou et
+    //      al. 2011; the FAISS default): the IVF index (s4/s5's learned
+    //      k-means cells) prunes the corpus to nprobe cells per query,
+    //      and scoring inside the shortlist reads PQ CODES only via the
+    //      broadcast ADC lookup table (s6). The scan cost per query is
+    //      (corpus/K)·nprobe code-rows — no raw vectors anywhere in the
+    //      search path; both index structures are the already-
+    //      materialized ones (one k-means build, one codebook build,
+    //      shared with s4/s5/s6 — exactly how a production index is
+    //      built once and served by every query shape).
+    "s7_ann_ivfadc" -> QueryDef(
+      (s, dir) => {
+        val m = kmeansMelt(s, dir)
+        val cents = kmeansCentroids(s, dir)
+        val cells = assignToCentroids(m, cents).select(col("vec_id"), col("k"))
+        // nprobe nearest cells per query (same integer metric as s5)
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist"), col("k"))
+        val probes = m.filter(col("vec_id") < NumQueries)
+          .join(broadcast(cents), "d")
+          .groupBy(col("vec_id").as("query_id"), col("k"))
+          .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6")))
+            .as("cdist"))
+          .withColumn("crk", row_number().over(wProbe))
+          .filter(col("crk") <= IvfNprobe)
+          .select(col("query_id"), col("k"))
+        // PQ codes + per-query ADC table (shared codebooks)
+        val pm = pqMelt(s, dir)
+        val pqc = pqCodebooks(s, dir)
+        val codes = assignToSubCentroids(pm, pqc)
+          .select(col("vec_id"), col("sub"), col("k").as("code"))
+        val qd = pm.filter(col("vec_id") < NumQueries)
+          .join(broadcast(pqc), Seq("sub", "d"))
+          .groupBy(col("vec_id").as("query_id"), col("sub"),
+            col("k").as("code"))
+          .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6")))
+            .as("dist"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("neighbor_id"))
+        probes.join(cells, "k") // shortlist: members of probed cells
+          .filter(col("query_id") =!= col("vec_id"))
+          .join(codes, "vec_id")
+          .join(broadcast(qd), Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum(col("dist")).as("adc"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("neighbor_id"),
+            col("adc").as("adc_e12"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $kmeansCtes, $pqCtes, cells AS (
+        SELECT vec_id, k FROM (
+          SELECT vec_id, k,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+          FROM fin) WHERE rn = 1
+      ), probes AS (
+        SELECT vec_id AS query_id, k FROM (
+          SELECT vec_id, k,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+          FROM fin WHERE vec_id < $NumQueries) WHERE rn <= $IvfNprobe
+      ), shortlist AS (
+        SELECT p.query_id, c.vec_id FROM probes p JOIN cells c USING (k)
+        WHERE p.query_id <> c.vec_id
+      ), ivfadc AS (
+        SELECT s.query_id, s.vec_id AS neighbor_id,
+          CAST(sum(qd.dist) AS BIGINT) AS adc
+        FROM shortlist s
+        JOIN codes ON codes.vec_id = s.vec_id
+        JOIN qd ON qd.query_id = s.query_id
+          AND qd.sub = codes.sub AND qd.k = codes.k
+        GROUP BY 1, 2
+      )
+      SELECT query_id, neighbor_id, adc AS adc_e12, rank FROM (
+        SELECT query_id, neighbor_id, adc,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adc, neighbor_id) AS rank
+        FROM ivfadc) WHERE rank <= $TopK
+      ORDER BY query_id, rank"""))
   )
 
   /** Subspaced melt for PQ: (vec_id, sub, d, x6), sub = d div subDim. */

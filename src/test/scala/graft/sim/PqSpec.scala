@@ -27,6 +27,25 @@ class PqSpec extends SparkSpec {
     assert(run().toSeq === a.toSeq, "repeat run must be bit-identical")
   }
 
+  test("IVFADC (s7) is deterministic and scores only probed-cell members") {
+    val run = () => graft.SparkEntry.queries("s7_ann_ivfadc")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_e12"), r.getAs[Long]("rank")))
+    val a = run()
+    assert(a.nonEmpty && a.forall { case (q, n, d, _) => q != n && d >= 0 })
+    // every neighbor must live in one of its query's probed cells
+    val cells = graft.SparkEntry.queries("s4_kmeans_embeddings")(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      val probed = rows.map(r => cells(r._2)).toSet
+      assert(probed.size <= SimilarityQueries.IvfNprobe,
+        s"query $q drew neighbors from ${probed.size} cells > nprobe")
+    }
+    assert(run().toSeq === a.toSeq, "repeat run must be bit-identical")
+  }
+
   test("PQ top-k overlaps the exact top-k (compression keeps signal)") {
     def topSets(name: String) =
       graft.SparkEntry.queries(name)(spark, sf).collect()
