@@ -157,6 +157,16 @@ object ProfileQueries {
       FROM m GROUP BY col_name ORDER BY col_name"""
     })
 
+  /** Key-typed columns scanned by p7's inclusion-dependency pass. */
+  val InclusionKeyCols: Seq[(String, String)] = Seq(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "nation" -> "n_regionkey", "customer" -> "c_custkey",
+    "customer" -> "c_nationkey", "supplier" -> "s_suppkey",
+    "supplier" -> "s_nationkey", "part" -> "p_partkey",
+    "orders" -> "o_orderkey", "orders" -> "o_custkey",
+    "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+    "lineitem" -> "l_suppkey")
+
   val defs: Map[String, QueryDef] = Map(
     "p1_profile_customer" -> prof("customer",
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
@@ -170,5 +180,65 @@ object ProfileQueries {
     "p5_inferred_types" -> inferTypes("events",
       Seq("event_id", "ts", "event_type", "props")),
     "p6_profile_part" -> prof("part",
-      Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")))
+      Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")),
+
+    // ---- p7: inclusion-dependency discovery (candidate foreign keys)
+    //      — the SPIDER/SINDY data-integration pass the semantic
+    //      modeler's cross-table alignment presupposes: for every
+    //      ordered key-column pair (A, B), containment =
+    //      |distinct(A) ∩ distinct(B)| / |distinct(A)|; containment 1
+    //      means A ⊆ B, a candidate FK edge. Shape: one distinct
+    //      (column, value) frame, self-joined on VALUE (key-equality;
+    //      per-value fan-out is bounded by #key-columns², never by row
+    //      count), then two map-side-combined counts — the set-overlap
+    //      matrix costs O(distinct values × matches), not O(pairs ×
+    //      corpus).
+    "p7_inclusion_deps" -> QueryDef(
+      (s, dir) => {
+        val dv = InclusionKeyCols
+          .map { case (t, c) =>
+            Tables.table(s, dir, t)
+              .select(lit(s"$t.$c").as("col_name"),
+                col(c).cast("long").as("v"))
+          }
+          .reduce(_ unionByName _)
+          .filter(col("v").isNotNull).distinct().persist()
+        val sizes = dv.groupBy(col("col_name")).agg(count(lit(1)).as("n"))
+        val inter = dv.select(col("col_name").as("col_a"), col("v"))
+          .join(dv.select(col("col_name").as("col_b"), col("v")), "v")
+          .filter(col("col_a") =!= col("col_b"))
+          .groupBy(col("col_a"), col("col_b"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(sizes.withColumnRenamed("col_name", "col_a")
+            .withColumnRenamed("n", "n_a"), "col_a")
+          .withColumn("containment",
+            floor(col("n_common").cast("double") / col("n_a") * 1e6 + 0.5)
+              / 1e6)
+          .withColumn("is_inclusion",
+            (col("n_common") === col("n_a")).cast("long"))
+          .select(col("col_a"), col("col_b"), col("n_common"),
+            col("containment"), col("is_inclusion"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some {
+        val selects = InclusionKeyCols.map { case (t, c) =>
+          s"SELECT DISTINCT '$t.$c' AS col_name, CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL"
+        }.mkString("\n        UNION ALL ")
+        s"""WITH dv AS (
+        $selects
+      ), sizes AS (
+        SELECT col_name, count(*) AS n FROM dv GROUP BY 1
+      ), inter AS (
+        SELECT a.col_name AS col_a, b.col_name AS col_b, count(*) AS n_common
+        FROM dv a JOIN dv b ON a.v = b.v AND a.col_name <> b.col_name
+        GROUP BY 1, 2
+      )
+      SELECT col_a, col_b, n_common,
+        floor(CAST(n_common AS DOUBLE) / s.n * 1e6 + 0.5) / 1e6
+          AS containment,
+        CAST(n_common = s.n AS BIGINT) AS is_inclusion
+      FROM inter JOIN sizes s ON s.col_name = col_a
+      ORDER BY col_a, col_b"""
+      }))
 }
