@@ -31,6 +31,19 @@ object DedupQueries {
     * length-bucket width, so the tolerance window spans adjacent buckets. */
   val LengthTolerance = 20
 
+  /** d4 block-size cap: docs in a (source, length-bucket) block larger
+    * than this are excluded from candidate generation entirely (both
+    * sides of the join), bounding the within-block quadratic at
+    * cap²/2 pairs per block — the same hot-key guard as [[MaxBucket]]
+    * for d2 bands and [[NdMaxBucket]] for d5 LSH buckets. A 100-TB
+    * corpus with few sources can put millions of docs into one 20-char
+    * length band of one source; without the cap that block alone is
+    * O(block²) pairs with full shingle arrays shuffled per pair. The
+    * cap never binds at correctness scale (max block is 4 docs at
+    * sf0.01, 21 at sf0.1 — asserted in DedupSpec), so the exact DuckDB
+    * twin mirrors the same guard and stays hash-identical. */
+  val D4MaxBlock = 1000
+
   /** d5 gate: corpora at or below this size take the exact brute-force
     * pair scan; larger corpora generate candidates by hyperplane-LSH band
     * keys and exact-rerank (approximate by design — the price of
@@ -497,12 +510,22 @@ object DedupQueries {
     //      adjacent ones (bucket width = tolerance, so |diff| <= 20
     //      implies the buckets are adjacent), making candidate generation
     //      a key-equality join on (source, bucket) — within a source the
-    //      work is O(sum of bucket^2), never all-pairs.
+    //      work is O(sum of bucket^2), never all-pairs. Blocks over
+    //      [[D4MaxBlock]] docs are dropped from BOTH join sides (counted
+    //      on a slim shingle-free frame, map-side combined, broadcast
+    //      anti-joined), so no single hot (source, length-band) block can
+    //      reintroduce an unbounded quadratic at 100 TB.
     "d4_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val d = Tables.table(s, dir, "documents")
-          .withColumn("sh", Text.charShingles(col("text"), 4))
+        val slim = Tables.table(s, dir, "documents")
           .withColumn("lb", floor(col("n_chars") / LengthTolerance))
+        val hot = slim.groupBy(col("source"), col("lb"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > D4MaxBlock)
+          .select(col("source"), col("lb"))
+        val d = slim
+          .join(broadcast(hot), Seq("source", "lb"), "left_anti")
+          .withColumn("sh", Text.charShingles(col("text"), 4))
           .select(col("doc_id"), col("source"), col("n_chars"), col("lb"),
             col("sh"))
         val probes = d.select(col("doc_id"), col("source"), col("n_chars"),
