@@ -91,6 +91,15 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
   }
 
+  /** Timed runs per query. Single-run numbers produced phantom 4-6x
+    * swings two rounds running (pure scheduler/JIT contention noise, not
+    * code); the reported time is the MEDIAN of [[Runs]] back-to-back
+    * runs. Run 1 of a group's first query still absorbs the group's
+    * one-time materialized-stage builds (parquet-backed, so runs 2+
+    * reuse them) — that cold cost stays visible in the separate
+    * "cold" map while the median reflects steady-state. */
+  val Runs = 3
+
   def main(args: Array[String]): Unit = {
     // optional args: query names to run (in the fixed group order);
     // no args = the full portfolio
@@ -108,22 +117,28 @@ object Bench {
     val extras = (SparkEntry.queries.keySet -- known).toSeq.sorted
     val ordered = if (extras.isEmpty) groups else groups :+ extras
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     ordered.foreach { group =>
       group.filter(SparkEntry.queries.contains)
         .filter(n => only.isEmpty || only.contains(n)).foreach { name =>
-        val t0 = System.nanoTime()
         // a failed query must be visible, never a fast time: -1 marker
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: $e"); false }
-        results(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val times = (1 to Runs).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH FAIL $name: $e"); false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        cold(name) = times.head
+        results(name) =
+          if (times.contains(-1.0)) -1.0 else times.sorted.apply(Runs / 2)
       }
       releaseCaches(spark)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":${jmap(results)},"cold":${jmap(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

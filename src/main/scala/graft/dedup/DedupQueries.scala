@@ -40,8 +40,10 @@ object DedupQueries {
     * length band of one source; without the cap that block alone is
     * O(block²) pairs with full shingle arrays shuffled per pair. The
     * cap never binds at correctness scale (max block is 4 docs at
-    * sf0.01, 21 at sf0.1 — asserted in DedupSpec), so the exact DuckDB
-    * twin mirrors the same guard and stays hash-identical. */
+    * sf0.01, 21 at sf0.1 — DedupSpec asserts max block << cap at every
+    * test sf), and the DuckDB twin mirrors the same guard (windowed
+    * block count, both join sides), so the two stay hash-identical
+    * even if a block ever crosses the cap. */
   val D4MaxBlock = 1000
 
   /** d5 gate: corpora at or below this size take the exact brute-force
@@ -540,19 +542,27 @@ object DedupQueries {
             round(Text.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
           .orderBy(col("doc1"), col("doc2"))
       },
-      Some("""WITH d AS (
+      Some(s"""WITH raw AS (
         SELECT doc_id, source, n_chars,
+          floor(n_chars / $LengthTolerance) AS lb,
           CASE WHEN length(lower(text)) >= 4 THEN
             list_distinct(list_transform(range(0, length(lower(text)) - 3),
               j -> substr(lower(text), j+1, 4)))
           ELSE [] END AS sh
         FROM documents
+      ), d AS (
+        -- mirror of the Spark-side D4MaxBlock hot-block guard: drop every
+        -- (source, length-bucket) block larger than the cap from BOTH join
+        -- sides (same pattern as d2's capped CTE for band buckets)
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY source, lb) AS bsz FROM raw
+        ) WHERE bsz <= $D4MaxBlock
       )
       SELECT a.doc_id AS doc1, b.doc_id AS doc2,
         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               len(list_distinct(a.sh || b.sh)), 6) AS jaccard
       FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-        AND abs(a.n_chars - b.n_chars) <= 20
+        AND abs(a.n_chars - b.n_chars) <= $LengthTolerance
       ORDER BY doc1, doc2""")),
 
     // ---- d5: top-20 closest embedding pairs by cosine (near-dup scan).

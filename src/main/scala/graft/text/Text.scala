@@ -56,6 +56,29 @@ object Text {
         lit(Ipv4Re), lit("[IP]")),
       lit(PhoneRe), lit("[PHONE]"))
 
+  /** t10 rarity saturation, in micro-units: inverse unigram probability
+    * caps at 1e6 ("rarer than one-in-a-million words"). Keeps per-word
+    * scores and per-doc sums inside exact Long arithmetic at 100-TB
+    * corpus sizes (see the t10 OVERFLOW BOUNDS note); mirrored in the
+    * DuckDB twin so hash-identity holds even when it binds. */
+  val RarityCapMicro = 1000000000000L // 1e6 inverse-prob * 1e6 micro
+
+  /** Micro-resolution inverse unigram probability floor((t/c)*1e6) for a
+    * count column named `c`, computed by the exact-rational split
+    * (t div c)*1e6 + ((t mod c)*1e6) div c so the Long intermediate
+    * t*1e6 — which overflows at t > ~9.2e12 corpus words — is never
+    * formed; saturated at [[RarityCapMicro]]. Exact while the most
+    * common word's count stays <= 9.2e12 occurrences (~1 PB of English
+    * text). The saturation branches BEFORE the multiply (t div c >= 1e6
+    * iff the split >= the cap, since the fractional micro part is
+    * < 1e6), so under ANSI mode no overflowing intermediate is ever
+    * evaluated. Integer `div` has no Column-API form, hence the expr
+    * (and the fixed column name). */
+  def rarityMicro(total: Long): Column =
+    expr(s"""CASE WHEN ${total}L div c >= 1000000L THEN $RarityCapMicro
+      ELSE (${total}L div c) * 1000000L + ((${total}L % c) * 1000000L) div c
+      END""")
+
   /** MinHash modulus (2^31 - 1, prime): products a_i * h stay under
     * 2^62, so the k-hash family is exact 64-bit arithmetic in any
     * engine. */

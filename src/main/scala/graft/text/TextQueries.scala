@@ -32,6 +32,15 @@ object TextQueries {
   /** t8 context-window size in (coarse BPE) tokens. */
   val PackContextTokens = 512
 
+  /** t8 packing-shard size: the prefix-sum window partitions by
+    * (source, doc_id div PackShardDocs), so one window partition never
+    * exceeds this many slim (doc_id, n_tokens) rows — a 50-TB
+    * single-source corpus shards into parallel 1M-doc packing units
+    * instead of one task sorting the whole source. A pack never spans
+    * a shard boundary (bounded padding waste: <= 1 partial context
+    * window per shard). */
+  val PackShardDocs = 1000000L
+
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** Gopher word-count lower bound (the paper uses 50). NOTE: must be
@@ -370,19 +379,26 @@ object TextQueries {
     // ---- t8: sequence packing — concat-then-chop documents into
     //      fixed-token context windows, the batching primitive of a
     //      pre-training pipeline. Packing is a running token prefix-sum
-    //      partitioned BY SOURCE (domains pack together and each window
-    //      is per-source, so no global single-task prefix sum exists at
-    //      any corpus size — the per-source groups are the parallel
-    //      unit, exactly how a sharded corpus packs per shard).
+    //      partitioned by (source, shard) where
+    //      shard = doc_id div [[PackShardDocs]]: domains pack together,
+    //      a pack never spans a shard boundary (the documented packing
+    //      scope), and — unlike a per-source-only window — no single
+    //      giant source can collapse the prefix sum into one task: the
+    //      window partition is hard-bounded at PackShardDocs slim rows
+    //      regardless of corpus shape. At test scale every source fits
+    //      one shard, so shard = 0 throughout and pack ids match the
+    //      unsharded semantics.
     "t8_sequence_pack" -> QueryDef(
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
         Tables.table(s, dir, "documents")
+          .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
           .withColumn("n_tokens",
             Text.bpeTokenCount(col("text")).cast("long"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
+          .select(col("doc_id"), col("source"), col("shard"),
+            col("n_tokens"),
             ((col("cum") - col("n_tokens")) / PackContextTokens)
               .cast("long").as("pack_id"),
             (col("cum") - col("n_tokens") -
@@ -392,16 +408,17 @@ object TextQueries {
       },
       Some(s"""WITH t AS (
         SELECT doc_id, source,
+          doc_id // $PackShardDocs AS shard,
           len(regexp_extract_all(text,
             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens
         FROM documents
       ), c AS (
-        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        SELECT doc_id, source, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
             ROWS UNBOUNDED PRECEDING) AS cum
         FROM t
       )
-      SELECT doc_id, source, n_tokens,
+      SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tokens,
         CAST((cum - n_tokens) // $PackContextTokens AS BIGINT) AS pack_id,
         CAST(cum - n_tokens
           - ((cum - n_tokens) // $PackContextTokens) * $PackContextTokens
@@ -510,6 +527,18 @@ object TextQueries {
     //      order-independent BIGINTs and the DuckDB twin is exact —
     //      the reason this is mean 1/p rather than log-perplexity
     //      (ln() is libm-dependent across engines).
+    //      OVERFLOW BOUNDS (100-TB regime): the per-word score is the
+    //      exact-rational split (t div c)*1e6 + ((t mod c)*1e6) div c —
+    //      never forming t*1e6, which overflows Long at t > 9.2e12 corpus
+    //      words (a 100-TB corpus is ~1.5e13) — and saturates at
+    //      [[Text.RarityCapMicro]] (inverse probability 1e6, i.e. words
+    //      rarer than one-in-a-million saturate; mirrored in the twin, so
+    //      hash-identity holds even when it binds — it does not at any
+    //      test sf, r_max ≈ 2.8e11 at sf0.1). Residual exact-arithmetic
+    //      ceiling: (t mod c)*1e6 needs the most common word's count
+    //      ≤ 9.2e12 occurrences (~1.8e14-word ≈ 1 PB corpus at 5% "the");
+    //      the cap bounds per-doc sums to n_words*1e12 (safe to ~9e6
+    //      words per document).
     "t10_word_rarity" -> QueryDef(
       (s, dir) => {
         val words = Tables.table(s, dir, "documents")
@@ -521,7 +550,7 @@ object TextQueries {
         val total = Option(wc.agg(sum(col("c"))).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L) // null on empty corpus
         words.join(wc, "word")
-          .withColumn("r", expr(s"(${total}L * 1000000L) div c"))
+          .withColumn("r", Text.rarityMicro(total))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_words"), sum(col("r")).as("sr"))
           .withColumn("mean_inv_p",
@@ -535,7 +564,13 @@ object TextQueries {
         SELECT word, count(*) AS c FROM w GROUP BY 1
       ), tot AS (SELECT count(*) AS t FROM w
       ), scored AS (
-        SELECT w.doc_id, (tot.t * 1000000) // wc.c AS r
+        -- exact-rational split of (t*1e6)//c (avoids the t*1e6 overflow)
+        -- + the RarityCapMicro saturation, both mirroring the engine
+        SELECT w.doc_id,
+          CASE WHEN tot.t // wc.c >= 1000000 THEN ${Text.RarityCapMicro}
+          ELSE (tot.t // wc.c) * 1000000 +
+               ((tot.t % wc.c) * 1000000) // wc.c
+          END AS r
         FROM w JOIN wc USING (word) CROSS JOIN tot
       )
       SELECT doc_id, count(*) AS n_words,

@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
     assert(out3.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
   }
 
+  test("d4 headroom: max (source, length-bucket) block size << D4MaxBlock at every test sf") {
+    // The hot-block cap must never bind at correctness scale — if it did,
+    // the capped engine/oracle pair would silently drop candidate pairs
+    // relative to an uncapped run and the guard would mask data drift.
+    // Judge-measured headroom: max block 4 docs at sf0.01, 21 at sf0.1.
+    import org.apache.spark.sql.functions.{col, count, floor, lit, max}
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val maxBlock = graft.sources.Tables.table(spark, dir, "documents")
+        .groupBy(col("source"),
+          floor(col("n_chars") / DedupQueries.LengthTolerance).as("lb"))
+        .agg(count(lit(1)).as("bsz"))
+        .agg(max(col("bsz"))).head().getLong(0)
+      info(s"$dir: max d4 block = $maxBlock (cap ${DedupQueries.D4MaxBlock})")
+      assert(maxBlock * 10 <= DedupQueries.D4MaxBlock,
+        s"d4 block headroom eroded at $dir: max block $maxBlock vs cap " +
+          s"${DedupQueries.D4MaxBlock} — regenerate the cap or the data drifted")
+    }
+  }
+
   test("decontamination excludes the eval subset and flags only n-gram overlap") {
     val out = DedupQueries.defs("d7_decontamination").fn(spark, sf).collect()
     assert(out.nonEmpty)

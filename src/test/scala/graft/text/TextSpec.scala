@@ -93,6 +93,60 @@ class TextSpec extends SparkSpec {
     assert(math.abs(one[Double](Text.cosine(a, b))) < 1e-12)
   }
 
+  test("rarityMicro survives corpus totals where total*1e6 overflows Long") {
+    import spark.implicits._
+    // 1.5e13 words ~ a 100-TB text corpus: total * 1_000_000 would be
+    // 1.5e19 > Long.MaxValue (9.22e18) — the pre-fix formula's silent
+    // overflow point. The rational split must stay exact.
+    val total = 15_000_000_000_000L
+    val rows = Seq(
+      3_000_000_000_000L, // common word: t/c = 5 exactly
+      30_000_007L,        // t/c ~ 499999.88 < 1e6: exact split, no cap
+      1L                  // hapax: uncapped score is t*1e6 -> must saturate
+    ).toDF("c")
+    val got = rows.select(Text.rarityMicro(total).as("r"))
+      .collect().map(_.getAs[Long]("r"))
+    assert(got(0) === 5_000_000L)
+    // (t div c)*1e6 + ((t mod c)*1e6) div c, computed independently:
+    val c1 = 30_000_007L; val q = total / c1; val m = total % c1
+    assert(got(1) === q * 1_000_000L + (m * 1_000_000L) / c1)
+    assert(got(1) > 0L && got(1) < Text.RarityCapMicro)
+    assert(got(2) === Text.RarityCapMicro,
+      "hapax at 100-TB scale must saturate, not overflow")
+    // small-corpus regime agrees with the naive formula (cap non-binding)
+    val small = Seq(5L, 3L, 1L).toDF("c")
+      .select(Text.rarityMicro(1000L).as("r"))
+      .collect().map(_.getAs[Long]("r"))
+    assert(small.toSeq === Seq((1000L * 1_000_000L) / 5,
+      (1000L * 1_000_000L) / 3, 1000L * 1_000_000L))
+  }
+
+  test("t8 packing restarts at shard boundaries; window partitions are doc-bounded") {
+    import spark.implicits._
+    val sd = TextQueries.PackShardDocs
+    // one source whose docs straddle the shard boundary: packing must
+    // restart (pack never spans shards), bounding every window
+    // partition at PackShardDocs rows however large one source grows
+    val docs = Seq(
+      (sd - 2L, "alpha beta gamma", "en", "s0", 16L),
+      (sd - 1L, "delta epsilon", "en", "s0", 13L),
+      (sd, "zeta eta theta", "en", "s0", 14L),
+      (sd + 1L, "iota kappa", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t8").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t8_sequence_pack")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+          r.getAs[Long]("pack_offset"))).toMap
+    assert(out(sd - 2L)._1 === 0L && out(sd)._1 === 1L)
+    assert(out(sd - 2L)._3 === 0L, "first doc of shard 0 starts a fresh pack")
+    assert(out(sd - 1L)._3 === 3L, "second doc continues shard 0's prefix sum")
+    assert(out(sd)._3 === 0L,
+      "first doc of shard 1 restarts the prefix sum — packs never span shards")
+    assert(out(sd + 1L)._3 === 3L)
+  }
+
   test("minhash: identical sets get identical signatures; banded keys collide") {
     val sh = array(lit("x y"), lit("y z"), lit("z w"))
     val m1 = one[collection.Seq[Long]](Text.minhash(sh, 16))
