@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.matcher.{FeatureMatrix, Labels, SemanticTypeClassifier}
+import graft.matcher.{FeatureMatrix, FeaturesConfig, Labels, SemanticTypeClassifier}
 import graft.modeler.{AlignmentGraph, Ontology, SemanticModel, SemanticModeler}
 
 /** Octopus = matcher + modeler composition with the train-state machine
@@ -19,7 +19,8 @@ import graft.modeler.{AlignmentGraph, Ontology, SemanticModel, SemanticModeler}
 class Octopus(
     val ontology: Ontology,
     val knownModels: Seq[SemanticModel],
-    val workDir: String) {
+    val workDir: String,
+    initialConfig: FeaturesConfig = FeaturesConfig.Default) {
 
   import Octopus._
 
@@ -27,47 +28,81 @@ class Octopus(
   private var model: Option[PipelineModel] = None
   private var align: Option[AlignmentGraph] = None
   private var trainedAt: Long = 0L
+  // persisted with the model, restored by reload(): predictions after a
+  // restart must extract features under the SAME config the model was
+  // trained with (a different kNN k would silently shift prop_* inputs)
+  private var cfg: FeaturesConfig = initialConfig
 
   def trainState: TrainState = state
+  def featuresConfig: FeaturesConfig = cfg
 
-  /** Train both legs; returns the final state. */
-  def train(spark: SparkSession, dir: String): TrainState = synchronized {
-    if (state == Busy) return Busy
-    if (state == Complete && !inputsModifiedSince(dir, trainedAt)) return Complete
-    state = Busy
-    try {
-      // leg 1: matcher (Spark)
-      val trainFeat = {
-        import spark.implicits._
-        FeatureMatrix.features(spark, dir, Labels.trainTables)
-          .join(Labels.train.map { case (t, c, l) => (s"$t.$c", l) }
-            .toDF("col_name", "label"), "col_name")
-      }
-      val m = SemanticTypeClassifier.train(trainFeat)
-      // leg 2: alignment graph (driver)
-      val a = new AlignmentGraph(ontology)
-      knownModels.foreach(a.add)
-      // persist (M9: PipelineModel.save + JSON sidecars)
-      val mp = s"$workDir/pipeline"
-      m.write.overwrite().save(mp)
-      Files.createDirectories(Paths.get(workDir))
-      Files.writeString(Paths.get(s"$workDir/alignment.json"), a.toJson)
-      // known models as JSONL (one per line) so reload() can rebuild the
-      // alignment graph — the edge export above is for consumers, the
-      // model list is the graph's actual state
-      Files.writeString(Paths.get(s"$workDir/known_models.jsonl"),
-        knownModels.map(_.toJson.replace("\n", "")).mkString("\n"))
-      Files.writeString(Paths.get(s"$workDir/features.json"),
-        FeatureMatrix.featureCols.map(c => s""""$c"""")
-          .mkString("""{"features":[""", ",", "]}"))
-      model = Some(m); align = Some(a)
-      trainedAt = System.currentTimeMillis()
-      state = Complete
-    } catch {
-      case e: Exception =>
-        state = Error(e.getMessage)
+  /** Matcher leg: feature extraction + RF fit (Spark). Protected so
+    * specs can instrument overlap / failure injection. */
+  protected def trainMatcherLeg(spark: SparkSession, dir: String): PipelineModel = {
+    val trainFeat = {
+      import spark.implicits._
+      FeatureMatrix.features(spark, dir, Labels.trainTables, cfg)
+        .join(Labels.train.map { case (t, c, l) => (s"$t.$c", l) }
+          .toDF("col_name", "label"), "col_name")
     }
-    state
+    SemanticTypeClassifier.train(trainFeat, cfg)
+  }
+
+  /** Alignment leg: graph build from the known models (driver). */
+  protected def trainAlignmentLeg(): AlignmentGraph = {
+    val a = new AlignmentGraph(ontology)
+    knownModels.foreach(a.add)
+    a
+  }
+
+  /** Train both legs CONCURRENTLY and combine through the reference's
+    * 4-way success/failure matrix (reference
+    * OctopusInterface.scala:219-303: matcher Future + alignment Future,
+    * both-succeed -> Complete, any failure -> Error naming the leg).
+    * State transitions happen under the lock; leg execution does not,
+    * so a concurrent train() observes Busy instead of blocking. */
+  def train(spark: SparkSession, dir: String): TrainState = {
+    synchronized {
+      if (state == Busy) return Busy
+      if (state == Complete && !inputsModifiedSince(dir, trainedAt))
+        return Complete
+      state = Busy
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Success, Try}
+    implicit val ec = Octopus.trainEc
+    val mF = Future(trainMatcherLeg(spark, dir))
+    val aF = Future(trainAlignmentLeg())
+    val mR = Try(Await.result(mF, Duration.Inf))
+    val aR = Try(Await.result(aF, Duration.Inf))
+    val next = (mR, aR) match {
+      case (Success(m), Success(a)) =>
+        try {
+          // persist (M9: PipelineModel.save + JSON sidecars)
+          val mp = s"$workDir/pipeline"
+          m.write.overwrite().save(mp)
+          Files.createDirectories(Paths.get(workDir))
+          Files.writeString(Paths.get(s"$workDir/alignment.json"), a.toJson)
+          // known models as JSONL (one per line) so reload() can rebuild
+          // the alignment graph — the edge export above is for consumers,
+          // the model list is the graph's actual state
+          Files.writeString(Paths.get(s"$workDir/known_models.jsonl"),
+            knownModels.map(_.toJson.replace("\n", "")).mkString("\n"))
+          // full features config (activeFeatures/groups/params + resolved
+          // assembler column order) rides with the model artifacts
+          Files.writeString(Paths.get(s"$workDir/features.json"), cfg.toJson)
+          synchronized { model = Some(m); align = Some(a) }
+          trainedAt = System.currentTimeMillis()
+          Complete
+        } catch { case e: Exception => Error(s"persist: ${e.getMessage}") }
+      case (Failure(em), Failure(ea)) =>
+        Error(s"matcher leg: ${em.getMessage}; alignment leg: ${ea.getMessage}")
+      case (Failure(em), _) => Error(s"matcher leg: ${em.getMessage}")
+      case (_, Failure(ea)) => Error(s"alignment leg: ${ea.getMessage}")
+    }
+    synchronized { state = next }
+    next
   }
 
   /** Reload both persisted legs (M9 deserialization path): the matcher
@@ -80,6 +115,9 @@ class Octopus(
     else {
       val m = PipelineModel.load(mp)
       model = Some(m)
+      val fp = Paths.get(s"$workDir/features.json")
+      if (Files.exists(fp))
+        cfg = FeaturesConfig.fromJson(Files.readString(fp))
       val kp = Paths.get(s"$workDir/known_models.jsonl")
       if (Files.exists(kp)) {
         val a = new AlignmentGraph(ontology)
@@ -100,7 +138,7 @@ class Octopus(
       tables: Seq[(String, Seq[String])]): OctopusPrediction = {
     require(state == Complete, s"octopus not trained (state=$state)")
     val m = model.get
-    val feat = FeatureMatrix.features(spark, dir, tables)
+    val feat = FeatureMatrix.features(spark, dir, tables, cfg)
     val colPreds = SemanticTypeClassifier.predict(m, feat)
     val cols = tables.flatMap { case (t, cs) => cs.map(c => s"$t.$c") }
     val cands = cols.map(c =>
@@ -121,6 +159,18 @@ class Octopus(
 }
 
 object Octopus {
+
+  /** Dedicated 2-thread pool for the two training legs (daemon threads
+    * — never blocks JVM exit; the global EC would risk starvation under
+    * a loaded scheduler). */
+  private[core] lazy val trainEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "octopus-train-leg")
+        t.setDaemon(true)
+        t
+      }))
+
   sealed trait TrainState
   case object Untrained extends TrainState
   case object Busy extends TrainState

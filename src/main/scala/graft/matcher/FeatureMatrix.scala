@@ -115,26 +115,41 @@ object FeatureMatrix {
       .filter(col("rn") <= SampleN).drop("rn")
   }
 
+  /** Feature matrix under a [[FeaturesConfig]]: inactive families are
+    * not just dropped from the projection — their extractor joins are
+    * skipped entirely (a config without name features never builds the
+    * kNN/min-dist join; one without type one-hots never runs the
+    * inference battery), the reference's activeGroupFeatures semantics.
+    * The default config reproduces the unconfigured matrix exactly. */
   def features(spark: SparkSession, dir: String,
-      tables: Seq[(String, Seq[String])]): DataFrame = {
+      tables: Seq[(String, Seq[String])],
+      config: FeaturesConfig = FeaturesConfig.Default): DataFrame = {
     import spark.implicits._
     // the melt is materialized (parquet-backed) — each profiling pass
     // below re-scans a small bounded file, no executor-memory cache
     // held — and rebalanced: the bounded sample is one small file, and
     // the profiler's explode-heavy passes must not start on one task
     val m = graft.sources.Tables.rebalance(sampledMelt(spark, dir, tables))
-    val colsDf = tables
-      .flatMap { case (t, cs) => cs.map(c => s"$t.$c") }
-      .toDF("col_name")
-    val pool = Labels.train
-      .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "label")
-    val nf = nameFeatures(colsDf, pool)
-    ColumnProfiler.profile(m)
-      .join(ColumnProfiler.typeShares(m), Seq("col_name"))
-      .join(ColumnProfiler.inferredTypeOneHots(m).drop("inferred_type"),
+    var out = ColumnProfiler.profile(m)
+    if (config.needsTypeShares)
+      out = out.join(ColumnProfiler.typeShares(m), Seq("col_name"))
+    if (config.needsTypeOneHots)
+      out = out.join(
+        ColumnProfiler.inferredTypeOneHots(m).drop("inferred_type"),
         Seq("col_name"))
-      .join(nf, col("col_name") === nf("query_col"))
-      .select(col("col_name") +: featureCols.map(c =>
-        coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)
+    if (config.needsNameFeatures) {
+      val colsDf = tables
+        .flatMap { case (t, cs) => cs.map(c => s"$t.$c") }
+        .toDF("col_name")
+      val pool = Labels.train
+        .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "label")
+      val nf = ExampleFeatures.knn(colsDf, pool, config.knnNeighbours,
+          Labels.classes)
+        .join(ExampleFeatures.minClassDistance(colsDf, pool, Labels.classes),
+          "query_col")
+      out = out.join(nf, col("col_name") === nf("query_col"))
+    }
+    out.select(col("col_name") +: config.featureCols.map(c =>
+      coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)
   }
 }

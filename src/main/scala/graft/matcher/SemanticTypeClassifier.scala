@@ -27,14 +27,18 @@ object SemanticTypeClassifier {
   val TinyDataTrees = 10
   val MaxDepth = 10
 
-  /** Train on a feature frame that has a `label` column. */
-  def train(labelled: DataFrame): PipelineModel = {
+  /** Train on a feature frame that has a `label` column. The assembler
+    * order is the config's active subsequence of the canonical feature
+    * order ([[FeaturesConfig.featureCols]]); the default config is the
+    * full set. */
+  def train(labelled: DataFrame,
+      config: FeaturesConfig = FeaturesConfig.Default): PipelineModel = {
     val n = labelled.count()
     val indexer = new StringIndexer()
       .setInputCol("label").setOutputCol("label_idx")
       .setStringOrderType("alphabetAsc")
     val assembler = new VectorAssembler()
-      .setInputCols(FeatureMatrix.featureCols.toArray)
+      .setInputCols(config.featureCols.toArray)
       .setOutputCol("features")
     val rf = new RandomForestClassifier()
       .setLabelCol("label_idx").setFeaturesCol("features")
@@ -106,11 +110,14 @@ object SemanticTypeClassifier {
   }
 
   /** Gini feature importances, descending (reference
-    * ModelTrainer.scala:196-238). */
+    * ModelTrainer.scala:196-238). Names come from the model's own
+    * assembler, so they stay correct for any [[FeaturesConfig]] the
+    * model was trained under. */
   def featureImportances(model: PipelineModel): Seq[(String, Double)] = {
     val rf = model.stages(2)
       .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
-    FeatureMatrix.featureCols.zip(rf.featureImportances.toArray)
+    model.stages(1).asInstanceOf[VectorAssembler]
+      .getInputCols.toSeq.zip(rf.featureImportances.toArray)
       .sortBy(-_._2)
   }
 }

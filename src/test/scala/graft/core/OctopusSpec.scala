@@ -27,6 +27,63 @@ class OctopusSpec extends SparkSpec {
     assert(oct.reload().isDefined)
   }
 
+  test("training legs run concurrently (reference two-Future overlap)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val work = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    // each leg signals its start, then waits for the OTHER leg to have
+    // started: completion is only possible if both run at once. The
+    // timeout makes a sequential implementation fail, not hang.
+    val matcherStarted = new CountDownLatch(1)
+    val alignStarted = new CountDownLatch(1)
+    @volatile var overlapped = true
+    val oct = new Octopus(Ontology.tpch,
+      Seq(ModelerQueries.knownOrderModel), work) {
+      override protected def trainMatcherLeg(
+          s: org.apache.spark.sql.SparkSession, d: String) = {
+        matcherStarted.countDown()
+        if (!alignStarted.await(30, TimeUnit.SECONDS)) overlapped = false
+        super.trainMatcherLeg(s, d)
+      }
+      override protected def trainAlignmentLeg() = {
+        alignStarted.countDown()
+        if (!matcherStarted.await(30, TimeUnit.SECONDS)) overlapped = false
+        super.trainAlignmentLeg()
+      }
+    }
+    assert(oct.train(spark, sf) === Octopus.Complete)
+    assert(overlapped, "legs never overlapped — training ran sequentially")
+  }
+
+  test("single-leg failures map to Error through the 4-way state matrix") {
+    def octWith(failMatcher: Boolean, failAlign: Boolean) = {
+      val work = java.nio.file.Files.createTempDirectory("graft-fail").toString
+      new Octopus(Ontology.tpch, Seq(ModelerQueries.knownOrderModel), work) {
+        override protected def trainMatcherLeg(
+            s: org.apache.spark.sql.SparkSession, d: String) = {
+          if (failMatcher) sys.error("matcher boom")
+          super.trainMatcherLeg(s, d)
+        }
+        override protected def trainAlignmentLeg() = {
+          if (failAlign) sys.error("align boom")
+          super.trainAlignmentLeg()
+        }
+      }
+    }
+    val m = octWith(failMatcher = true, failAlign = false).train(spark, sf)
+    assert(m.isInstanceOf[Octopus.Error]
+      && m.asInstanceOf[Octopus.Error].message.contains("matcher leg"))
+    val a = octWith(failMatcher = false, failAlign = true).train(spark, sf)
+    assert(a.isInstanceOf[Octopus.Error]
+      && a.asInstanceOf[Octopus.Error].message.contains("alignment leg"))
+    val both = octWith(failMatcher = true, failAlign = true).train(spark, sf)
+    assert(both.isInstanceOf[Octopus.Error]
+      && both.asInstanceOf[Octopus.Error].message.contains("matcher leg")
+      && both.asInstanceOf[Octopus.Error].message.contains("alignment leg"))
+    // an Error octopus can retrain to Complete (state machine recovers)
+    val ok = octWith(failMatcher = false, failAlign = false)
+    assert(ok.train(spark, sf) === Octopus.Complete)
+  }
+
   test("transformations rewrite only the targeted semantic class") {
     import spark.implicits._
     val df = Seq(("phone", "(02) 1234"), ("name", "(02) 1234"))
