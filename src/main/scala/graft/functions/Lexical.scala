@@ -53,8 +53,12 @@ object Lexical {
     private lazy val children: Map[String, Seq[String]] =
       parent.toSeq.groupBy(_._2).map { case (p, kids) => p -> kids.map(_._1) }
 
+    // same node-set formula as Taxonomy.validated's root check — the
+    // previous `parent.values`-only form threw a bare
+    // NoSuchElementException on a single-node taxonomy that validation
+    // had just accepted (no parent edges at all)
     private lazy val root: String =
-      (parent.values.toSet -- parent.keySet).head
+      ((count.keySet ++ parent.values) -- parent.keySet).head
 
     /** Subtree frequency (own + descendants), the Resnik concept count. */
     private lazy val subtree: Map[String, Long] = {
@@ -220,9 +224,67 @@ object Lexical {
       t
     }
 
+    /** Parse a Princeton WordNet noun database (`dict/data.noun`, WNDB
+      * format per wninput(5WN) — the shape the reference ships in
+      * matcher/src/test/resources/wordnet): each synset line is
+      * `offset lex_filenum ss_type w_cnt(hex) (word lex_id)+
+      * p_cnt(dec) (ptr_symbol offset pos source_target)* | gloss`.
+      * Mapping into the IS-A [[Taxonomy]]:
+      *  - a synset becomes one node named by its FIRST word
+      *    (lowercased, underscores -> spaces); remaining words become
+      *    synonym aliases of it;
+      *  - the FIRST `@`/`@i` (hypernym / instance-hypernym) noun
+      *    pointer becomes the parent edge — WordNet nouns form a DAG,
+      *    the first-hypernym convention makes it the tree this
+      *    taxonomy models (ws4j's JCN/LIN path walks primary
+      *    hypernyms the same way);
+      *  - concept frequency is uniform (1 per synset): Resnik IC
+      *    degrades to structural IC, the standard fallback when no
+      *    sense-tagged corpus counts (cntlist) are wired in.
+      * License/header lines (leading whitespace) are skipped.
+      * Validation (single root, no cycles, defined parents) applies as
+      * for [[parse]]. */
+    def parseWndbNoun(lines: Iterator[String]): Taxonomy = {
+      val synsets = lines
+        .filter(l => l.nonEmpty && !l.charAt(0).isWhitespace)
+        .map { line =>
+          val f = line.split("\\|")(0).trim.split("\\s+")
+          require(f(2) == "n", s"non-noun ss_type '${f(2)}' in data.noun")
+          val wCnt = Integer.parseInt(f(3), 16)
+          val words = (0 until wCnt)
+            .map(i => f(4 + 2 * i).toLowerCase.replace('_', ' '))
+          val pIdx = 4 + 2 * wCnt
+          val pCnt = f(pIdx).toInt
+          val hypernym = (0 until pCnt).map { j =>
+            val b = pIdx + 1 + 4 * j
+            (f(b), f(b + 1), f(b + 2))
+          }.collectFirst {
+            case (sym, off, pos) if (sym == "@" || sym == "@i") && pos == "n" =>
+              off
+          }
+          (f(0), words, hypernym)
+        }.toSeq
+      val nameOf = synsets.map { case (off, ws, _) => off -> ws.head }.toMap
+      val parent = synsets.flatMap { case (_, ws, h) =>
+        h.flatMap(nameOf.get).filter(_ != ws.head).map(ws.head -> _)
+      }.toMap
+      val count = synsets.map { case (_, ws, _) => ws.head -> 1L }.toMap
+      val syn = synsets.flatMap { case (_, ws, _) =>
+        ws.tail.filter(_ != ws.head).map(_ -> ws.head)
+      }.toMap
+      validated(Taxonomy(parent, count, syn))
+    }
+
+    /** Load a WordNet dictionary directory (the reference's
+      * `wordnet/dict` layout): parses `data.noun`. */
+    def fromWndbDir(dir: String): Taxonomy = {
+      val src = scala.io.Source.fromFile(s"$dir/data.noun")
+      try parseWndbNoun(src.getLines()) finally src.close()
+    }
+
     /** Built-in mini-taxonomy over schema-header vocabulary (hand-
       * authored; a production deployment parses a WordNet noun export
-      * in the same format). */
+      * via [[fromWndbDir]] or the pipe format via [[parse]]). */
     lazy val builtin: Taxonomy = parse(BuiltinSource.linesIterator)
 
     val BuiltinSource: String = """

@@ -107,16 +107,6 @@ object ExampleFeatures {
       .agg(count(lit(1)).cast("double").as("cnt"))
   }
 
-  /** A26: L2-normalized word-level term-frequency vector per column
-    * (reference AttributeContentTermFrequency,
-    * DataPreprocessor.scala:79-130: lowercase, split on newline/space/
-    * comma, strip [.,!?;:], count, divide by the L2 norm of the count
-    * vector). Two-level aggregation — (col, term) counts map-side
-    * combine, then an O(vocabulary) norm per column — so no reducer
-    * ever holds a column's values. Norm arithmetic is exact-integer in
-    * double (sums of squared counts), so tf values are bit-identical
-    * across engines; the final value floor-rounds half-up at 6
-    * decimals. Returns (col_name, term, tf). */
   /** Lexical (WordNet-family) min distance from each class's example
     * headers (reference J4/A25:
     * MinWordNetDistFromClassExamplesFeatureExtractor.scala:35-266) —
@@ -146,6 +136,16 @@ object ExampleFeatures {
       .orderBy(col("query_col"), col("class_name"))
   }
 
+  /** A26: L2-normalized word-level term-frequency vector per column
+    * (reference AttributeContentTermFrequency,
+    * DataPreprocessor.scala:79-130: lowercase, split on newline/space/
+    * comma, strip [.,!?;:], count, divide by the L2 norm of the count
+    * vector). Two-level aggregation — (col, term) counts map-side
+    * combine, then an O(vocabulary) norm per column — so no reducer
+    * ever holds a column's values. Norm arithmetic is exact-integer in
+    * double (sums of squared counts), so tf values are bit-identical
+    * across engines; the final value floor-rounds half-up at 6
+    * decimals. Returns (col_name, term, tf). */
   def wordTfVector(melted: DataFrame): DataFrame = {
     val v = col("value")
     val terms = melted.filter(v.isNotNull && length(v) > 0)

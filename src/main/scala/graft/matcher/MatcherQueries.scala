@@ -315,7 +315,17 @@ object MatcherQueries {
   /** Build the m10 oracle: token VALUES + word-distance-micros VALUES +
     * the alignment SQL. Direction rule mirrors the reference: iterate
     * the BIGGER token set (amin/aavg iterate query tokens, bmin/bavg
-    * example tokens; the CASE picks by set size). */
+    * example tokens; the CASE picks by set size). Two hardening rules
+    * keep the twin faithful on degenerate headers the current label set
+    * happens not to contain:
+    *  - token VALUES carry an ORDINAL and the per-bigger-token min
+    *    groups on it, so a header with a repeated token contributes one
+    *    min per OCCURRENCE (the engine iterates the token list), not
+    *    one per distinct value;
+    *  - headers that tokenize to nothing (and classes with an
+    *    empty-token example) produce explicit (-1,-1,-1) rows, exactly
+    *    the engine's sentinel, instead of silently vanishing from the
+    *    VALUES-driven join. */
   private def lexicalOracleSql: String = {
     import graft.functions.{Lexical, StringFunctions}
     val tax = Lexical.Taxonomy.builtin
@@ -324,18 +334,35 @@ object MatcherQueries {
     val ptoks = Labels.train.map { case (t, c, l) =>
       (s"$t.$c", l, StringFunctions.tokenize(c)) }
     val qvals = qtoks.flatMap { case (n, ts) =>
-      ts.map(tk => s"('$n', '$tk')") }.mkString(",\n      ")
+      ts.zipWithIndex.map { case (tk, i) => s"('$n', $i, '$tk')" }
+    }.mkString(",\n      ")
     val pvals = ptoks.flatMap { case (n, l, ts) =>
-      ts.map(tk => s"('$n', '$l', '$tk')") }.mkString(",\n      ")
+      ts.zipWithIndex.map { case (tk, i) => s"('$n', '$l', $i, '$tk')" }
+    }.mkString(",\n      ")
+    // engine sentinel rows: a zero-token query header is (-1,-1,-1) for
+    // every class; a class with a zero-token example has -1 win its min
+    val classes = ptoks.map(_._2).distinct.sorted
+    val emptyExampleClasses = ptoks.filter(_._3.isEmpty).map(_._2).toSet
+    val degenRows = (for {
+      (qn, qts) <- qtoks; cls <- classes
+      if qts.isEmpty || emptyExampleClasses.contains(cls)
+    } yield s"('$qn', '$cls', -1000000, -1000000, -1000000)").distinct
+    val degenUnion =
+      if (degenRows.isEmpty) ""
+      else s"""
+        UNION ALL
+        SELECT * FROM (VALUES
+          ${degenRows.mkString(",\n          ")}
+        ) AS degen(query_col, class_name, jcn_u, lin_u, wup_u)"""
     val qvocab = qtoks.flatMap(_._2).distinct.sorted
     val pvocab = ptoks.flatMap(_._3).distinct.sorted
     val wdvals = (for (qw <- qvocab; pw <- pvocab) yield {
       val (j, l, w) = tax.wordDistanceMicros(qw, pw)
       s"('$qw', '$pw', $j, $l, $w)"
     }).mkString(",\n      ")
-    s"""WITH qtok(col_name, tok) AS (VALUES
+    s"""WITH qtok(col_name, ord, tok) AS (VALUES
       $qvals
-      ), ptok(col_name, label, tok) AS (VALUES
+      ), ptok(col_name, label, ord, tok) AS (VALUES
       $pvals
       ), wd(w1, w2, jcn_u, lin_u, wup_u) AS (VALUES
       $wdvals
@@ -343,11 +370,11 @@ object MatcherQueries {
       ), pn AS (SELECT col_name, count(*) AS n FROM ptok GROUP BY 1
       ), pairs AS (
         SELECT q.col_name AS qcol, p.col_name AS pcol, p.label,
-               q.tok AS qt, p.tok AS pt, wd.jcn_u, wd.lin_u, wd.wup_u
+               q.ord AS qord, p.ord AS pord, wd.jcn_u, wd.lin_u, wd.wup_u
         FROM qtok q CROSS JOIN ptok p
         JOIN wd ON wd.w1 = q.tok AND wd.w2 = p.tok
       ), amin AS (
-        SELECT qcol, pcol, label, qt, min(jcn_u) AS jcn_u,
+        SELECT qcol, pcol, label, qord, min(jcn_u) AS jcn_u,
                min(lin_u) AS lin_u, min(wup_u) AS wup_u
         FROM pairs GROUP BY 1, 2, 3, 4
       ), aavg AS (
@@ -357,7 +384,7 @@ object MatcherQueries {
           CAST(floor(CAST(sum(wup_u) AS DOUBLE) / count(*)) AS BIGINT) AS wup_u
         FROM amin GROUP BY 1, 2, 3
       ), bmin AS (
-        SELECT qcol, pcol, label, pt, min(jcn_u) AS jcn_u,
+        SELECT qcol, pcol, label, pord, min(jcn_u) AS jcn_u,
                min(lin_u) AS lin_u, min(wup_u) AS wup_u
         FROM pairs GROUP BY 1, 2, 3, 4
       ), bavg AS (
@@ -376,10 +403,13 @@ object MatcherQueries {
         JOIN qn ON qn.col_name = a.qcol
         JOIN pn ON pn.col_name = a.pcol
       )
-      SELECT qcol AS query_col, label AS class_name,
+      SELECT query_col, class_name,
         min(jcn_u) / 1000000.0 AS jcn_dist,
         min(lin_u) / 1000000.0 AS lin_dist,
         min(wup_u) / 1000000.0 AS wup_dist
-      FROM pairdist GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM (
+        SELECT qcol AS query_col, label AS class_name, jcn_u, lin_u, wup_u
+        FROM pairdist$degenUnion
+      ) GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 }

@@ -313,8 +313,9 @@ object SimilarityQueries {
       Some(ivfKmeansOracleSql)),
 
     // ---- s6: product-quantization ANN (ADC scan) — the memory-scale
-    //      path: each vector compresses to M sub-codes (4×3 bits here
-    //      vs 64 floats), and queries score candidates through a
+    //      path: each vector compresses to M sub-codes (8 sub-codes of
+    //      4 bits each — PqM=8, PqK=16 — vs 64 floats), and queries
+    //      score candidates through a
     //      per-query lookup table of query-subvector→sub-centroid
     //      distances (asymmetric distance computation), so the scan
     //      touches codes only, never raw vectors. At 100 TB this is

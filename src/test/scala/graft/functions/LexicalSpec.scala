@@ -89,6 +89,46 @@ class LexicalSpec extends AnyFunSuite {
     assert(bad("root||1\na|root|1\nz=ghost2").getMessage.contains("ghost2"))
   }
 
+  test("single-node taxonomy loads and behaves (no bare root crash)") {
+    // regression: `root` used a parent-edges-only formula, so a
+    // taxonomy that validation accepted (one node, zero parent edges)
+    // crashed later inside the first metric with NoSuchElementException
+    val one = Lexical.Taxonomy.parse(Iterator("entity||5"))
+    assert(one.wordDistances("entity", "entity") === ((0.0, 0.0, 0.0)))
+    assert(one.wordDistances("entity", "zzz") === ((1.0, 1.0, 1.0)))
+  }
+
+  test("WNDB loader: Princeton data.noun fixture, hand-computed JCN/LIN/WUP") {
+    val t = Lexical.Taxonomy.fromWndbDir(
+      getClass.getResource("/wordnet").getPath)
+    // fixture tree (uniform count 1/synset):
+    //   entity
+    //   ├ abstraction ── measure(=quantity), attribute
+    //   └ object(=physical object) ── artifact ── cart(=wagon),
+    //                                 living thing
+    // subtree: entity=8, abstraction=3, object=4, artifact=2, leaves=1
+    def icOf(sub: Double) = -math.log(sub / 8.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (jcn, lin, wup) = t.wordDistances("measure", "attribute")
+    // WUP: lcs=abstraction depth 2, both words depth 3 -> sim 4/6
+    assert(wup === r6(1.0 - 4.0 / 6.0))
+    // LIN: mics=abstraction: 2*ic(3)/(ic(1)+ic(1))
+    assert(lin === r6(1.0 - 2.0 * icOf(3) / (icOf(1) + icOf(1))))
+    // JCN: 1 - (1/(2*ic(1) - 2*ic(3)))/MaxJcn
+    assert(jcn === r6(1.0 -
+      (1.0 / (2.0 * icOf(1) - 2.0 * icOf(3))) / Lexical.MaxJcn))
+    // deeper pair across branches: cart(4) vs living thing(3), lcs=object(2)
+    val (_, _, wup2) = t.wordDistances("cart", "living thing")
+    assert(wup2 === r6(1.0 - 2.0 * 2.0 / (4 + 3)))
+    // synset co-words became synonyms of the first word
+    assert(t.wordDistances("quantity", "attribute") ===
+      t.wordDistances("measure", "attribute"))
+    assert(t.wordDistances("wagon", "cart") === ((0.0, 0.0, 0.0)))
+    // underscored lemma surfaces with a space, like WordNet lemmas do
+    val (_, _, wupObj) = t.wordDistances("physical object", "artifact")
+    assert(wupObj === r6(1.0 - 2.0 * 2.0 / (2 + 3)))
+  }
+
   test("builtin taxonomy is well-formed and covers schema vocabulary") {
     val t = Lexical.Taxonomy.builtin
     // related attribute words are closer than cross-branch words (LIN)

@@ -21,6 +21,40 @@ class MatcherSpec extends SparkSpec {
     assert(acc >= 0.8, s"accuracy $acc below threshold")
   }
 
+  test("m10 degenerate headers: repeated tokens count per occurrence, empty tokens emit -1") {
+    import spark.implicits._
+    import graft.functions.Lexical
+    // "date_date_year" tokenizes to [date, date, year] — the repeated
+    // token must contribute one alignment term per OCCURRENCE (mean
+    // (2*d1+d2)/3, not the distinct-token (d1+d2)/2); "___" tokenizes
+    // to nothing — every class must emit the (-1,-1,-1) sentinel row.
+    // The m10 oracle mirrors both via token ordinals + explicit degen
+    // rows; this spec pins the live engine to the same semantics.
+    val queries = Seq("q.date_date_year", "q.___").toDF("col_name")
+    val pool = Seq(
+      ("p.time", "when"),
+      ("p.___", "void")).toDF("col_name", "label")
+    val out = ExampleFeatures.lexicalMinDistPerClass(queries, pool)
+      .collect()
+      .map(r => (r.getAs[String]("query_col"), r.getAs[String]("class_name")) ->
+        (r.getAs[Double]("jcn_dist"), r.getAs[Double]("lin_dist"),
+          r.getAs[Double]("wup_dist"))).toMap
+    assert(out.size === 4, "2 queries x 2 classes, sentinel rows included")
+    // per-occurrence expected value from the Scala reference semantics
+    val expected = Lexical.Taxonomy.builtin
+      .compoundDistance(Seq("date", "date", "year"), Seq("time"))
+    assert(out(("q.date_date_year", "when")) === expected)
+    // distinct-token collapse would have produced a DIFFERENT mean
+    val collapsed = Lexical.Taxonomy.builtin
+      .compoundDistance(Seq("date", "year"), Seq("time"))
+    assert(expected !== collapsed,
+      "fixture must separate per-occurrence from per-distinct means")
+    // zero-token query header and zero-token pool example both -> -1
+    assert(out(("q.___", "when")) === ((-1.0, -1.0, -1.0)))
+    assert(out(("q.___", "void")) === ((-1.0, -1.0, -1.0)))
+    assert(out(("q.date_date_year", "void")) === ((-1.0, -1.0, -1.0)))
+  }
+
   test("classifier predictions are deterministic across runs") {
     val a = MatcherQueries.defs("m4_semantic_type_predictions")
       .fn(spark, sf).collect().map(_.toSeq)

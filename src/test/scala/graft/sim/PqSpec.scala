@@ -57,7 +57,7 @@ class PqSpec extends SparkSpec {
       (pq(q) & exact(q)).size.toDouble / exact(q).size
     }
     val mean = recalls.sum / recalls.size
-    // 4x3-bit codes over 64 dims are a coarse sketch; the point is the
+    // 8x4-bit codes over 64 dims are a coarse sketch; the point is the
     // shortlist beats chance by a wide margin (chance ~ TopK/n = 2%)
     assert(mean >= 0.2, s"mean PQ recall@10 too low: $mean")
   }
