@@ -46,8 +46,24 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // the driver's sf layout is ONE parquet FILE per table (not a Spark
+    // part-file directory) and the streaming source's pathGlobFilter
+    // depends on that shape — write to a staging dir, then promote the
+    // single part file to `<table>.parquet`
+    def write(df: DataFrame, t: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val staging = s"$dst/.staging_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $staging"))
+      Files.createDirectories(Paths.get(dst))
+      Files.move(part.toPath, Paths.get(s"$dst/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(staging).listFiles().foreach(_.delete())
+      Files.delete(Paths.get(staging))
+    }
     /** max+1 of a key column — the per-replica offset stride. */
     def stride(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1L

@@ -55,6 +55,31 @@ object DedupQueries {
   val NdBits = 4
   val NdMaxBucket = 2000
 
+  /** d5/d9 LSH bucket-occupancy target: bits-per-band scale with corpus
+    * size so a band's expected bucket holds ~this many vectors. A FIXED
+    * bits-per-band makes bucket sizes grow linearly with the corpus and
+    * within-bucket pair counts quadratically — the sf1 rehearsal
+    * measured exactly that (d5 15.8× at 10× data with 16 buckets/band).
+    * [[ndBitsFor]] keeps the per-bucket quadratic constant instead:
+    * buckets/band = 2^bits grows with n, bucket ~ NdTargetBucket, total
+    * candidate pairs O(n · bands · NdTargetBucket). Recall for a pair
+    * at angular similarity p is 1-(1-p^bits)^bands — near-dup targets
+    * sit at p close to 1, where extra bits cost little (p=0.95, bits 8,
+    * bands 12: recall 0.9996). */
+  val NdTargetBucket = 125L
+
+  /** Smallest bits >= [[NdBits]] with 2^bits * NdTargetBucket >= n
+    * (integer arithmetic — no float log2 edge cases). n = 2000 (the
+    * largest bench corpus at sf0.1, and everything below) yields
+    * exactly NdBits=4, so test-scale behavior is bit-identical to the
+    * fixed-bits form; n = 20k (sf1) yields 8. Capped at 24 bits
+    * (16M buckets/band — beyond any single-job corpus). */
+  def ndBitsFor(n: Long): Int = {
+    var b = NdBits
+    while ((NdTargetBucket << b) < n && b < 24) b += 1
+    b
+  }
+
   /** d9: cosine threshold for an embedding near-dup EDGE (cluster
     * membership). Below d5's top-k reporting cut, chosen so the synthetic
     * corpus yields non-trivial clusters at every sf. NOTE: declared
@@ -579,12 +604,15 @@ object DedupQueries {
     //      approximation, not a bug.
     "d5_embedding_neardup" -> QueryDef(
       (s, dir) => {
-        val e = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
+        // rebalance: the sf vector table is ONE parquet file — without
+        // it the whole signature build runs in a single task
+        val e = Tables.rebalance(Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v")))
           .withColumn("nrm", Text.norm(col("v")))
           .persist()
-        val pairs = if (e.count() <= NearDupBruteMax)
-          embeddingPairsBrute(e) else embeddingPairsLsh(e)
+        val n = e.count()
+        val pairs = if (n <= NearDupBruteMax)
+          embeddingPairsBrute(e) else embeddingPairsLsh(e, n)
         pairs
           .orderBy(col("cos").desc, col("vec1"), col("vec2"))
           .limit(20)
@@ -614,12 +642,14 @@ object DedupQueries {
     //      LSH candidates are approximate by design).
     "d9_embedding_clusters" -> QueryDef(
       (s, dir) => {
-        val e = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
+        // rebalanced for the same single-file reason as d5
+        val e = Tables.rebalance(Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v")))
           .withColumn("nrm", Text.norm(col("v")))
           .persist()
-        val all = if (e.count() <= NearDupBruteMax)
-          embeddingPairsBrute(e) else embeddingPairsLsh(e)
+        val n = e.count()
+        val all = if (n <= NearDupBruteMax)
+          embeddingPairsBrute(e) else embeddingPairsLsh(e, n)
         val pairs = all.filter(col("cos") >= NearDupCosThreshold)
           .select(col("vec1").as("doc1"), col("vec2").as("doc2"))
         val vecs = Tables.table(s, dir, "embeddings")
@@ -723,20 +753,47 @@ object DedupQueries {
           (col("a.nrm") * col("b.nrm")), 6).as("cos"))
 
   /** LSH-blocked near-dup candidates + exact rerank: [[NdBands]] bands of
-    * [[NdBits]] hyperplane sign bits; a pair is a candidate iff some band
-    * key collides. The band join carries only (vec_id, bk) — vectors join
-    * back in for the exact cosine only on the candidate set. Hot buckets
-    * (> [[NdMaxBucket]]) are dropped via a map-side-combined count +
-    * broadcast anti-join, same guard as d2. Approximate: recall of a pair
-    * at angular similarity p is 1-(1-p^bits)^bands. */
-  def embeddingPairsLsh(e: DataFrame): DataFrame = {
+    * [[ndBitsFor]](n) hyperplane sign bits over MEAN-CENTERED vectors; a
+    * pair is a candidate iff some band key collides. The band join
+    * carries only (vec_id, bk) — vectors join back in for the exact
+    * cosine (of the RAW vectors) only on the candidate set. Three scale
+    * guards compose:
+    *  - centering: raw sign bits over an off-center corpus are heavily
+    *    imbalanced (the sf1 rehearsal measured 41% of ALL pairs
+    *    surviving as candidates — the hyperplanes barely cut), so the
+    *    corpus mean is subtracted before signing. One map-side-combined
+    *    64-avg agg, folded into the keys as literals; near-identical
+    *    vectors stay near-identical after a shared translation, so
+    *    near-dup recall is preserved (approximate-by-design, as before).
+    *  - bits-per-band scale with n so EXPECTED bucket occupancy stays
+    *    ~[[NdTargetBucket]] (the per-bucket quadratic stays constant),
+    *  - hot buckets (> [[NdMaxBucket]]) are dropped via a
+    *    map-side-combined count + broadcast anti-join, same guard as d2,
+    *    bounding the skew tail the expectation argument can't.
+    * Approximate: recall of a pair at CENTERED angular similarity p is
+    * 1-(1-p^bits)^bands. `n` is the corpus size the caller already
+    * counted for the brute/LSH gate. */
+  def embeddingPairsLsh(e: DataFrame, n: Long): DataFrame = {
     val dims = 64
-    val sig = Text.hyperplaneSig(col("v"), NdBands * NdBits, dims)
-    val mask = (1 << NdBits) - 1
-    val banded = e.withColumn("sig", sig)
-      .select(col("vec_id"), explode(array((0 until NdBands).map(b =>
+    val bits = ndBitsFor(n)
+    val meanRow = e.select((0 until dims).map(i =>
+      avg(element_at(col("v"), i + 1)).as(s"m$i")): _*).head()
+    val center = (0 until dims).map(meanRow.getDouble)
+    // The key projection is persisted BEFORE the explode: a Generate
+    // subtree never enters whole-stage codegen, so a generator carrying
+    // the bands*bits dot products evaluates them INTERPRETED per row
+    // (measured ~30x slower than the same dots in a codegen'd
+    // projection). Cache-fill projections DO codegen; after it, the
+    // generator is a trivial explode(attribute). The cache also lets the
+    // three consumers below (hot-bucket count + both self-join sides)
+    // share one signature pass instead of three.
+    val keyed = e
+      .select(col("vec_id"), array((0 until NdBands).map(b =>
         concat_ws(":", lit(b),
-          expr(s"shiftright(sig, ${NdBits * b}) & $mask"))): _*)).as("bk"))
+          Text.hyperplaneBandKey(col("v"), b, bits, dims, center))): _*)
+        .as("bks"))
+      .persist()
+    val banded = keyed.select(col("vec_id"), explode(col("bks")).as("bk"))
     val hot = banded.groupBy(col("bk"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > NdMaxBucket)

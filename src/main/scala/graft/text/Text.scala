@@ -153,12 +153,42 @@ object Text {
     if (((p * 73 + d * 179) % 7) % 2 == 0) 1.0 else -1.0
 
   /** Random-hyperplane LSH signature: sign bits of v . plane_p packed
-    * into a long (lowest bit = plane 0). `planes` must be <= 62. */
+    * into a long (lowest bit = plane 0). `planes` must be <= 62.
+    * Plane dots go through the codegen'd [[dot]] (bit-identical to the
+    * HOF fold it replaced — same multiply-add order — but stays inside
+    * whole-stage codegen; the interpreted fold was the measured
+    * bottleneck of signature builds over single-file vector tables). */
   def hyperplaneSig(v: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
       val plane = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
-      val d = aggregate(zip_with(v, plane, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, 1L << p).otherwise(0L)
+      when(dot(v, plane) >= 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** One band's random-hyperplane key: the `bits` sign bits of band
+    * `band`'s plane set (global plane index band*bits+i at local bit
+    * i — bit-identical to extracting band `band` from a packed
+    * [[hyperplaneSig]] of bands*bits planes when `center` is empty).
+    * Unlike the packed form there is NO 62-plane cap: each band packs
+    * independently, so bits-per-band can scale with corpus size (the
+    * d5/d9 hot-bucket story) without overflowing a single long.
+    *
+    * `center`: optional corpus centroid. Signing the CENTERED vector
+    * balances the bits when the corpus is off-center (raw sign bits over
+    * such a corpus collapse into a few mega-buckets — measured in the
+    * sf1 rehearsal). Because the planes are linear,
+    * dot(v - c, plane) = dot(v, plane) - dot(c, plane), and the second
+    * term is a per-plane CONSTANT — so centering is a driver-computed
+    * literal threshold per plane, NOT a per-row 64-term subtraction
+    * array (which the optimizer would inline into every one of the
+    * bands*bits dots — measured 96x interpreted blowup). */
+  def hyperplaneBandKey(v: Column, band: Int, bits: Int, dims: Int,
+      center: Seq[Double] = Nil): Column =
+    (0 until bits).map { i =>
+      val p = band * bits + i
+      val plane = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
+      val off =
+        if (center.isEmpty) 0.0
+        else (0 until dims).map(d => center(d) * planeWeight(p, d)).sum
+      when(dot(v, plane) >= lit(off), 1L << i).otherwise(0L)
     }.reduce(_ + _)
 }

@@ -122,13 +122,41 @@ class DedupSpec extends SparkSpec {
     assert(fracs.keySet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("d5/d9 LSH bits scale with corpus size; band keys match the packed signature") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // occupancy-targeted bits: identical to the fixed NdBits=4 at every
+    // test scale (n <= 2000), growing once buckets would exceed target
+    assert(DedupQueries.ndBitsFor(20L) === DedupQueries.NdBits)
+    assert(DedupQueries.ndBitsFor(2000L) === DedupQueries.NdBits)
+    assert(DedupQueries.ndBitsFor(2001L) === DedupQueries.NdBits + 1)
+    assert(DedupQueries.ndBitsFor(20000L) === 8)
+    assert(DedupQueries.ndBitsFor(Long.MaxValue) === 24, "bit growth is capped")
+    // per-band keys are bit-identical to extracting the band from the
+    // packed signature (so the bits=4 regime reproduces old behavior)
+    import spark.implicits._
+    val vec = array((0 until 64).map(d => lit(math.sin(d * 2.7))): _*)
+    val bits = DedupQueries.NdBits
+    val row = Seq(1).toDF("x").select(
+      graft.text.Text.hyperplaneSig(vec, DedupQueries.NdBands * bits, 64)
+        .as("sig"),
+      array((0 until DedupQueries.NdBands).map(b =>
+        graft.text.Text.hyperplaneBandKey(vec, b, bits, 64)): _*).as("keys"))
+      .head()
+    val sig = row.getAs[Long]("sig")
+    val keys = row.getAs[collection.Seq[Long]]("keys")
+    (0 until DedupQueries.NdBands).foreach { b =>
+      assert(keys(b) === ((sig >> (bits * b)) & ((1 << bits) - 1)),
+        s"band $b key diverges from packed signature")
+    }
+  }
+
   test("d5 LSH path: key-equality candidates, exact cosines, sane recall") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), graft.text.Text.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", graft.text.Text.norm(col("v")))
       .persist()
-    val lshTop = DedupQueries.embeddingPairsLsh(e)
+    val lshTop = DedupQueries.embeddingPairsLsh(e, e.count())
       .orderBy(col("cos").desc, col("vec1"), col("vec2")).limit(20)
     val p = lshTop.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
