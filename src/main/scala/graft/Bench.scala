@@ -40,7 +40,7 @@ object Bench {
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part",
-      "p7_inclusion_deps"),
+      "p7_inclusion_deps", "p8_inclusion_deps_approx"),
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",

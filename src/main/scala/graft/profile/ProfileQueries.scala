@@ -157,6 +157,11 @@ object ProfileQueries {
       FROM m GROUP BY col_name ORDER BY col_name"""
     })
 
+  /** p8: minhash permutations per column sketch. */
+  val InclApproxK = 128
+  /** p8: rounded est-containment at/above this flags a candidate edge. */
+  val InclApproxThreshold = 0.8
+
   /** Key-typed columns scanned by p7's inclusion-dependency pass. */
   val InclusionKeyCols: Seq[(String, String)] = Seq(
     "region" -> "r_regionkey", "nation" -> "n_nationkey",
@@ -240,5 +245,133 @@ object ProfileQueries {
         CAST(n_common = s.n AS BIGINT) AS is_inclusion
       FROM inter JOIN sizes s ON s.col_name = col_a
       ORDER BY col_a, col_b"""
+      }),
+
+    // ---- p8: APPROXIMATE inclusion-dependency discovery — p7's scale
+    //      path. p7's exact pass needs a global distinct over every
+    //      (column, value) and a value self-join; at 100 TB that distinct
+    //      is the dominant shuffle. p8 replaces it with a per-column
+    //      k-permutation minhash sketch (d2's exact hash chain, reused):
+    //      ONE pass over the key columns, [[InclApproxK]] codegen'd
+    //      min() aggregates map-side-combined into #columns rows, then an
+    //      O(#columns² · K) sketch comparison that never touches the data
+    //      again. Column cardinalities come from the same sketch
+    //      (E[min] = p/(n+1), inverted with deterministic integer
+    //      arithmetic), containment from the Jaccard identity
+    //      |A∩B| = J/(1+J)·(|A|+|B|), clamped to [0,1].
+    //      Estimator contract (documented limitation, spec-pinned): for
+    //      a true inclusion A ⊆ B, match_k ~ K/(|B|/|A|), so estimates
+    //      are tight when |A|,|B| ≳ K/2 AND |B|/|A| ≲ K/20 (raise K for
+    //      wider ratios) — the fact↔fact edges that are expensive
+    //      exactly. Tiny dimension columns (|X| ≪ K) stay p7's exact
+    //      territory, which is cheap for them by definition. Everything
+    //      (hashes, permutation constants, integer divisions, double
+    //      formula shape) is mirrored bitwise in the DuckDB twin, so the
+    //      oracle is hash-exact, not statistical.
+    "p8_inclusion_deps_approx" -> QueryDef(
+      (s, dir) => {
+        val p = graft.text.Text.MinhashP
+        val K = InclApproxK
+        val vals = InclusionKeyCols
+          .map { case (t, c) =>
+            Tables.table(s, dir, t)
+              .select(lit(s"$t.$c").as("col_name"),
+                col(c).cast("long").as("v"))
+          }
+          .reduce(_ unionByName _)
+          .filter(col("v").isNotNull)
+        // no distinct: duplicate values hash identically and min() is
+        // idempotent — the sketch equals the sketch of the distinct set
+        val hashed = vals.withColumn("h",
+          conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10)
+            .cast("long") % p)
+        val minExprs = (1 to K).map { i =>
+          val a = (i.toLong * 40503L + 12345L) % (p - 1) + 1L
+          val b = (i.toLong * 69069L + 7L) % p
+          min((col("h") * a + b) % p).as(s"m$i")
+        }
+        val sigs = hashed.groupBy(col("col_name"))
+          .agg(minExprs.head, minExprs.tail: _*)
+        val longSigs = sigs
+          .select(col("col_name"), posexplode(
+            array((1 to K).map(i => col(s"m$i")): _*)).as(Seq("i0", "m")))
+          .select(col("col_name"), (col("i0") + 1).as("i"), col("m"))
+          .persist()
+        val card = longSigs.groupBy(col("col_name"))
+          .agg(sum(col("m")).as("sm"))
+          .select(col("col_name"),
+            greatest(expr(s"(cast($K as bigint) * cast($p as bigint))" +
+              s" div (sm + $K) - 1"), lit(1L)).as("est_n"))
+        val matches = longSigs.as("a")
+          .join(longSigs.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.col_name") =!= col("b.col_name"))
+          .select(col("a.col_name").as("col_a"),
+            col("b.col_name").as("col_b"),
+            col("a.m").as("ma"), col("b.m").as("mb"))
+          .groupBy(col("col_a"), col("col_b"))
+          .agg(count(when(col("ma") === col("mb"), 1)).as("match_k"))
+        val estJ = col("match_k").cast("double") / K
+        matches
+          .join(card.select(col("col_name").as("col_a"),
+            col("est_n").as("est_n_a")), "col_a")
+          .join(card.select(col("col_name").as("col_b"),
+            col("est_n").as("est_n_b")), "col_b")
+          .withColumn("est_containment",
+            floor(least(estJ / (lit(1) + estJ)
+                * (col("est_n_a") + col("est_n_b")) / col("est_n_a"),
+              lit(1.0)) * 1e6 + lit(0.5)) / 1e6)
+          .withColumn("is_candidate",
+            (col("est_containment") >= InclApproxThreshold).cast("long"))
+          .select(col("col_a"), col("col_b"), col("match_k"),
+            col("est_n_a"), col("est_containment"), col("is_candidate"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some {
+        val p = graft.text.Text.MinhashP
+        val K = InclApproxK
+        val selects = InclusionKeyCols.map { case (t, c) =>
+          s"SELECT '$t.$c' AS col_name, CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL"
+        }.mkString("\n        UNION ALL ")
+        s"""WITH vals AS (
+        $selects
+      ), hashed AS (
+        SELECT col_name,
+          CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)
+            % $p AS h
+        FROM vals
+      ), perms AS (
+        SELECT col_name, i,
+          min((((i * 40503 + 12345) % ${p - 1} + 1) * h
+               + (i * 69069 + 7) % $p) % $p) AS m
+        FROM hashed, range(1, ${K + 1}) t(i)
+        GROUP BY 1, 2
+      ), card AS (
+        -- sum(BIGINT) is HUGEINT in DuckDB; pin the result back to
+        -- BIGINT so the schema matches Spark's LongType
+        SELECT col_name,
+          CAST(greatest((CAST($K AS BIGINT) * CAST($p AS BIGINT))
+            // (sum(m) + $K) - 1, 1) AS BIGINT) AS est_n
+        FROM perms GROUP BY 1
+      ), matches AS (
+        SELECT a.col_name AS col_a, b.col_name AS col_b,
+          count(*) FILTER (WHERE a.m = b.m) AS match_k
+        FROM perms a JOIN perms b
+          ON a.i = b.i AND a.col_name <> b.col_name
+        GROUP BY 1, 2
+      ), est AS (
+        SELECT col_a, col_b, match_k, ca.est_n AS est_n_a,
+          floor(least(CAST(match_k AS DOUBLE) / $K
+              / (1 + CAST(match_k AS DOUBLE) / $K)
+              * (ca.est_n + cb.est_n) / ca.est_n, 1.0) * 1e6 + 0.5)
+            / 1e6 AS est_containment
+        FROM matches
+        JOIN card ca ON ca.col_name = col_a
+        JOIN card cb ON cb.col_name = col_b
+      )
+      SELECT col_a, col_b, match_k, est_n_a, est_containment,
+        CAST(est_containment >= $InclApproxThreshold AS BIGINT)
+          AS is_candidate
+      FROM est ORDER BY col_a, col_b"""
       }))
 }
