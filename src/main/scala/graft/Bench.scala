@@ -51,7 +51,8 @@ object Bench {
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
       "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
       "d7_decontamination", "d8_leakage_safe_split",
-      "d9_embedding_clusters", "d10_substring_windows"),
+      "d9_embedding_clusters", "d10_substring_windows",
+      "d11_semantic_dedup"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",

@@ -86,6 +86,14 @@ object DedupQueries {
     * before the eager `otherDefs` map that interpolates it. */
   val NearDupCosThreshold = 0.4
 
+  /** d11: cosine-to-centroid at/above this marks a vector as part of its
+    * cluster's semantic-duplicate core (SemDeDup's epsilon, expressed as
+    * a similarity floor). Corpus-dependent in practice — 0.3 sits at
+    * ~p90 of the synthetic corpus's cosine-to-centroid distribution at
+    * every sf (measured 0.27–0.30), so roughly a tenth of each corpus
+    * is deduplicated away at any test scale. */
+  val SemDedupTau = 0.3
+
   val MinhashK = 64
   val Bands = 32
   val Rows = 2
@@ -444,6 +452,85 @@ object DedupQueries {
   val DecontamEvalMod = 50
 
   private val otherDefs: Map[String, QueryDef] = Map(
+
+    // ---- d11: semantic dedup (SemDeDup, Abbas et al. 2023,
+    //      arXiv:2303.09540): cluster the embedding corpus, then prune
+    //      semantically-redundant vectors inside each cluster. This is
+    //      the linear-time variant: instead of the paper's within-cluster
+    //      pairwise similarity matrix (quadratic in cluster size — the
+    //      same hazard d4/d5 cap away), redundancy is measured as
+    //      cosine-to-centroid: vectors in the cluster's core
+    //      (cos >= [[SemDedupTau]]) are mutual semantic duplicates by
+    //      transitivity through the centroid, and only the core's
+    //      single representative (highest cosine, vec_id tiebreak) is
+    //      kept; peripheral vectors all survive. Reuses s4's
+    //      integer-exact Lloyd k-means (one shared index build across
+    //      s4/s5/s7/d11, as a production pipeline shares one
+    //      clustering), so everything through the keep flag is
+    //      bit-reproducible: integer dot/norm sums off the same melt,
+    //      one broadcast join + map-side-combined agg, a per-cluster
+    //      window over #vectors rows — no pair join anywhere, O(n)
+    //      at any corpus size.
+    "d11_semantic_dedup" -> QueryDef(
+      (s, dir) => {
+        import graft.sim.SimilarityQueries
+        val m = SimilarityQueries.kmeansMelt(s, dir)
+        val cents = SimilarityQueries.kmeansCentroids(s, dir)
+        val cells = SimilarityQueries.assignToCentroids(m, cents)
+          .select(col("vec_id"), col("k"))
+        val sums = m.join(cells, "vec_id")
+          .join(broadcast(cents), Seq("k", "d"))
+          .groupBy(col("vec_id"), col("k"))
+          .agg(sum(col("x6") * col("c6")).as("sxc"),
+            sum(col("x6") * col("x6")).as("sxx"),
+            sum(col("c6") * col("c6")).as("scc"))
+        val scored = sums.withColumn("cosr",
+          col("sxc").cast("double") /
+            (sqrt(col("sxx").cast("double")) *
+              sqrt(col("scc").cast("double"))))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("cosr").desc, col("vec_id"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cos_centroid",
+            floor(col("cosr") * 1e6 + lit(0.5)) / 1e6)
+          .withColumn("keep",
+            (col("rn") === 1 || col("cos_centroid") < SemDedupTau)
+              .cast("long"))
+          .select(col("vec_id"), col("k").as("cluster"),
+            col("cos_centroid"), col("keep"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${graft.sim.SimilarityQueries.kmeansCtes}, cells AS (
+        SELECT vec_id, k FROM (
+          SELECT vec_id, k,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+          FROM fin) WHERE rn = 1
+      ), sums AS (
+        SELECT m.vec_id, cl.k,
+          CAST(sum(m.x6 * c.x6) AS BIGINT) AS sxc,
+          CAST(sum(m.x6 * m.x6) AS BIGINT) AS sxx,
+          CAST(sum(c.x6 * c.x6) AS BIGINT) AS scc
+        FROM m JOIN cells cl USING (vec_id)
+        JOIN c${graft.sim.SimilarityQueries.KmeansIters} c
+          ON c.k = cl.k AND c.d = m.d
+        GROUP BY 1, 2
+      ), scored AS (
+        SELECT vec_id, k,
+          CAST(sxc AS DOUBLE) /
+            (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) AS cosr
+        FROM sums
+      ), ranked AS (
+        SELECT vec_id, k, cosr,
+          row_number() OVER (PARTITION BY k
+            ORDER BY cosr DESC, vec_id) AS rn
+        FROM scored
+      )
+      SELECT vec_id, k AS cluster,
+        floor(cosr * 1e6 + 0.5) / 1e6 AS cos_centroid,
+        CAST(rn = 1 OR floor(cosr * 1e6 + 0.5) / 1e6 < $SemDedupTau
+          AS BIGINT) AS keep
+      FROM ranked ORDER BY vec_id""")),
 
     // ---- d7: benchmark decontamination — flag training documents that
     //      share any word n-gram with a held-out eval set (the standard

@@ -595,7 +595,7 @@ object SimilarityQueries {
     * (d_i = distances, a_i = argmin assignment, c_i = rounded centroid
     * update), ending with `fin` = distances against the trained
     * centroids `c{KmeansIters}`. */
-  private def kmeansCtes: String = {
+  private[graft] def kmeansCtes: String = {
     val iters = (1 to KmeansIters).map { i =>
       s"""d$i AS (
         SELECT m.vec_id, c.k, CAST(sum((m.x6 - c.x6)*(m.x6 - c.x6)) AS BIGINT) AS dist

@@ -150,6 +150,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d11 semantic dedup: one representative per cluster core, periphery survives") {
+    import org.apache.spark.sql.functions.col
+    val r = DedupQueries.defs("d11_semantic_dedup").fn(spark, sf)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+    assert(r.length === 500)
+    val tau = DedupQueries.SemDedupTau
+    r.groupBy(_._2).foreach { case (cluster, vs) =>
+      val core = vs.filter(_._3 >= tau)
+      val peripheral = vs.filter(_._3 < tau)
+      // periphery always survives
+      assert(peripheral.forall(_._4 === 1L), s"cluster $cluster dropped a peripheral vector")
+      // exactly one representative kept among the core (when it exists)
+      assert(core.count(_._4 === 1L) === (if (core.nonEmpty) 1 else 0),
+        s"cluster $cluster kept ${core.count(_._4 == 1L)} of ${core.length} core vectors")
+      // the representative is the highest-cosine core vector (vec_id tiebreak)
+      if (core.nonEmpty) {
+        val rep = core.filter(_._4 === 1L).head
+        val best = core.maxBy(v => (v._3, -v._1))
+        assert(rep._1 === best._1, s"cluster $cluster kept ${rep._1}, expected ${best._1}")
+      }
+    }
+    // the threshold is non-trivial at this sf: both cores and periphery exist
+    assert(r.exists(_._4 === 0L), "no semantic duplicates pruned — tau miscalibrated")
+    assert(r.count(_._4 === 1L) > r.length / 2, "over-pruning")
+  }
+
   test("d5 LSH path: key-equality candidates, exact cosines, sane recall") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
