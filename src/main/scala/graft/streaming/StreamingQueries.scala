@@ -220,6 +220,100 @@ object StreamingQueries {
       SELECT g.doc_id, count(*) AS n_shared_ngrams
       FROM g JOIN e USING (g)
       WHERE g.doc_id % $StreamEvalMod <> 0
-      GROUP BY 1 ORDER BY doc_id"""))
+      GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- st6: streaming semantic-redundancy flagging — d11's stream
+    // front. The k-means index (s4's materialized centroid build,
+    // shared with s4/s5/s7/d11) is K×Dims integers BY CONSTRUCTION, so
+    // the static side collapses into plan literals: each arriving
+    // vector gets its nearest-centroid assignment and integer-exact
+    // cosine-to-centroid from row-local arithmetic alone — a stateless
+    // projection, no state store, no stream-side shuffle, O(K·Dims)
+    // per row at any stream rate. Vectors in a cluster core
+    // (cos >= SemDedupTau) are flagged as semantic-duplicate
+    // CANDIDATES; picking the one representative is inherently a batch
+    // decision (a stream cannot know a cluster's future best member),
+    // so that stays in d11 — the same flag-now/resolve-later split
+    // production dedup pipelines use.
+    "st6_stream_semantic_flag" -> QueryDef(
+      (s, dir) => {
+        import graft.sim.SimilarityQueries.{Dims, KmeansK}
+        val tau = graft.dedup.DedupQueries.SemDedupTau
+        val centRows = graft.sim.SimilarityQueries
+          .kmeansCentroids(s, dir).collect()
+        val cents: Map[Int, Array[Long]] = centRows
+          .groupBy(_.getLong(0).toInt)
+          .map { case (k, rows) =>
+            val a = new Array[Long](Dims)
+            rows.foreach(r => a(r.getInt(1)) = r.getLong(2))
+            k -> a
+          }
+        // Σ c6² per centroid — exact in Long, exact again as Double
+        // (< 2^53), so the cosine denominator is a driver constant
+        val scc: Map[Int, Long] =
+          cents.map { case (k, a) => k -> a.map(v => v * v).sum }
+        def cLit(k: Int) = array(cents(k).map(lit(_)): _*)
+        def dist(k: Int) = aggregate(
+          zip_with(col("x6"), cLit(k), (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, y) => a + y)
+        def sxc(k: Int) = aggregate(
+          zip_with(col("x6"), cLit(k), (x, c) => x * c),
+          lit(0L), (a, y) => a + y)
+        val sxx = aggregate(
+          zip_with(col("x6"), col("x6"), (x, y) => x * y),
+          lit(0L), (a, y) => a + y)
+        def cosK(k: Int) = sxc(k).cast("double") /
+          (sqrt(sxx.cast("double")) * sqrt(lit(scc(k).toDouble)))
+        // first k whose dist is <= every later one = minimal k among
+        // minima — same tie-break as the oracle's ORDER BY dist, k
+        val kStar = (0 until KmeansK - 1)
+          .foldRight(lit((KmeansK - 1).toLong): org.apache.spark.sql.Column) {
+            (k, rest) =>
+              when(((k + 1) until KmeansK).map(j => dist(k) <= dist(j))
+                .reduce(_ && _), lit(k.toLong)).otherwise(rest)
+          }
+        val cosr = (0 until KmeansK - 1)
+          .foldRight(cosK(KmeansK - 1)) { (k, rest) =>
+            when(col("cluster") === k.toLong, cosK(k)).otherwise(rest)
+          }
+        val out = streamTable(s, dir, "embeddings")
+          .withColumn("x6", transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")))
+          .withColumn("cluster", kStar)
+          .withColumn("cos_centroid",
+            floor(cosr * 1e6 + lit(0.5)) / 1e6)
+          .withColumn("in_core",
+            (col("cos_centroid") >= tau).cast("long"))
+          .select(col("vec_id"), col("cluster"), col("cos_centroid"),
+            col("in_core"))
+        runStream(out, "append").orderBy(col("vec_id"))
+      },
+      // d11's oracle chain minus the representative rank: assignment +
+      // integer sums + the same double cosine, flag only
+      Some(s"""WITH ${graft.sim.SimilarityQueries.kmeansCtes}, cells AS (
+        SELECT vec_id, k FROM (
+          SELECT vec_id, k,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+          FROM fin) WHERE rn = 1
+      ), sums AS (
+        SELECT m.vec_id, cl.k,
+          CAST(sum(m.x6 * c.x6) AS BIGINT) AS sxc,
+          CAST(sum(m.x6 * m.x6) AS BIGINT) AS sxx,
+          CAST(sum(c.x6 * c.x6) AS BIGINT) AS scc
+        FROM m JOIN cells cl USING (vec_id)
+        JOIN c${graft.sim.SimilarityQueries.KmeansIters} c
+          ON c.k = cl.k AND c.d = m.d
+        GROUP BY 1, 2
+      ), scored AS (
+        SELECT vec_id, k,
+          CAST(sxc AS DOUBLE) /
+            (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) AS cosr
+        FROM sums
+      )
+      SELECT vec_id, k AS cluster,
+        floor(cosr * 1e6 + 0.5) / 1e6 AS cos_centroid,
+        CAST(floor(cosr * 1e6 + 0.5) / 1e6 >=
+          ${graft.dedup.DedupQueries.SemDedupTau} AS BIGINT) AS in_core
+      FROM scored ORDER BY vec_id"""))
   )
 }

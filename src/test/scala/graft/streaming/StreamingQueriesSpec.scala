@@ -81,4 +81,31 @@ class StreamingQueriesSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(streamed === batch)
   }
+
+  test("st6 stream flags agree with d11's batch semantic dedup") {
+    // the stream's row-local assignment + cosine must reproduce the
+    // batch resolver's view of the same index: identical clusters and
+    // rounded cosines, and in_core = "d11 would consider this vector
+    // part of a dedup core" (every vector d11 DROPS is in_core, plus
+    // exactly one kept representative per non-empty core)
+    val streamed = run("st6_stream_semantic_flag")
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val batch = graft.SparkEntry.queries("d11_semantic_dedup")(spark, sf)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    val tau = graft.dedup.DedupQueries.SemDedupTau
+    for ((id, (cluster, cos, inCore)) <- streamed) {
+      val (bCluster, bCos, bKeep) = batch(id)
+      assert(cluster === bCluster, s"vec $id cluster: stream $cluster vs batch $bCluster")
+      assert(cos === bCos, s"vec $id cosine: stream $cos vs batch $bCos")
+      assert(inCore === (if (cos >= tau) 1L else 0L))
+      if (bKeep == 0L)
+        assert(inCore === 1L, s"vec $id dropped by d11 but not flagged by st6")
+    }
+    assert(streamed.values.exists(_._3 == 1L), "no core flagged at this sf")
+  }
 }
