@@ -40,7 +40,8 @@ object Bench {
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part",
-      "p7_inclusion_deps", "p8_inclusion_deps_approx"),
+      "p7_inclusion_deps", "p8_inclusion_deps_approx",
+      "p9_functional_deps"),
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
@@ -49,6 +50,7 @@ object Bench {
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
+      "d12_fuzzy_decontamination", "d13_cluster_canonical",
       "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
       "d7_decontamination", "d8_leakage_safe_split",
       "d9_embedding_clusters", "d10_substring_windows",

@@ -576,6 +576,129 @@ object DedupQueries {
       WHERE d.doc_id % $DecontamEvalMod <> 0
       ORDER BY d.doc_id""")),
 
+    // ---- d12: FUZZY benchmark decontamination — d7's exact n-gram
+    //      overlap misses paraphrased eval leakage (reworded questions,
+    //      light edits); d12 flags training docs that are MINHASH-NEAR
+    //      an eval doc. It consumes the same materialized verified pair
+    //      table d6/d8 consume (one LSH build shared by every
+    //      pair-graph consumer — the production shape: dedup and
+    //      decontamination are passes over one signature index, not two
+    //      index builds), keeping only pairs that cross the train/eval
+    //      boundary (the same every-[[DecontamEvalMod]]th-doc eval set
+    //      as d7, so d7+d12 are the exact+fuzzy halves of one hygiene
+    //      pass). Match threshold = [[JaccardThreshold]] (the pair
+    //      table's floor). Per-train-doc report: match count, closest
+    //      eval doc, max Jaccard. No new shuffle beyond one window +
+    //      one groupBy over the (tiny) mixed-pair set.
+    "d12_fuzzy_decontamination" -> QueryDef(
+      (s, dir) => {
+        val isEval1 = col("doc1") % DecontamEvalMod === 0
+        val isEval2 = col("doc2") % DecontamEvalMod === 0
+        val mixed = minhashPairs(s, dir)
+          .filter(isEval1 =!= isEval2)
+          .select(
+            when(isEval1, col("doc2")).otherwise(col("doc1")).as("doc_id"),
+            when(isEval1, col("doc1")).otherwise(col("doc2")).as("eval_doc"),
+            col("jaccard"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("eval_doc"))
+        val best = mixed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("eval_doc").as("closest_eval_doc"),
+            col("jaccard").as("max_jaccard"))
+        val counts = mixed.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fuzzy_matches"))
+        Tables.table(s, dir, "documents")
+          .filter(col("doc_id") % DecontamEvalMod =!= 0)
+          .select(col("doc_id"))
+          .join(counts, Seq("doc_id"), "left")
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_fuzzy_matches"), lit(0L)).as("n_fuzzy_matches"),
+            coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+            coalesce(col("closest_eval_doc"), lit(-1L)).as("closest_eval_doc"),
+            (coalesce(col("n_fuzzy_matches"), lit(0L)) > 0).cast("long")
+              .as("contaminated_fuzzy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $d2CoreSql, mixed AS (
+        SELECT
+          CASE WHEN doc1 % $DecontamEvalMod = 0 THEN doc2 ELSE doc1 END AS doc_id,
+          CASE WHEN doc1 % $DecontamEvalMod = 0 THEN doc1 ELSE doc2 END AS eval_doc,
+          jaccard
+        FROM verified
+        WHERE (doc1 % $DecontamEvalMod = 0) <> (doc2 % $DecontamEvalMod = 0)
+      ), best AS (
+        SELECT doc_id, eval_doc, jaccard FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY jaccard DESC, eval_doc) AS rn FROM mixed)
+        WHERE rn = 1
+      ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM mixed GROUP BY 1
+      )
+      SELECT d.doc_id,
+        coalesce(cnt.n, 0) AS n_fuzzy_matches,
+        coalesce(best.jaccard, 0.0) AS max_jaccard,
+        coalesce(best.eval_doc, -1) AS closest_eval_doc,
+        CAST(coalesce(cnt.n, 0) > 0 AS BIGINT) AS contaminated_fuzzy
+      FROM documents d
+      LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+      LEFT JOIN best ON d.doc_id = best.doc_id
+      WHERE d.doc_id % $DecontamEvalMod <> 0
+      ORDER BY d.doc_id""")),
+
+    // ---- d13: quality-aware cluster canonicalization — what a pipeline
+    //      actually SHIPS from dedup: d6 assigns near-dup clusters, d13
+    //      picks each cluster's surviving representative. Canonical-by-
+    //      min-id (d6's flag) keeps an arbitrary member; d13 keeps the
+    //      HIGHEST-QUALITY member (t2's quality score via
+    //      [[graft.text.TextQueries.qualityFrame]] — the shared scorer,
+    //      so "best" means the same thing in both operators), doc_id
+    //      tiebreak. Singleton clusters keep their only doc, so
+    //      sum(is_kept) = #clusters and dropping is_kept=0 rows is the
+    //      dedup. Cost on top of the shared pair table: the row-wise
+    //      quality projection + one join + one per-cluster window over
+    //      slim rows — cluster sizes are near-dup cluster sizes (small
+    //      by construction; the giant-component pathology is d2's
+    //      MaxBucket guard's job), so the window partition is bounded.
+    "d13_cluster_canonical" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+        val comp = connectedComponents(docs, minhashPairs(s, dir))
+        val q = graft.text.TextQueries.qualityFrame(s, dir)
+          .select(col("doc_id"), col("quality_score"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        comp.join(q, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("is_kept", (col("rn") === 1).cast("long"))
+          .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+            col("is_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $d2CoreSql,
+      nodes AS (SELECT doc_id FROM documents),
+      sym AS (
+        SELECT doc1 AS a, doc2 AS b FROM verified
+        UNION ALL SELECT doc2, doc1 FROM verified
+      ),
+      walk(doc, comp) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
+      ),
+      cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc),
+      ${graft.text.TextQueries.qualitySqlCte},
+      ranked AS (
+        SELECT cc.doc AS doc_id, cc.cluster_id, q.quality_score,
+          row_number() OVER (PARTITION BY cc.cluster_id
+            ORDER BY q.quality_score DESC, cc.doc) AS rn
+        FROM cc JOIN q ON cc.doc = q.doc_id
+      )
+      SELECT doc_id, cluster_id, quality_score,
+        CAST(rn = 1 AS BIGINT) AS is_kept
+      FROM ranked ORDER BY doc_id""")),
+
     // ---- d3: 32-bit SimHash signatures + hamming-LSH chunk keys
     "d3_simhash" -> QueryDef(
       (s, dir) => {

@@ -172,6 +172,24 @@ object ProfileQueries {
     "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
     "lineitem" -> "l_suppkey")
 
+  /** p9 candidate FDs (table, determinant, dependent): key→attr pairs
+    * that must hold, plus non-key pairs that must fail — both polarities
+    * so the operator is exercised, not vacuous. Bounded config list,
+    * like [[InclusionKeyCols]]. */
+  val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+    ("nation", "n_name", "n_regionkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("nation", "n_regionkey", "n_name"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_partkey", "p_brand"))
+
   val defs: Map[String, QueryDef] = Map(
     "p1_profile_customer" -> prof("customer",
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
@@ -373,5 +391,50 @@ object ProfileQueries {
         CAST(est_containment >= $InclApproxThreshold AS BIGINT)
           AS is_candidate
       FROM est ORDER BY col_a, col_b"""
+      }),
+
+    // ---- p9: functional-dependency discovery (TANE/Metanome family —
+    //      the third classic profiling pass next to p7/p8's inclusion
+    //      deps): A→B holds iff no value of A co-occurs with two
+    //      distinct values of B. Per candidate pair, one
+    //      `groupBy(A).agg(countDistinct(B))` — Spark plans
+    //      count-distinct-under-group as a two-level expand+partial
+    //      aggregate (map-side combined on both levels), so no reducer
+    //      ever sees one A-value's whole row set: skew-safe at any row
+    //      count. The candidate list is a bounded config
+    //      ([[FdCandidates]]) exactly like p7's key columns; per pair
+    //      the report is violation count, max |B-per-A| fan-out, and
+    //      the holds flag, so a failing FD reports HOW it fails
+    //      (1 stray value vs systematic many-to-many).
+    "p9_functional_deps" -> QueryDef(
+      (s, dir) => {
+        FdCandidates.map { case (t, a, b) =>
+          Tables.table(s, dir, t)
+            .groupBy(col(a).as("lhs"))
+            .agg(countDistinct(col(b)).as("nrhs"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(when(col("nrhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+              max(col("nrhs")).as("max_rhs"))
+            .select(lit(s"$t.$a").as("det_col"), lit(s"$t.$b").as("dep_col"),
+              col("n_lhs"), col("n_violating"), col("max_rhs"),
+              (col("n_violating") === 0).cast("long").as("fd_holds"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("det_col"), col("dep_col"))
+      },
+      Some {
+        val selects = FdCandidates.map { case (t, a, b) =>
+          s"""SELECT '$t.$a' AS det_col, '$t.$b' AS dep_col,
+            count(*) AS n_lhs,
+            CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_violating,
+            max(nrhs) AS max_rhs,
+            CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) = 0 AS BIGINT)
+              AS fd_holds
+          FROM (SELECT $a AS lhs, count(DISTINCT $b) AS nrhs
+                FROM $t GROUP BY 1)"""
+        }.mkString("\n        UNION ALL ")
+        s"""SELECT * FROM (
+        $selects
+      ) ORDER BY det_col, dep_col"""
       }))
 }

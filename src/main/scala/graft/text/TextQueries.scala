@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -47,6 +48,61 @@ object TextQueries {
     * declared before `defs` — the oracle SQL interpolates it eagerly. */
   val GopherMinWords = 50L
 
+  /** Per-document quality frame `(doc_id, n_words, punct_ratio,
+    * stop_ratio, mean_word_len, quality_score)` — t2's contract, shared
+    * with dedup's quality-aware cluster canonicalization (d13) so both
+    * rank documents by the identical score. Row-wise codegen'd
+    * expressions, no shuffle.
+    *
+    * quality: long enough, low punctuation noise, some stopwords.
+    * floor(x*1e6+0.5)/1e6 instead of round(): pure IEEE double ops,
+    * bit-identical across engines (round() implementations differ at
+    * exact .5e-6 boundaries, which these weighted sums hit). */
+  def qualityFrame(s: SparkSession, dir: String): DataFrame = {
+    val stop = enStopwords.map(w => s"'$w'").mkString(", ")
+    Tables.table(s, dir, "documents")
+      .withColumn("w", Text.words(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("punct_ratio", round(
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+          .cast("double") / length(col("text")), 6))
+      .withColumn("stop_ratio", round(
+        expr(s"size(filter(w, x -> x IN ($stop)))").cast("double") /
+          greatest(size(col("w")), lit(1)), 6))
+      .withColumn("mean_word_len", round(
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double") /
+          greatest(size(col("w")), lit(1)), 6))
+      .withColumn("quality_score",
+        floor((least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
+          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3) * 1e6 + 0.5) / 1e6)
+      .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+        col("stop_ratio"), col("mean_word_len"), col("quality_score"))
+  }
+
+  /** DuckDB CTE chain producing `q(doc_id, n_words, punct_ratio,
+    * stop_ratio, mean_word_len, quality_score)` — [[qualityFrame]]'s
+    * oracle twin, shared by t2 and d13. */
+  val qualitySqlCte: String = {
+    val stop = enStopwords.map(w => s"'$w'").mkString(", ")
+    s"""qd AS (
+          SELECT doc_id, text, $wordsSqlDuck AS w FROM documents
+        ), qf AS (
+          SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+            round(CAST(len(list_filter(w, x -> x IN ($stop))) AS DOUBLE) / greatest(len(w), 1), 6) AS stop_ratio,
+            round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(len(w), 1), 6) AS mean_word_len
+          FROM qd
+        ), q AS (
+          SELECT doc_id, n_words, punct_ratio, stop_ratio, mean_word_len,
+            floor((least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                  (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+                  least(stop_ratio * 5.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6 AS quality_score
+          FROM qf
+        )"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- t1: token statistics per (lang, source)
@@ -72,51 +128,14 @@ object TextQueries {
         FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
     // ---- t2: per-document quality scoring (length/punct/stopword ratios)
+    //      — the scoring itself lives in [[qualityFrame]] so dedup's
+    //      cluster canonicalization (d13) ranks by the SAME score.
     "t2_quality_scores" -> QueryDef(
-      (s, dir) => {
-        val stop = enStopwords.map(w => s"'$w'").mkString(", ")
-        Tables.table(s, dir, "documents")
-          .withColumn("w", Text.words(col("text")))
-          .withColumn("n_words", size(col("w")).cast("long"))
-          .withColumn("punct_ratio", round(
-            length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-              .cast("double") / length(col("text")), 6))
-          .withColumn("stop_ratio", round(
-            expr(s"size(filter(w, x -> x IN ($stop)))").cast("double") /
-              greatest(size(col("w")), lit(1)), 6))
-          .withColumn("mean_word_len", round(
-            expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double") /
-              greatest(size(col("w")), lit(1)), 6))
-          // quality: long enough, low punctuation noise, some stopwords.
-          // floor(x*1e6+0.5)/1e6 instead of round(): pure IEEE double ops,
-          // bit-identical across engines (round() implementations differ at
-          // exact .5e-6 boundaries, which these weighted sums hit).
-          .withColumn("quality_score",
-            floor((least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
-              (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
-              least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3) * 1e6 + 0.5) / 1e6)
-          .select(col("doc_id"), col("n_words"), col("punct_ratio"),
-            col("stop_ratio"), col("mean_word_len"), col("quality_score"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        val stop = enStopwords.map(w => s"'$w'").mkString(", ")
-        s"""WITH d AS (
-          SELECT doc_id, text, $wordsSqlDuck AS w FROM documents
-        ), f AS (
-          SELECT doc_id,
-            CAST(len(w) AS BIGINT) AS n_words,
-            round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
-            round(CAST(len(list_filter(w, x -> x IN ($stop))) AS DOUBLE) / greatest(len(w), 1), 6) AS stop_ratio,
-            round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(len(w), 1), 6) AS mean_word_len
-          FROM d
-        )
+      (s, dir) => qualityFrame(s, dir).orderBy(col("doc_id")),
+      Some(s"""WITH $qualitySqlCte
         SELECT doc_id, n_words, punct_ratio, stop_ratio, mean_word_len,
-          floor((least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
-                (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
-                least(stop_ratio * 5.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6 AS quality_score
-        FROM f ORDER BY doc_id"""
-      }),
+          quality_score
+        FROM q ORDER BY doc_id""")),
 
     // ---- t3: language-ID heuristic vs the labelled lang column
     "t3_lang_id" -> QueryDef(

@@ -109,6 +109,74 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("d12 fuzzy decontamination agrees with the pair graph's train/eval crossings") {
+    val mod = DedupQueries.DecontamEvalMod
+    val out = DedupQueries.defs("d12_fuzzy_decontamination").fn(spark, sf)
+      .collect()
+    // exactly the train docs, each reported once
+    assert(out.length === 500 - 500 / mod)
+    assert(out.forall(_.getAs[Long]("doc_id") % mod != 0L))
+    // expected contamination recomputed from the shared pair table
+    val expected = DedupQueries.minhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"),
+        r.getAs[Double]("jaccard")))
+      .flatMap { case (a, b, j) =>
+        (a % mod == 0L, b % mod == 0L) match {
+          case (true, false) => Seq(b -> (a, j))
+          case (false, true) => Seq(a -> (b, j))
+          case _             => Nil
+        }
+      }
+      .groupBy(_._1)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      expected.get(id) match {
+        case Some(ms) =>
+          assert(r.getAs[Long]("n_fuzzy_matches") === ms.length.toLong)
+          assert(r.getAs[Long]("contaminated_fuzzy") === 1L)
+          val (bestEval, bestJac) =
+            ms.map(_._2).minBy { case (e, j) => (-j, e) }
+          assert(r.getAs[Long]("closest_eval_doc") === bestEval)
+          assert(r.getAs[Double]("max_jaccard") === bestJac)
+        case None =>
+          assert(r.getAs[Long]("n_fuzzy_matches") === 0L)
+          assert(r.getAs[Long]("contaminated_fuzzy") === 0L)
+          assert(r.getAs[Long]("closest_eval_doc") === -1L)
+          assert(r.getAs[Double]("max_jaccard") === 0.0)
+      }
+    }
+  }
+
+  test("d13 keeps exactly the highest-quality doc per dup cluster") {
+    val out = DedupQueries.defs("d13_cluster_canonical").fn(spark, sf)
+      .collect()
+    assert(out.length === 500)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.values
+      .forall(_.count(_.getAs[Long]("is_kept") == 1L) == 1),
+      "exactly one kept representative per cluster")
+    byCluster.values.foreach { rows =>
+      val kept = rows.find(_.getAs[Long]("is_kept") == 1L).get
+      val best = rows.minBy(r =>
+        (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id")))
+      assert(kept.getAs[Long]("doc_id") === best.getAs[Long]("doc_id"),
+        "the kept doc must maximize (quality, -doc_id)")
+    }
+    // the cluster partition is d6's, and the score is t2's (shared scorer)
+    val d6 = DedupQueries.defs("d6_dup_clusters").fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out.forall(r =>
+      d6(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id")))
+    val q = graft.text.TextQueries.qualityFrame(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    assert(out.forall(r =>
+      q(r.getAs[Long]("doc_id")) == r.getAs[Double]("quality_score")))
+    // a multi-doc cluster exists, so d13 actually drops something
+    assert(out.exists(_.getAs[Long]("is_kept") == 0L),
+      "planted dups should make at least one doc droppable")
+  }
+
   test("leakage-safe split keeps every near-dup cluster in one split") {
     val out = DedupQueries.defs("d8_leakage_safe_split").fn(spark, sf).collect()
     assert(out.nonEmpty)

@@ -79,4 +79,27 @@ class InclusionDepsSpec extends SparkSpec {
     }
     assert(checked >= 5, s"only $checked well-conditioned pairs checked")
   }
+
+  test("p9 pins FD polarity: key FDs hold, non-key candidates fail") {
+    val out = ProfileQueries.defs("p9_functional_deps").fn(spark, sf)
+      .collect()
+    assert(out.length === ProfileQueries.FdCandidates.length)
+    val holds = out.map(r => r.getAs[String]("det_col") ->
+      r.getAs[Long]("fd_holds")).toMap
+    // key (and unique-name) determinants hold; the reversed / non-key
+    // directions fail — both polarities, so the operator discriminates
+    val expectHold = Set("customer.c_custkey", "nation.n_nationkey",
+      "nation.n_name", "orders.o_orderkey", "part.p_partkey")
+    holds.foreach { case (det, h) =>
+      assert((h == 1L) === expectHold.contains(det),
+        s"$det: fd_holds=$h, expected ${expectHold.contains(det)}")
+    }
+    // internal consistency: holds <=> zero violating lhs <=> fan-out 1
+    out.foreach { r =>
+      val holds1 = r.getAs[Long]("fd_holds") == 1L
+      assert(holds1 === (r.getAs[Long]("n_violating") == 0L))
+      assert(holds1 === (r.getAs[Long]("max_rhs") == 1L))
+      assert(r.getAs[Long]("n_lhs") >= r.getAs[Long]("n_violating"))
+    }
+  }
 }
