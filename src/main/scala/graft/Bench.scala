@@ -73,7 +73,8 @@ object Bench {
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",
-      "st5_stream_decontaminate", "st6_stream_semantic_flag"))
+      "st5_stream_decontaminate", "st6_stream_semantic_flag",
+      "st7_stream_fuzzy_flag"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

@@ -403,8 +403,9 @@ object DedupQueries {
   }
 
   /** DuckDB CTE chain producing `verified(doc1, doc2, jaccard)` — the
-    * oracle twin of [[minhashPairs]], shared by d2 and d6. */
-  private def d2CoreSql: String = s"""docs AS (
+    * oracle twin of [[minhashPairs]], shared by d2/d6/d8/d12/d13 and
+    * (for its `banded` prefix) streaming st7. */
+  private[graft] def d2CoreSql: String = s"""docs AS (
         SELECT doc_id, ${shinglesSqlDuck(2)} AS sh FROM documents
       ), base AS (
         SELECT doc_id, sh FROM docs WHERE len(sh) > 0

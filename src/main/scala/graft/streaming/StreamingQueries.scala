@@ -314,6 +314,57 @@ object StreamingQueries {
         floor(cosr * 1e6 + 0.5) / 1e6 AS cos_centroid,
         CAST(floor(cosr * 1e6 + 0.5) / 1e6 >=
           ${graft.dedup.DedupQueries.SemDedupTau} AS BIGINT) AS in_core
-      FROM scored ORDER BY vec_id"""))
+      FROM scored ORDER BY vec_id""")),
+
+    // ---- st7: streaming fuzzy-contamination flagging — d12's stream
+    // front, st5's MinHash analogue. The eval subset's LSH band keys
+    // (d2's exact signature arithmetic) form a small static broadcast
+    // set; each arriving training doc computes its own 64-hash
+    // signature and band keys ROW-LOCALLY (higher-order functions — no
+    // state store, no stream-side shuffle before the join) and is
+    // flagged when any band key collides with an eval key. Band
+    // collision is the candidate test (est/exact Jaccard rerank is
+    // batch d12's job — the same flag-now/resolve-later split as
+    // st6/d11): at JaccardThreshold=0.3 with 32 bands × 2 rows the
+    // collision probability for a true near-dup is 1-(1-p²)³² ≈ 0.95+,
+    // so the stream catches candidates exact n-gram st5 misses
+    // (paraphrases) at O(bands) integer work per doc.
+    "st7_stream_fuzzy_flag" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.DedupQueries.{MinhashK, Bands, Rows}
+        import graft.text.Text
+        val isEval = col("doc_id") % StreamEvalMod === 0
+        def banded(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), Text.words(col("text")).as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), Text.wordShingles(col("w"), 2).as("sh"))
+          .select(col("doc_id"), explode(Text.bandKeys(
+            Text.minhash(col("sh"), MinhashK), Bands, Rows)).as("bk"))
+        val evalKeys = broadcast(
+          banded(Tables.rebalance(
+            Tables.table(s, dir, "documents").filter(isEval)))
+            .select(col("bk")).distinct())
+        // same interpreted-HOF spread as st5 (one-file source = one
+        // input partition otherwise)
+        val hits = banded(
+            streamTable(s, dir, "documents").filter(!isEval)
+              .repartition(s.sparkContext.defaultParallelism))
+          .join(evalKeys, "bk") // stream-static inner join, stateless
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_band_hits"))
+        runStream(hits, "complete").orderBy(col("doc_id"))
+      },
+      // d2's signature/band CTE chain, restricted to train-side docs
+      // whose band keys appear in the eval-side distinct key set (the
+      // inner join emits only colliding docs, like st5's contract)
+      Some(s"""WITH ${graft.dedup.DedupQueries.d2CoreSql},
+      e AS (
+        SELECT DISTINCT bk FROM banded WHERE doc_id % $StreamEvalMod = 0
+      ), t AS (
+        SELECT doc_id, bk FROM banded WHERE doc_id % $StreamEvalMod <> 0
+      )
+      SELECT t.doc_id, count(*) AS n_band_hits
+      FROM t JOIN e USING (bk)
+      GROUP BY 1 ORDER BY doc_id"""))
   )
 }

@@ -108,4 +108,29 @@ class StreamingQueriesSpec extends SparkSpec {
     }
     assert(streamed.values.exists(_._3 == 1L), "no core flagged at this sf")
   }
+
+  test("st7 stream fuzzy flags equal the batch band-collision backfill") {
+    import graft.dedup.DedupQueries.{MinhashK, Bands, Rows}
+    import graft.text.Text
+    val mod = StreamingQueries.StreamEvalMod
+    val streamed = run("st7_stream_fuzzy_flag")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch backfill: identical signature arithmetic over the same split
+    val banded = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(Text.bandKeys(
+        Text.minhash(Text.wordShingles(col("w"), 2), MinhashK),
+        Bands, Rows)).as("bk"))
+    val evalKeys = banded.filter(col("doc_id") % mod === 0)
+      .select(col("bk")).distinct()
+    val batch = banded.filter(col("doc_id") % mod =!= 0)
+      .join(evalKeys, "bk")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "no fuzzy candidates flagged at this sf")
+    // flagged docs are train-side only
+    assert(streamed.keySet.forall(_ % mod != 0))
+  }
 }
