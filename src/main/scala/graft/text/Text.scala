@@ -88,17 +88,13 @@ object Text {
     * [0, P)), then k universal hashes h_i = (a_i*h + b_i) mod P over
     * that base — 64x fewer digest calls than hashing per (i, shingle),
     * and still portable: DuckDB reproduces the same arithmetic
-    * byte-for-byte. */
-  def minhash(sh: Column, k: Int): Column = {
-    val p = lit(MinhashP)
-    val base = transform(sh,
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % p)
-    transform(sequence(lit(1), lit(k)), i => {
-      val a = (i.cast("long") * 40503L + 12345L) % (MinhashP - 1) + 1L
-      val b = (i.cast("long") * 69069L + 7L) % p
-      array_min(transform(base, h => (a * h + b) % p))
-    })
-  }
+    * byte-for-byte. Computed by the native
+    * [[graft.functions.MinHashSignature]] expression (one compiled
+    * per-row loop); the nested-HOF formulation of the same arithmetic
+    * cost k × |shingles| interpreted lambda hops per row, which at sf1
+    * made st7's stream side ~100× slower than its batch twin. */
+  def minhash(sh: Column, k: Int): Column =
+    graft.functions.MinHashSignature.minhash(sh, k)
 
   /** LSH band keys: md5 over `rows` consecutive signature entries. A pair
     * of docs is a candidate iff any band key collides. */

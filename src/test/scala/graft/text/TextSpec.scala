@@ -154,4 +154,37 @@ class TextSpec extends SparkSpec {
     assert(m1 === m2 && m1.size === 16)
     assert(m1.forall(h => h >= 0 && h < Text.MinhashP))
   }
+
+  test("native minhash expression matches the explode+min-agg signature frame") {
+    // two independent implementations of the same signature arithmetic:
+    // the per-row native expression (stream side) vs d2's exploded
+    // shingle rows with 64 codegen'd min-aggregates (batch side, the
+    // oracle-pinned path). Byte-identical on every doc, or the st7
+    // stream and its batch/DuckDB twins silently diverge.
+    import graft.dedup.DedupQueries
+    val sf = "/root/testdata/sf0.001"
+    val viaExpr = DedupQueries.shingled(spark, sf)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Text.minhash(col("sh"), DedupQueries.MinhashK).as("mh"))
+    val rows = viaExpr.alias("e")
+      .join(DedupQueries.signatures(spark, sf).alias("a"), "doc_id")
+      .select(col("doc_id"), col("e.mh").as("m1"), col("a.mh").as("m2"))
+      .collect()
+    assert(rows.length > 100, "expected a doc per row at sf0.001")
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("native minhash null/empty semantics mirror the HOF form") {
+    val empty = one[collection.Seq[Any]](
+      Text.minhash(array().cast("array<string>"), 8))
+    assert(empty.size === 8 && empty.forall(_ == null),
+      "empty shingle set -> k nulls (array_min of empty is null)")
+    val skipNull = one[collection.Seq[Any]](Text.minhash(
+      array(lit("a b"), lit(null).cast("string"), lit("b c")), 8))
+    val noNull = one[collection.Seq[Any]](
+      Text.minhash(array(lit("a b"), lit("b c")), 8))
+    assert(skipNull === noNull, "null shingles are skipped, not poisoning")
+  }
 }
