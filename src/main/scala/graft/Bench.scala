@@ -54,7 +54,7 @@ object Bench {
       "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
       "d7_decontamination", "d8_leakage_safe_split",
       "d9_embedding_clusters", "d10_substring_windows",
-      "d11_semantic_dedup"),
+      "d11_semantic_dedup", "d14_incremental_dedup"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",

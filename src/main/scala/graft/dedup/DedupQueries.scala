@@ -451,6 +451,9 @@ object DedupQueries {
   val DecontamN = 5
   /** d7: the held-out "benchmark" subset — every 50th doc id. */
   val DecontamEvalMod = 50
+  /** d14: the incoming "delta batch" — every 4th doc id (~25% of the
+    * corpus plays the new-ingest side, the rest is the persisted index). */
+  val DeltaMod = 4
 
   private val otherDefs: Map[String, QueryDef] = Map(
 
@@ -699,6 +702,111 @@ object DedupQueries {
       SELECT doc_id, cluster_id, quality_score,
         CAST(rn = 1 AS BIGINT) AS is_kept
       FROM ranked ORDER BY doc_id""")),
+
+    // ---- d14: incremental (delta-vs-index) dedup — the daily-ingest
+    //      shape. Every other dedup query pairs the corpus against
+    //      itself; at 100 TB you do that ONCE, persist the band-key
+    //      index, and then dedup each incoming delta batch against the
+    //      index: pair generation here joins only delta.bk = index.bk,
+    //      so its cost is O(|delta| x collision rate), independent of
+    //      corpus pair count — old x old pairs are never generated
+    //      (contrast d12, which consumes the full retrospective pair
+    //      table). The index side reuses d2's materialized signature
+    //      frame and its MaxBucket hot-bucket guard (bucket size counted
+    //      over ALL docs, exactly d2's `capped` semantics, so the DuckDB
+    //      twin shares d2CoreSql's chain verbatim); the estimate
+    //      pre-filter and exact-Jaccard verify are d2's, restricted to
+    //      cross pairs. Within-batch delta x delta dups are deliberately
+    //      out of scope (that is d1/d2's job on the batch itself).
+    //      Output: one row per delta doc — match count against the
+    //      index, best match, and the is_novel admission flag.
+    "d14_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val mins = signatures(s, dir)
+        val banded = mins.select(col("doc_id"),
+          explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
+        val hot = banded.groupBy(col("bk"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > MaxBucket)
+          .select(col("bk"))
+        val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+        val isDelta = col("doc_id") % DeltaMod === 0
+        // at production scale `index` is the persisted banded table;
+        // only the delta side is computed per ingest
+        val index = capped.filter(!isDelta)
+        val delta = capped.filter(isDelta)
+        val pairs = delta.as("d")
+          .join(index.as("o"), col("d.bk") === col("o.bk"))
+          .select(col("d.doc_id").as("doc_id"),
+            col("o.doc_id").as("old_doc"))
+          .distinct()
+        val est = pairs
+          .join(mins.select(col("doc_id"), col("mh").as("mh1")), "doc_id")
+          .join(mins.select(col("doc_id").as("old_doc"),
+            col("mh").as("mh2")), "old_doc")
+          .withColumn("est",
+            aggregate(zip_with(col("mh1"), col("mh2"),
+              (a, b) => when(a === b, 1).otherwise(0)),
+              lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
+          .filter(col("est") >= JaccardThreshold - EstMargin)
+          .select(col("doc_id"), col("old_doc"))
+        val docs = shingled(s, dir)
+        val verified = est
+          .join(docs.select(col("doc_id"), col("sh").as("sh1")), "doc_id")
+          .join(docs.select(col("doc_id").as("old_doc"),
+            col("sh").as("sh2")), "old_doc")
+          .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
+          .filter(col("jac") >= JaccardThreshold)
+          .select(col("doc_id"), col("old_doc"),
+            round(col("jac"), 6).as("jaccard"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("old_doc"))
+        val best = verified.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("old_doc").as("nearest_old_doc"),
+            col("jaccard").as("max_jaccard"))
+        val counts = verified.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_index_matches"))
+        Tables.table(s, dir, "documents").filter(isDelta)
+          .select(col("doc_id"))
+          .join(counts, Seq("doc_id"), "left")
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
+            coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+            coalesce(col("nearest_old_doc"), lit(-1L)).as("nearest_old_doc"),
+            (coalesce(col("n_index_matches"), lit(0L)) === 0).cast("long")
+              .as("is_novel"))
+          .orderBy(col("doc_id"))
+      },
+      // cross pairs are a subset of d2's verified all-pairs set, so the
+      // twin filters the shared chain to exactly-one-side-delta pairs —
+      // the same equivalence d12 uses for its train/eval split
+      Some(s"""WITH $d2CoreSql, cross_m AS (
+        SELECT
+          CASE WHEN doc1 % $DeltaMod = 0 THEN doc1 ELSE doc2 END AS doc_id,
+          CASE WHEN doc1 % $DeltaMod = 0 THEN doc2 ELSE doc1 END AS old_doc,
+          jaccard
+        FROM verified
+        WHERE (doc1 % $DeltaMod = 0) <> (doc2 % $DeltaMod = 0)
+      ), best AS (
+        SELECT doc_id, old_doc, jaccard FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY jaccard DESC, old_doc) AS rn FROM cross_m)
+        WHERE rn = 1
+      ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM cross_m GROUP BY 1
+      )
+      SELECT d.doc_id,
+        coalesce(cnt.n, 0) AS n_index_matches,
+        coalesce(best.jaccard, 0.0) AS max_jaccard,
+        coalesce(best.old_doc, -1) AS nearest_old_doc,
+        CAST(coalesce(cnt.n, 0) = 0 AS BIGINT) AS is_novel
+      FROM documents d
+      LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+      LEFT JOIN best ON d.doc_id = best.doc_id
+      WHERE d.doc_id % $DeltaMod = 0
+      ORDER BY d.doc_id""")),
 
     // ---- d3: 32-bit SimHash signatures + hamming-LSH chunk keys
     "d3_simhash" -> QueryDef(

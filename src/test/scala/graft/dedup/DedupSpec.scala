@@ -288,4 +288,33 @@ class DedupSpec extends SparkSpec {
     assert(ivfRecall >= 0.3, s"IVF recall too low: $ivfRecall")
     assert(ivfKRecall >= 0.3, s"IVF-kmeans recall too low: $ivfKRecall")
   }
+
+  test("d14 delta-vs-index join equals the cross-pair subset of the full pair table") {
+    val mod = DedupQueries.DeltaMod
+    val out = DedupQueries.defs("d14_incremental_dedup").fn(spark, sf).collect()
+    // one row per delta doc, and only delta docs
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("doc_id") % mod == 0))
+    // the incremental plan (delta.bk = index.bk, no old x old pairs) must
+    // flag exactly the docs the retrospective all-pairs table would:
+    // cross pairs of minhashPairs, grouped per delta doc
+    val cross = DedupQueries.minhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"),
+        r.getAs[Double]("jaccard")))
+      .filter { case (a, b, _) => (a % mod == 0) != (b % mod == 0) }
+      .map { case (a, b, j) => if (a % mod == 0) (a, b, j) else (b, a, j) }
+    val expectedCount = cross.groupBy(_._1).view.mapValues(_.size).toMap
+    val expectedBest = cross.groupBy(_._1).view.mapValues(ps =>
+      ps.minBy(p => (-p._3, p._2))).toMap
+    assert(cross.nonEmpty, "expected cross delta/index pairs at sf0.001")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_index_matches") ===
+        expectedCount.getOrElse(id, 0).toLong, s"doc $id match count")
+      assert((r.getAs[Long]("is_novel") == 1L) === !expectedCount.contains(id))
+      expectedBest.get(id).foreach { case (_, old, j) =>
+        assert(r.getAs[Long]("nearest_old_doc") === old, s"doc $id best match")
+        assert(r.getAs[Double]("max_jaccard") === j)
+      }
+    }
+  }
 }
