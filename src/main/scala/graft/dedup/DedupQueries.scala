@@ -923,16 +923,7 @@ object DedupQueries {
     //      approximation, not a bug.
     "d5_embedding_neardup" -> QueryDef(
       (s, dir) => {
-        // rebalance: the sf vector table is ONE parquet file — without
-        // it the whole signature build runs in a single task
-        val e = Tables.rebalance(Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v")))
-          .withColumn("nrm", Text.norm(col("v")))
-          .persist()
-        val n = e.count()
-        val pairs = if (n <= NearDupBruteMax)
-          embeddingPairsBrute(e) else embeddingPairsLsh(e, n)
-        pairs
+        embeddingPairs(s, dir)
           .orderBy(col("cos").desc, col("vec1"), col("vec2"))
           .limit(20)
       },
@@ -961,15 +952,8 @@ object DedupQueries {
     //      LSH candidates are approximate by design).
     "d9_embedding_clusters" -> QueryDef(
       (s, dir) => {
-        // rebalanced for the same single-file reason as d5
-        val e = Tables.rebalance(Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v")))
-          .withColumn("nrm", Text.norm(col("v")))
-          .persist()
-        val n = e.count()
-        val all = if (n <= NearDupBruteMax)
-          embeddingPairsBrute(e) else embeddingPairsLsh(e, n)
-        val pairs = all.filter(col("cos") >= NearDupCosThreshold)
+        val pairs = embeddingPairs(s, dir)
+          .filter(col("cos") >= NearDupCosThreshold)
           .select(col("vec1").as("doc1"), col("vec2").as("doc2"))
         val vecs = Tables.table(s, dir, "embeddings")
           .select(col("vec_id").as("doc_id"))
@@ -1062,6 +1046,27 @@ object DedupQueries {
       FROM wins w JOIN counts c ON w.h = c.h
       GROUP BY w.doc_id ORDER BY w.doc_id"""))
   )
+
+  /** Embedding near-dup pair table (vec1 < vec2, exact cosine) — the
+    * shared core of d5 and d9, materialized like d2's pair table
+    * ([[minhashPairs]]) so cluster assignment consumes the checkpoint
+    * instead of re-deriving the whole gate + LSH build + rerank (the
+    * sf10 rehearsal measured the re-derivation at ~half of d9's 95 s).
+    * Brute below [[NearDupBruteMax]] vectors, banded LSH above — the
+    * same gate the two queries previously ran independently. */
+  def embeddingPairs(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"d5-pairs|$dir") {
+      // rebalance: the sf vector table is ONE parquet file — without
+      // it the whole signature build runs in a single task
+      val e = Tables.rebalance(Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), Text.asDouble(col("embedding")).as("v")))
+        .withColumn("nrm", Text.norm(col("v")))
+        .persist()
+      val n = e.count()
+      val pairs = if (n <= NearDupBruteMax)
+        embeddingPairsBrute(e) else embeddingPairsLsh(e, n)
+      pairs
+    }
 
   /** Exact all-pairs cosine (norms precomputed per vector). O(n^2)
     * compares — only for small corpora (see [[NearDupBruteMax]]). */
