@@ -284,21 +284,29 @@ object DedupQueries {
     * of re-deriving the whole minhash chain. The band explode and the
     * estimate joins touch only the slim signature frame; shingle
     * arrays join in solely for the final exact verify. */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.core.Materialize(s, s"d2-pairs|$dir") {
-      val mins = signatures(s, dir)
-      val banded = mins
+  /** Hot-bucket-capped LSH band index `(doc_id, bk)` — materialized as
+    * its own stage because it is the persisted artifact a production
+    * pipeline keeps: the all-pairs build ([[minhashPairs]]) and the
+    * incremental delta-vs-index join (d14) both consume it. The
+    * hot-bucket guard counts each band bucket map-side-combined (never
+    * materializing a bucket's rows in one task) and broadcast
+    * anti-joins the tiny over-cap key set away. */
+  def cappedBanded(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"d2-banded|$dir") {
+      val banded = signatures(s, dir)
         .select(col("doc_id"),
           explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
-      // hot-bucket guard without buffering the hot bucket: a map-side-
-      // combined groupBy counts each band bucket (never materializing
-      // its rows in one task), and the tiny over-cap key set is
-      // broadcast anti-joined away.
       val hot = banded.groupBy(col("bk"))
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > MaxBucket)
         .select(col("bk"))
-      val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+      banded.join(broadcast(hot), Seq("bk"), "left_anti")
+    }
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"d2-pairs|$dir") {
+      val mins = signatures(s, dir)
+      val capped = cappedBanded(s, dir)
       val pairs = capped.as("x")
         .join(capped.as("y"),
           col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -711,9 +719,11 @@ object DedupQueries {
     //      so its cost is O(|delta| x collision rate), independent of
     //      corpus pair count — old x old pairs are never generated
     //      (contrast d12, which consumes the full retrospective pair
-    //      table). The index side reuses d2's materialized signature
-    //      frame and its MaxBucket hot-bucket guard (bucket size counted
-    //      over ALL docs, exactly d2's `capped` semantics, so the DuckDB
+    //      table). The index side IS the materialized [[cappedBanded]]
+    //      band-index stage d2's pair build also consumes — the
+    //      persisted artifact of the production story — including its
+    //      MaxBucket hot-bucket guard (bucket size counted over ALL
+    //      docs, exactly d2's `capped` semantics, so the DuckDB
     //      twin shares d2CoreSql's chain verbatim); the estimate
     //      pre-filter and exact-Jaccard verify are d2's, restricted to
     //      cross pairs. Within-batch delta x delta dups are deliberately
@@ -723,13 +733,7 @@ object DedupQueries {
     "d14_incremental_dedup" -> QueryDef(
       (s, dir) => {
         val mins = signatures(s, dir)
-        val banded = mins.select(col("doc_id"),
-          explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
-        val hot = banded.groupBy(col("bk"))
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") > MaxBucket)
-          .select(col("bk"))
-        val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+        val capped = cappedBanded(s, dir)
         val isDelta = col("doc_id") % DeltaMod === 0
         // at production scale `index` is the persisted banded table;
         // only the delta side is computed per ingest
