@@ -98,6 +98,13 @@ class PlanShapeSpec extends SparkSpec {
       "cell probe and rerank must ride key-equality joins")
   }
 
+  test("incremental dedup joins delta vs index by band key — no corpus products") {
+    val p = plan("d14_incremental_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "delta admission must be a key-equality join against the band index")
+  }
+
   test("sequence packing never runs a global single-partition prefix sum") {
     val p = plan("t8_sequence_pack")
     // the running sum must stay partitioned by source; a missing
