@@ -16,13 +16,20 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-      // type for: read nanos as long, then convert to a microsecond
-      // timestamp column (cheap narrowing in codegen, no data loss at
-      // event granularity).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+      // Spark has no native type for, so it's read as a nanosecond long
+      // and narrowed — and plain TIMESTAMP(MICROS), which Spark reads as
+      // TIMESTAMP_NTZ. Dispatch on the file's actual type so either
+      // vintage of the generated data yields the same TimestampType
+      // column (session timezone is pinned to UTC everywhere, so the
+      // NTZ->timestamp cast is value-preserving).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Rebalance a frame to full parallelism IF its scan yields fewer

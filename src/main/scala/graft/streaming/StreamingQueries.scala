@@ -50,9 +50,14 @@ object StreamingQueries {
     val raw = s.read.parquet(s"$dir/$name.parquet").schema
     val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
-    if (name == "events")
-      src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else src
+    // same dual-vintage ts handling as Tables.table: nanos-as-long data
+    // narrows to micros; TIMESTAMP(MICROS) data arrives as NTZ and is
+    // value-preservingly cast under the pinned UTC session timezone
+    if (name == "events") raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src.withColumn("ts", col("ts").cast("timestamp"))
+    } else src
   }
 
   /** Run `df` as a streaming query into a memory sink until all
