@@ -143,7 +143,30 @@ object Bench {
     def jmap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":${jmap(results)},"cold":${jmap(cold)},"sf":"$sfDir"}""")
+    // Two rounds of driver-side artifacts misled readers (r5: phantom
+    // single-run swings; r6: a "parsed": null file whose captured TAIL
+    // was the cold map — first-run stage builds — read as steady-state
+    // regressions). Defenses, in order:
+    //  1. the COMPLETE result (medians + cold first-runs) is written to
+    //     BENCH_LOCAL.json in the repo, pretty-printed, so the full
+    //     record never depends on stdout capture;
+    //  2. stdout's final line is ONE parseable JSON whose LAST key is
+    //     the medians map — any tail-truncated capture ends inside
+    //     steady-state numbers, and the cold map is NOT on stdout at
+    //     all;
+    //  3. top5 names the slowest steady-state queries up front for
+    //     humans reading the line start.
+    val top5 = results.toSeq.sortBy(-_._2).take(5)
+    val file = java.nio.file.Paths.get("BENCH_LOCAL.json").toAbsolutePath
+    java.nio.file.Files.writeString(file,
+      s"""{
+         |  "metric": "total", "value": $total, "unit": "sec",
+         |  "runs": $Runs, "sf": "$sfDir",
+         |  "queries": ${jmap(results)},
+         |  "cold": ${jmap(cold)}
+         |}
+         |""".stripMargin)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"sf":"$sfDir","detail_file":"$file","top5":${jmap(collection.mutable.LinkedHashMap(top5: _*))},"queries":${jmap(results)}}""")
     spark.stop()
   }
 }

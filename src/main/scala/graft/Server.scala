@@ -24,7 +24,10 @@ import graft.core.{GraftService, Json}
   *   POST   /v1.0/model                       {"description"}
   *   GET    /v1.0/model/{id}                  (state mirrors Octopus TrainState)
   *   DELETE /v1.0/model/{id}
-  *   POST   /v1.0/model/{id}/train?dataset={id}    train, return final state
+  *   POST   /v1.0/model/{id}/train?dataset={id}    async train: persists
+  *            Busy, returns 202 {"state":"Busy"} immediately; poll
+  *            GET /model/{id} for Busy -> Complete/Error (the
+  *            reference's ModelInterface.scala:219-275 contract)
   *   POST   /v1.0/model/{id}/predict?dataset={id}  column predictions + ranked suggestions
   *
   * Handlers run on the server's executor; Spark work reuses one shared
@@ -125,8 +128,10 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
       case ("POST", "model" :: id :: "train" :: Nil) =>
         queryParam(ex, "dataset") match {
           case Some(ds) =>
-            val st = svc.trainModel(spark(), id.toInt, ds.toInt)
-            respond(ex, 200, s"""{"state":"$st"}""")
+            // async, like the reference: Busy is persisted before this
+            // returns; clients poll GET /model/{id} for the final state
+            val st = svc.trainModelAsync(spark(), id.toInt, ds.toInt)
+            respond(ex, 202, s"""{"state":"$st"}""")
           case None => err(ex, 400, "query param dataset required")
         }
       case ("POST", "model" :: id :: "predict" :: Nil) =>

@@ -168,6 +168,39 @@ class GraftService(val rootDir: String,
     st
   }
 
+  /** Launch training ASYNCHRONOUSLY — the reference's REST train
+    * contract (reference core drivers/ModelInterface.scala:219-275:
+    * set the stored state to BUSY, launch the training Future, return
+    * immediately; clients poll the model resource for
+    * Busy → Complete/Error). The Busy state is persisted BEFORE this
+    * returns, so an HTTP poll issued mid-train reads Busy; the final
+    * state is persisted by the background task. Missing model/dataset
+    * throw (the 404 contract) before any state change. Idempotent
+    * under concurrent calls: a train already in flight keeps ownership
+    * of the state record (Octopus.train's state machine returns Busy
+    * to the loser, which then skips the final write). */
+  def trainModelAsync(spark: SparkSession, modelId: Int,
+      datasetId: Int): Octopus.TrainState = {
+    val ds = getDataset(datasetId)
+      .getOrElse(throw new NoSuchElementException(s"dataset $datasetId"))
+    val model = getModel(modelId)
+      .getOrElse(throw new NoSuchElementException(s"model $modelId"))
+    val oct = octopus(modelId)
+    if (oct.trainState == Octopus.Busy) return Octopus.Busy
+    writeMeta(mdDir(modelId), "description" -> model.description,
+      "state" -> Octopus.Busy.toString, "created" -> model.created.toString)
+    scala.concurrent.Future {
+      val st =
+        try oct.train(spark, ds.dir)
+        catch { case e: Exception =>
+          Octopus.Error(String.valueOf(e.getMessage)) }
+      if (st != Octopus.Busy) // Busy = a concurrent train owns the record
+        writeMeta(mdDir(modelId), "description" -> model.description,
+          "state" -> st.toString, "created" -> model.created.toString)
+    }(GraftService.dispatchEc)
+    Octopus.Busy
+  }
+
   /** Predict with model `modelId` over dataset `datasetId`'s registered
     * tables (ModelAPI modelPredict). */
   def predictModel(spark: SparkSession, modelId: Int,
@@ -182,4 +215,19 @@ class GraftService(val rootDir: String,
   def suggestions(spark: SparkSession, modelId: Int, datasetId: Int)
       : Seq[graft.modeler.SemanticModeler.Suggestion] =
     predictModel(spark, modelId, datasetId).suggestions
+}
+
+object GraftService {
+  /** Daemon dispatcher for async REST trains — deliberately SEPARATE
+    * from [[Octopus.trainEc]]: the dispatching task blocks awaiting the
+    * two leg futures, and parking it on the 2-thread leg pool would
+    * serialize the legs it is waiting for. Cached pool: idle threads
+    * die, concurrent trains of different models each get a dispatcher. */
+  private[core] lazy val dispatchEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-train-dispatch")
+        t.setDaemon(true)
+        t
+      }))
 }

@@ -66,9 +66,59 @@ object MinHashSignature {
       MinHashSignature(GraftExpressionBridge.expression(sh), k))
 }
 
-/** Static runtime for [[MinHashSignature]] — a plain object so the
-  * generated Java references `graft.functions.MinHashOps.compute`
-  * through an ordinary static forwarder. */
+/** Native LSH band keys over an `array<long>` MinHash signature —
+  * md5(band_index "|" sig values) per band, the banding step of
+  * d2/d12/d14/st7/StreamingDedup.
+  *
+  * Why native: the HOF formulation
+  * (`transform(sequence(0, bands-1), b -> md5(concat_ws("|", b,
+  * element_at(mh, b*rows+1), ...)))`) references the signature
+  * expression from inside the lambda, so when the SIGNATURE is itself
+  * an inline expression (not a materialized column), the interpreted
+  * HOF machinery re-evaluates it per `element_at` — bands × rows = 64
+  * full signature computations per row. Round 7 hit exactly that: the
+  * stateless st7 rewrite inlined shingles→minhash→bandKeys into one
+  * projection and went 64× super-linear (20 s for 500 docs at
+  * sf0.001). A UnaryExpression evaluates its child ONCE per row by
+  * construction, then loops over the bands in compiled code.
+  *
+  * Arithmetic contract (byte-identical to the HOF form and the DuckDB
+  * twin, DedupQueries.d2CoreSql): key_b = md5 hex of the '|'-joined
+  * band index and the band's `rows` signature values (nulls skipped,
+  * concat_ws semantics). Null input array → null. */
+case class LshBandKeys(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_keys expects array<long>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_band_keys"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashOps.bandKeys(a.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashOps.bandKeys($c, $bands, $rows);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshBandKeys = copy(child = newChild)
+}
+
+object LshBandKeys {
+  /** Column API wrapper. */
+  def bandKeys(mh: Column, bands: Int, rows: Int): Column =
+    GraftExpressionBridge.column(
+      LshBandKeys(GraftExpressionBridge.expression(mh), bands, rows))
+}
+
+/** Static runtime for [[MinHashSignature]]/[[LshBandKeys]] — a plain
+  * object so the generated Java references
+  * `graft.functions.MinHashOps.*` through ordinary static
+  * forwarders. */
 object MinHashOps {
   val P = 2147483647L
 
@@ -121,5 +171,44 @@ object MinHashOps {
     }
     if (!seen) new GenericArrayData(Array.fill[Any](k)(null))
     else UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Band keys for a signature: per band b, md5 hex of the '|'-joined
+    * band index and the band's `rows` signature values — exactly
+    * `md5(concat_ws("|", b, sig[b*rows+1..b*rows+rows]))` including
+    * concat_ws's null-skipping. */
+  def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val d = md.get()
+    val out = new Array[Any](bands)
+    val n = sig.numElements()
+    val sb = new java.lang.StringBuilder(24)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      sb.append(b)
+      var r = 0
+      while (r < rows) {
+        val i = b * rows + r
+        if (i < n && !sig.isNullAt(i)) {
+          sb.append('|').append(sig.getLong(i))
+        }
+        r += 1
+      }
+      d.reset()
+      val bytes = d.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = hexDigits((bytes(j) >> 4) & 0xf)
+        hex(2 * j + 1) = hexDigits(bytes(j) & 0xf)
+        j += 1
+      }
+      out(b) = UTF8String.fromString(new String(hex))
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 }

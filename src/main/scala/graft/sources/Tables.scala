@@ -16,21 +16,37 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
-      // Spark has no native type for, so it's read as a nanosecond long
-      // and narrowed — and plain TIMESTAMP(MICROS), which Spark reads as
-      // TIMESTAMP_NTZ. Dispatch on the file's actual type so either
-      // vintage of the generated data yields the same TimestampType
-      // column (session timezone is pinned to UTC everywhere, so the
-      // NTZ->timestamp cast is value-preserving).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-      }
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize the events `ts` column to TimestampType across every data
+    * vintage the generator has shipped — the ONE dispatch site shared by
+    * the batch catalog (above) and the streaming source
+    * ([[graft.streaming.StreamingQueries]]), so a new vintage can't be
+    * handled in one path and missed in the other:
+    *  - parquet TIMESTAMP(NANOS): Spark has no native type for it, so
+    *    (under `nanosAsLong`) it arrives as a nanosecond long and is
+    *    narrowed to micros;
+    *  - plain TIMESTAMP: already the session-zoned type — pass through;
+    *  - TIMESTAMP(MICROS) without zone: arrives as TIMESTAMP_NTZ and is
+    *    value-preservingly cast under the pinned UTC session timezone.
+    * Anything else (e.g. a string/double column from a malformed
+    * generator run) fails LOUDLY here instead of silently casting to
+    * null timestamps downstream. */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported parquet type ${other.simpleString}: " +
+          "expected TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+  }
 
   /** Rebalance a frame to full parallelism IF its scan yields fewer
     * partitions than cores — the small-input guard for expensive

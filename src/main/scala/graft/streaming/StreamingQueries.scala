@@ -38,10 +38,11 @@ object StreamingQueries {
   private val runId = new AtomicInteger(0)
 
   /** Stream a scale-factor parquet table through the file source.
-    * Schema comes from the batch catalog ([[Tables.table]]), so the
-    * nanos-timestamp handling is shared; `maxFilesPerTrigger=1` keeps
-    * the source honest about micro-batching when a table has several
-    * files. */
+    * Schema comes from the batch catalog ([[Tables.table]]), and the
+    * dual-vintage events-ts dispatch IS the batch catalog's — one
+    * shared [[Tables.normalizeEventsTs]], so the two paths can't drift;
+    * `maxFilesPerTrigger=1` keeps the source honest about
+    * micro-batching when a table has several files. */
   private def streamTable(s: SparkSession, dir: String, name: String): DataFrame = {
     // the file source wants a directory: stream the sf dir, glob-filtered
     // to this table's file(s)
@@ -50,14 +51,7 @@ object StreamingQueries {
     val raw = s.read.parquet(s"$dir/$name.parquet").schema
     val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
-    // same dual-vintage ts handling as Tables.table: nanos-as-long data
-    // narrows to micros; TIMESTAMP(MICROS) data arrives as NTZ and is
-    // value-preservingly cast under the pinned UTC session timezone
-    if (name == "events") raw("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => src.withColumn("ts", col("ts").cast("timestamp"))
-    } else src
+    if (name == "events") Tables.normalizeEventsTs(src) else src
   }
 
   /** Run `df` as a streaming query into a memory sink until all
@@ -80,8 +74,109 @@ object StreamingQueries {
   val SessionGapSec = 1800L
 
   /** st5 eval subset: denser than batch d7's every-50th (every 10th
-    * doc) so the stream-static join has hits to count at small sf. */
+    * doc) so the contamination flags have hits to count at small sf. */
   val StreamEvalMod = 10
+
+  /** st5 stream side (exposed for the state-contract spec): the
+    * training stream flags docs sharing n-grams with the eval set as a
+    * STATELESS row-local projection. A doc's distinct n-grams are
+    * row-local before any explode, so the count happens inside the row
+    * via the native [[graft.functions.SetMemberCount]] probe against a
+    * broadcast of the eval set's distinct n-grams — no stream-side
+    * aggregation, no state store, `append` output mode. (The previous
+    * `explode → stream-static join → groupBy(doc_id)` shape kept one
+    * complete-mode state row per flagged doc FOREVER and re-emitted the
+    * whole result table every trigger — a scale-killer on a real
+    * unbounded ingest.) The eval side stays benchmark-sized by
+    * construction (an eval suite, not a corpus), so collecting its
+    * distinct n-grams into a broadcast is the same static-side-as-
+    * driver-constant move st6 makes with the centroid index. */
+  private[streaming] def st5Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.DecontamN
+    import graft.text.Text
+    val isEval = col("doc_id") % StreamEvalMod === 0
+    val evalGrams: Array[String] = Tables.rebalance(
+        Tables.table(s, dir, "documents").filter(isEval))
+      .select(explode(Text.wordShingles(
+        Text.words(col("text")), DecontamN)).as("g"))
+      .distinct().collect().map(_.getString(0))
+    val bc = s.sparkContext.broadcast(evalGrams)
+    // a one-file source yields one input partition; spread the
+    // interpreted shingle HOF across cores (the streaming analogue of
+    // Tables.rebalance — a stateless shuffle, and a no-op cost at
+    // production split counts, where the source is many files)
+    streamTable(s, dir, "documents").filter(!isEval)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.SetMemberCount.countIn(
+          Text.wordShingles(Text.words(col("text")), DecontamN), bc)
+          .as("n_shared_ngrams"))
+      .filter(col("n_shared_ngrams") > 0)
+  }
+
+  /** st6 stream side (exposed for the state-contract spec): semantic
+    * flagging as a stateless row-local projection. The k-means index
+    * (K×Dims micro-quantized integers) collects into the native
+    * [[graft.functions.NearestCentroid]] expression — ONE codegen'd
+    * O(K·Dims) loop per row replacing the previous interpreted O(K²)
+    * `when`-chain over `aggregate(zip_with(...))` folds (fine at K=4,
+    * a compile-sized expression tree at a production K=1024). The
+    * arithmetic (half-up micro quantization, exact-Long distances and
+    * dot products, the `ORDER BY dist, k` tie-break, double cosine) is
+    * byte-identical to the batch d11 assignment and its DuckDB twin —
+    * pinned by StreamingQueriesSpec's stream-vs-d11 test. */
+  private[streaming] def st6Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.SimilarityQueries.Dims
+    val tau = graft.dedup.DedupQueries.SemDedupTau
+    val centRows = graft.sim.SimilarityQueries
+      .kmeansCentroids(s, dir).collect()
+    val byK = centRows.groupBy(_.getLong(0).toInt)
+    val cents: Array[Array[Long]] =
+      (0 until byK.size).toArray.map { k =>
+        val a = new Array[Long](Dims)
+        byK(k).foreach(r => a(r.getInt(1)) = r.getLong(2))
+        a
+      }
+    val nc = graft.functions.NearestCentroid.assign(col("embedding"), cents)
+    streamTable(s, dir, "embeddings")
+      .withColumn("nc", nc)
+      .withColumn("cos_centroid",
+        floor(col("nc.cos") * 1e6 + lit(0.5)) / 1e6)
+      .select(col("vec_id"), col("nc.cluster").as("cluster"),
+        col("cos_centroid"),
+        (col("cos_centroid") >= tau).cast("long").as("in_core"))
+  }
+
+  /** st7 stream side (exposed for the state-contract spec): fuzzy
+    * contamination flags, same stateless row-local shape as [[st5Stream]]
+    * — each doc's LSH band keys (native codegen'd
+    * [[graft.functions.MinHashSignature]] + md5 banding) stay an array
+    * in the row and are probed against the broadcast eval-key set with
+    * [[graft.functions.SetMemberCount]]. Band keys are band-index-
+    * prefixed, so the per-doc array is duplicate-free and the count
+    * equals the old join's per-doc match count. */
+  private[streaming] def st7Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.{MinhashK, Bands, Rows}
+    import graft.text.Text
+    val isEval = col("doc_id") % StreamEvalMod === 0
+    def keyed(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), Text.bandKeys(
+        Text.minhash(Text.wordShingles(col("w"), 2), MinhashK),
+        Bands, Rows).as("bks"))
+    val evalKeys: Array[String] = keyed(Tables.rebalance(
+        Tables.table(s, dir, "documents").filter(isEval)))
+      .select(explode(col("bks")).as("bk")).distinct()
+      .collect().map(_.getString(0))
+    val bc = s.sparkContext.broadcast(evalKeys)
+    keyed(streamTable(s, dir, "documents").filter(!isEval)
+        .repartition(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"),
+        graft.functions.SetMemberCount.countIn(col("bks"), bc)
+          .as("n_band_hits"))
+      .filter(col("n_band_hits") > 0)
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -178,40 +273,23 @@ object StreamingQueries {
             '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS scrubbed
         FROM q ORDER BY doc_id""")),
 
-    // ---- st5: streaming benchmark decontamination — the STREAM-STATIC
-    // join modality (the one join shape streams need that st1-st4 don't
-    // cover): the eval-set n-gram table is a static broadcast side, the
-    // training stream explodes to n-grams and inner-joins it statelessly;
-    // only the per-doc count is stateful. At 100 TB the eval set stays
-    // benchmark-sized (tiny, broadcast), so the streaming pass costs
-    // O(stream n-grams) regardless of corpus size.
+    // ---- st5: streaming benchmark decontamination — a STATELESS
+    // row-local flag: each training doc's distinct n-grams are probed
+    // in-row against the broadcast eval n-gram set (native
+    // SetMemberCount — O(|set|) build once per executor, O(n-grams)
+    // per doc), so the query is projection + filter in append mode: no
+    // state store, no per-trigger re-emission, O(stream n-grams) work
+    // regardless of corpus size. At 100 TB the eval set stays
+    // benchmark-sized (an eval suite, not a corpus), so the broadcast
+    // side is constant.
     "st5_stream_decontaminate" -> QueryDef(
       (s, dir) => {
-        import graft.dedup.DedupQueries.DecontamN
-        val isEval = col("doc_id") % StreamEvalMod === 0
-        // static side: the eval subset's distinct n-grams (batch read)
-        val evalGrams = broadcast(
-          Tables.rebalance(
-            Tables.table(s, dir, "documents").filter(isEval))
-            .select(explode(graft.text.Text.wordShingles(
-              graft.text.Text.words(col("text")), DecontamN)).as("g"))
-            .distinct())
-        // a one-file source yields one input partition; spread the
-        // interpreted shingle HOF across cores before the explode (the
-        // streaming analogue of Tables.rebalance — a no-op cost at
-        // production split counts, where the source is many files)
-        val hits = streamTable(s, dir, "documents").filter(!isEval)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            explode(graft.text.Text.wordShingles(
-              graft.text.Text.words(col("text")), DecontamN)).as("g"))
-          .join(evalGrams, "g") // stream-static inner join, stateless
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shared_ngrams"))
-        runStream(hits, "complete").orderBy(col("doc_id"))
+        runStream(st5Stream(s, dir), "append").orderBy(col("doc_id"))
       },
-      // d7's oracle restricted to contaminated docs (the inner join
-      // emits only docs sharing >= 1 eval n-gram)
+      // d7's oracle restricted to contaminated docs (the oracle's inner
+      // join emits exactly the docs the stream's n > 0 filter keeps,
+      // and its per-doc match count equals the in-row membership count
+      // because a doc's shingles are distinct)
       Some(s"""WITH g AS (
         SELECT doc_id,
           unnest(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= ${graft.dedup.DedupQueries.DecontamN} THEN
@@ -230,68 +308,19 @@ object StreamingQueries {
     // ---- st6: streaming semantic-redundancy flagging — d11's stream
     // front. The k-means index (s4's materialized centroid build,
     // shared with s4/s5/s7/d11) is K×Dims integers BY CONSTRUCTION, so
-    // the static side collapses into plan literals: each arriving
-    // vector gets its nearest-centroid assignment and integer-exact
-    // cosine-to-centroid from row-local arithmetic alone — a stateless
-    // projection, no state store, no stream-side shuffle, O(K·Dims)
-    // per row at any stream rate. Vectors in a cluster core
-    // (cos >= SemDedupTau) are flagged as semantic-duplicate
-    // CANDIDATES; picking the one representative is inherently a batch
-    // decision (a stream cannot know a cluster's future best member),
-    // so that stays in d11 — the same flag-now/resolve-later split
-    // production dedup pipelines use.
+    // the static side collapses into the native NearestCentroid
+    // expression's state: each arriving vector gets its assignment and
+    // integer-exact cosine-to-centroid from ONE codegen'd O(K·Dims)
+    // row-local loop — a stateless projection, no state store, no
+    // stream-side shuffle, at any stream rate and any K. Vectors in a
+    // cluster core (cos >= SemDedupTau) are flagged as
+    // semantic-duplicate CANDIDATES; picking the one representative is
+    // inherently a batch decision (a stream cannot know a cluster's
+    // future best member), so that stays in d11 — the same
+    // flag-now/resolve-later split production dedup pipelines use.
     "st6_stream_semantic_flag" -> QueryDef(
       (s, dir) => {
-        import graft.sim.SimilarityQueries.{Dims, KmeansK}
-        val tau = graft.dedup.DedupQueries.SemDedupTau
-        val centRows = graft.sim.SimilarityQueries
-          .kmeansCentroids(s, dir).collect()
-        val cents: Map[Int, Array[Long]] = centRows
-          .groupBy(_.getLong(0).toInt)
-          .map { case (k, rows) =>
-            val a = new Array[Long](Dims)
-            rows.foreach(r => a(r.getInt(1)) = r.getLong(2))
-            k -> a
-          }
-        // Σ c6² per centroid — exact in Long, exact again as Double
-        // (< 2^53), so the cosine denominator is a driver constant
-        val scc: Map[Int, Long] =
-          cents.map { case (k, a) => k -> a.map(v => v * v).sum }
-        def cLit(k: Int) = array(cents(k).map(lit(_)): _*)
-        def dist(k: Int) = aggregate(
-          zip_with(col("x6"), cLit(k), (x, c) => (x - c) * (x - c)),
-          lit(0L), (a, y) => a + y)
-        def sxc(k: Int) = aggregate(
-          zip_with(col("x6"), cLit(k), (x, c) => x * c),
-          lit(0L), (a, y) => a + y)
-        val sxx = aggregate(
-          zip_with(col("x6"), col("x6"), (x, y) => x * y),
-          lit(0L), (a, y) => a + y)
-        def cosK(k: Int) = sxc(k).cast("double") /
-          (sqrt(sxx.cast("double")) * sqrt(lit(scc(k).toDouble)))
-        // first k whose dist is <= every later one = minimal k among
-        // minima — same tie-break as the oracle's ORDER BY dist, k
-        val kStar = (0 until KmeansK - 1)
-          .foldRight(lit((KmeansK - 1).toLong): org.apache.spark.sql.Column) {
-            (k, rest) =>
-              when(((k + 1) until KmeansK).map(j => dist(k) <= dist(j))
-                .reduce(_ && _), lit(k.toLong)).otherwise(rest)
-          }
-        val cosr = (0 until KmeansK - 1)
-          .foldRight(cosK(KmeansK - 1)) { (k, rest) =>
-            when(col("cluster") === k.toLong, cosK(k)).otherwise(rest)
-          }
-        val out = streamTable(s, dir, "embeddings")
-          .withColumn("x6", transform(col("embedding"),
-            x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")))
-          .withColumn("cluster", kStar)
-          .withColumn("cos_centroid",
-            floor(cosr * 1e6 + lit(0.5)) / 1e6)
-          .withColumn("in_core",
-            (col("cos_centroid") >= tau).cast("long"))
-          .select(col("vec_id"), col("cluster"), col("cos_centroid"),
-            col("in_core"))
-        runStream(out, "append").orderBy(col("vec_id"))
+        runStream(st6Stream(s, dir), "append").orderBy(col("vec_id"))
       },
       // d11's oracle chain minus the representative rank: assignment +
       // integer sums + the same double cosine, flag only
@@ -323,11 +352,11 @@ object StreamingQueries {
 
     // ---- st7: streaming fuzzy-contamination flagging — d12's stream
     // front, st5's MinHash analogue. The eval subset's LSH band keys
-    // (d2's exact signature arithmetic) form a small static broadcast
-    // set; each arriving training doc computes its own 64-hash
-    // signature and band keys ROW-LOCALLY (higher-order functions — no
-    // state store, no stream-side shuffle before the join) and is
-    // flagged when any band key collides with an eval key. Band
+    // (d2's exact signature arithmetic) form a small broadcast set;
+    // each arriving training doc computes its own 64-hash signature
+    // and band keys ROW-LOCALLY (native MinHashSignature + codegen'd
+    // banding) and counts collisions in-row via SetMemberCount — no
+    // state store, no join, no stream-side aggregation. Band
     // collision is the candidate test (est/exact Jaccard rerank is
     // batch d12's job — the same flag-now/resolve-later split as
     // st6/d11): at JaccardThreshold=0.3 with 32 bands × 2 rows the
@@ -336,28 +365,7 @@ object StreamingQueries {
     // (paraphrases) at O(bands) integer work per doc.
     "st7_stream_fuzzy_flag" -> QueryDef(
       (s, dir) => {
-        import graft.dedup.DedupQueries.{MinhashK, Bands, Rows}
-        import graft.text.Text
-        val isEval = col("doc_id") % StreamEvalMod === 0
-        def banded(df: DataFrame): DataFrame = df
-          .select(col("doc_id"), Text.words(col("text")).as("w"))
-          .filter(size(col("w")) >= 2)
-          .select(col("doc_id"), Text.wordShingles(col("w"), 2).as("sh"))
-          .select(col("doc_id"), explode(Text.bandKeys(
-            Text.minhash(col("sh"), MinhashK), Bands, Rows)).as("bk"))
-        val evalKeys = broadcast(
-          banded(Tables.rebalance(
-            Tables.table(s, dir, "documents").filter(isEval)))
-            .select(col("bk")).distinct())
-        // same interpreted-HOF spread as st5 (one-file source = one
-        // input partition otherwise)
-        val hits = banded(
-            streamTable(s, dir, "documents").filter(!isEval)
-              .repartition(s.sparkContext.defaultParallelism))
-          .join(evalKeys, "bk") // stream-static inner join, stateless
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_band_hits"))
-        runStream(hits, "complete").orderBy(col("doc_id"))
+        runStream(st7Stream(s, dir), "append").orderBy(col("doc_id"))
       },
       // d2's signature/band CTE chain, restricted to train-side docs
       // whose band keys appear in the eval-side distinct key set (the

@@ -97,13 +97,16 @@ object Text {
     graft.functions.MinHashSignature.minhash(sh, k)
 
   /** LSH band keys: md5 over `rows` consecutive signature entries. A pair
-    * of docs is a candidate iff any band key collides. */
+    * of docs is a candidate iff any band key collides. Computed by the
+    * native [[graft.functions.LshBandKeys]] expression: the HOF
+    * formulation (`transform(sequence(...), b -> md5(concat_ws(...,
+    * element_at(mh, ...))))`) re-evaluates `mh` per element_at when the
+    * signature is an inline expression rather than a materialized
+    * column — bands×rows = 64 full MinHash recomputations per row
+    * (measured: st7's stateless rewrite went 64× super-linear before
+    * this). The native form evaluates the signature child once. */
   def bandKeys(mh: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b => {
-      val parts = (1 to rows).map(r =>
-        element_at(mh, b * lit(rows) + lit(r)).cast("string"))
-      md5(concat_ws("|", (b.cast("string") +: parts): _*))
-    })
+    graft.functions.LshBandKeys.bandKeys(mh, bands, rows)
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =

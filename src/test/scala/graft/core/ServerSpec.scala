@@ -72,11 +72,28 @@ class ServerSpec extends SparkSpec {
       val modelId = Json.parseFlat(bm.replaceAll(""""id":(\d+)""",
         """"id":"$1"""")).apply("id")
 
+      // async train contract (reference ModelInterface.scala:219-275):
+      // the POST returns 202 Busy IMMEDIATELY; a mid-train poll reads
+      // Busy; a second POST while in flight is idempotent Busy; polling
+      // converges to Complete
       val (ct, bt) = post(base,
         s"/v1.0/model/$modelId/train?dataset=$trainId", "")
-      assert(ct === 200 && bt === """{"state":"Complete"}""", bt)
-      assert(get(base, s"/v1.0/model/$modelId")._2
-        .contains("\"state\":\"Complete\""))
+      assert(ct === 202 && bt === """{"state":"Busy"}""", bt)
+      val midPoll = get(base, s"/v1.0/model/$modelId")._2
+      assert(midPoll.contains("\"state\":\"Busy\""),
+        s"mid-train poll must read Busy, got $midPoll")
+      val (ct2, bt2) = post(base,
+        s"/v1.0/model/$modelId/train?dataset=$trainId", "")
+      assert(ct2 === 202 && bt2 === """{"state":"Busy"}""", bt2)
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var state = midPoll
+      while (state.contains("\"state\":\"Busy\"") &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        state = get(base, s"/v1.0/model/$modelId")._2
+      }
+      assert(state.contains("\"state\":\"Complete\""),
+        s"poll did not converge to Complete: $state")
 
       val (cp, bp) = post(base,
         s"/v1.0/model/$modelId/predict?dataset=$holdId", "")

@@ -109,6 +109,48 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.values.exists(_._3 == 1L), "no core flagged at this sf")
   }
 
+  test("st5/st6/st7 state contract: the flag queries run with ZERO " +
+      "stateful operators (append mode, no state store)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val frames = Seq(
+      "st5" -> StreamingQueries.st5Stream(spark, sf),
+      "st6" -> StreamingQueries.st6Stream(spark, sf),
+      "st7" -> StreamingQueries.st7Stream(spark, sf))
+    for ((nm, df) <- frames) {
+      val q = df.writeStream.format("memory")
+        .queryName(s"${nm}_state_contract").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        q.awaitTermination()
+        val stateOps = q.recentProgress.flatMap(_.stateOperators)
+        assert(stateOps.isEmpty,
+          s"$nm must be stateless, found state operators: " +
+            stateOps.map(_.operatorName).mkString(", "))
+        assert(spark.table(s"${nm}_state_contract").count() > 0,
+          s"$nm produced no rows at this sf")
+      } finally q.stop()
+    }
+  }
+
+  test("st5 stream flags equal the batch explode+join backfill") {
+    import graft.dedup.DedupQueries.DecontamN
+    import graft.text.Text
+    val mod = StreamingQueries.StreamEvalMod
+    val streamed = run("st5_stream_decontaminate")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grams = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), explode(Text.wordShingles(
+        Text.words(col("text")), DecontamN)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % mod === 0)
+      .select(col("g")).distinct()
+    val batch = grams.filter(col("doc_id") % mod =!= 0)
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "no contamination flagged at this sf")
+  }
+
   test("st7 stream fuzzy flags equal the batch band-collision backfill") {
     import graft.dedup.DedupQueries.{MinhashK, Bands, Rows}
     import graft.text.Text

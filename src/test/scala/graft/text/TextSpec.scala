@@ -176,6 +176,43 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("native band keys are byte-identical to the HOF md5/concat_ws form") {
+    // the HOF formulation LshBandKeys replaced, kept as the
+    // differential reference (including concat_ws's null-skipping)
+    import graft.dedup.DedupQueries.{MinhashK, Bands, Rows}
+    def hofBandKeys(mh: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(Bands - 1)), b => {
+        val parts = (1 to Rows).map(r =>
+          element_at(mh, b * lit(Rows) + lit(r)).cast("string"))
+        md5(concat_ws("|", (b.cast("string") +: parts): _*))
+      })
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        Text.minhash(Text.wordShingles(col("w"), 2), MinhashK).as("mh"))
+    val rows = docs.select(col("doc_id"),
+        Text.bandKeys(col("mh"), Bands, Rows).as("native"),
+        hofBandKeys(col("mh")).as("hof"))
+      .collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"doc ${r.getLong(0)}")
+    }
+    // null-skipping: a signature with a null entry drops that part
+    val withNull = array(lit(5L), lit(null).cast("long"), lit(7L), lit(9L))
+    val n = spark.range(1).select(
+      Text.bandKeys(withNull, 2, 2).as("native"),
+      transform(sequence(lit(0), lit(1)), b => {
+        val parts = (1 to 2).map(r =>
+          element_at(withNull, b * lit(2) + lit(r)).cast("string"))
+        md5(concat_ws("|", (b.cast("string") +: parts): _*))
+      }).as("hof")).head()
+    assert(n.getSeq[String](0) === n.getSeq[String](1))
+  }
+
   test("native minhash null/empty semantics mirror the HOF form") {
     val empty = one[collection.Seq[Any]](
       Text.minhash(array().cast("array<string>"), 8))
