@@ -129,6 +129,91 @@ class LexicalSpec extends AnyFunSuite {
     assert(wupObj === r6(1.0 - 2.0 * 2.0 / (2 + 3)))
   }
 
+  test("WNDB loader survives a generated 341-synset Princeton file " +
+      "(multi-word lemmas, pointer mix, hex w_cnt, license header)") {
+    // deterministic branching-4 tree, depth 5 (1+4+16+64+256 = 341
+    // synsets), so every subtree size is known by construction and the
+    // metric pins below are computed from the DEFINITIONS, independent
+    // of the parser. Every non-root lemma is multi-word (underscored);
+    // even-digit-sum nodes carry a synonym co-word; the root carries 11
+    // co-words so w_cnt exercises the hex parse ("0c"); pointers mix
+    // %p (part meronym) and ~ (hyponym) BEFORE the hypernym, plus a
+    // decoy second @ to the root that the first-@ convention must
+    // ignore; the license header is leading-whitespace lines.
+    val Branch = 4
+    val paths: Seq[String] = Iterator
+      .iterate(Seq(""))(ps => ps.flatMap(p => (0 until Branch).map(p + _)))
+      .take(5).toSeq.flatten
+    val offset: Map[String, String] =
+      paths.zipWithIndex.map { case (p, i) => p -> f"${(i + 1) * 100}%08d" }.toMap
+    def lemma(p: String) = if (p.isEmpty) "entity" else s"node_$p"
+    val sb = new StringBuilder
+    sb.append("  1 This generated file mimics the Princeton WordNet\n")
+    sb.append("  2 data.noun license header; leading-whitespace lines\n")
+    sb.append("  3 must be skipped by the loader.\n")
+    for (p <- paths) {
+      val words = Seq(lemma(p)) ++
+        (if (p.isEmpty) (1 to 11).map(i => s"entity_alias_$i")
+         else if (p.map(_ - '0').sum % 2 == 0) Seq(s"alias_$p") else Nil)
+      val hypo = if (p.length < 4) p + "0" else ""
+      val ptrs =
+        if (p.isEmpty) Seq(s"~ ${offset("0")} n 0000")
+        else {
+          val hyperSym = if (p.length == 1) "@i" else "@"
+          Seq(s"%p ${offset(p.dropRight(1))} n 0000",
+            s"~ ${offset(hypo)} n 0000",
+            s"$hyperSym ${offset(p.dropRight(1))} n 0000") ++
+            (if (p.length >= 2) Seq(s"@ ${offset("")} n 0000") else Nil)
+        }
+      sb.append(s"${offset(p)} 03 n ${"%02x".format(words.size)} ")
+      sb.append(words.map(w => s"$w 0").mkString(" "))
+      sb.append(s" ${ptrs.size} ${ptrs.mkString(" ")} | generated synset $p\n")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-wndb")
+    java.nio.file.Files.writeString(dir.resolve("data.noun"), sb.toString)
+    val t = Lexical.Taxonomy.fromWndbDir(dir.toString)
+
+    // subtree sizes by construction: leaf 1, then 5, 21, 85, root 341
+    def icOf(sub: Double) = -math.log(sub / 341.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // 1-3: sibling leaves (depth 5, lcs = shared parent depth 4, sub 5)
+    val (jcnS, linS, wupS) = t.wordDistances("node 0000", "node 0001")
+    assert(wupS === r6(1.0 - 2.0 * 4.0 / (5 + 5)))
+    assert(linS === r6(1.0 - 2.0 * icOf(5) / (icOf(1) + icOf(1))))
+    assert(jcnS === r6(1.0 -
+      (1.0 / (2.0 * icOf(1) - 2.0 * icOf(5))) / Lexical.MaxJcn))
+    // 4-6: maximally separated leaves (lcs = root, IC(root) = 0)
+    val (jcnX, linX, wupX) = t.wordDistances("node 0000", "node 3333")
+    assert(wupX === r6(1.0 - 2.0 * 1.0 / (5 + 5)))
+    assert(linX === 1.0, "zero-IC lcs makes LIN similarity 0")
+    assert(jcnX === r6(1.0 - (1.0 / (2.0 * icOf(1))) / Lexical.MaxJcn))
+    // 7-8: mid-level siblings (depth 3, lcs depth 2 with subtree 85)
+    val (_, linM, wupM) = t.wordDistances("node 01", "node 02")
+    assert(wupM === r6(1.0 - 2.0 * 2.0 / (3 + 3)))
+    assert(linM === r6(1.0 - 2.0 * icOf(85) / (icOf(21) + icOf(21))))
+    // 9-11: ancestor-descendant (lcs = the ancestor itself) — also the
+    // first-@ proof: a root-parent mis-parse of any node on the 0-012-
+    // 0123 chain (all carry the decoy @) would break these
+    val (_, _, wupA) = t.wordDistances("node 0", "node 0123")
+    assert(wupA === r6(1.0 - 2.0 * 2.0 / (2 + 5)))
+    val (jcnA, _, wupB) = t.wordDistances("node 0123", "node 012")
+    assert(wupB === r6(1.0 - 2.0 * 4.0 / (5 + 4)))
+    assert(jcnA === r6(1.0 -
+      (1.0 / (icOf(1) - icOf(5))) / Lexical.MaxJcn))
+    // 12: deep-vs-deep across the decoy chain on the other flank
+    val (_, _, wupC) = t.wordDistances("node 3210", "node 321")
+    assert(wupC === r6(1.0 - 2.0 * 4.0 / (5 + 4)))
+    // synonyms canonicalize: co-word of an even-digit-sum node, and one
+    // of the root's 11 hex-exercising aliases
+    assert(t.wordDistances("alias 0002", "node 0001") ===
+      t.wordDistances("node 0002", "node 0001"))
+    assert(t.wordDistances("alias 02", "node 02") === ((0.0, 0.0, 0.0)))
+    // root alias (one of the 11 that push w_cnt into hex "0c"); LIN of
+    // root-vs-root is the 0/0 IC degeneracy, so pin via a third node
+    assert(t.wordDistances("entity alias 3", "node 0") ===
+      t.wordDistances("entity", "node 0"))
+  }
+
   test("builtin taxonomy is well-formed and covers schema vocabulary") {
     val t = Lexical.Taxonomy.builtin
     // related attribute words are closer than cross-branch words (LIN)
