@@ -101,8 +101,11 @@ object Bench {
     * runs. Run 1 of a group's first query still absorbs the group's
     * one-time materialized-stage builds (parquet-backed, so runs 2+
     * reuse them) — that cold cost stays visible in the separate
-    * "cold" map while the median reflects steady-state. */
-  val Runs = 3
+    * "cold" map while the median reflects steady-state.
+    * SPARK_GRAFT_BENCH_RUNS=1 turns the median off for one-shot scale
+    * rehearsals (sf100) where a triple pass would triple a multi-hour
+    * run for no extra signal. */
+  val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
 
   def main(args: Array[String]): Unit = {
     // optional args: query names to run (in the fixed group order);
