@@ -95,23 +95,40 @@ object StreamingQueries {
     import graft.dedup.DedupQueries.DecontamN
     import graft.text.Text
     val isEval = col("doc_id") % StreamEvalMod === 0
-    val evalGrams: Array[String] = Tables.rebalance(
+    // persist barrier before the explode: without it,
+    // InferFiltersFromGenerate rewrites the Generate's implicit
+    // `size(input) > 0` guard in terms of the INLINE shingle chain and
+    // pushes it below the rebalance — the interpreted HOF then runs
+    // twice per doc at raw-scan parallelism (the sf10 rehearsal caught
+    // a single straggler task burning 19 min on exactly this). The
+    // barrier makes both the guard and the explode read the computed
+    // column.
+    val evalSh = Tables.rebalance(
         Tables.table(s, dir, "documents").filter(isEval))
-      .select(explode(Text.wordShingles(
-        Text.words(col("text")), DecontamN)).as("g"))
-      .distinct().collect().map(_.getString(0))
+      .select(Text.wordShingles(
+        Text.words(col("text")), DecontamN).as("sh"))
+      .persist()
+    val evalGrams: Array[String] =
+      try evalSh.select(explode(col("sh")).as("g"))
+        .distinct().collect().map(_.getString(0))
+      finally evalSh.unpersist()
     val bc = s.sparkContext.broadcast(evalGrams)
     // a one-file source yields one input partition; spread the
     // interpreted shingle HOF across cores (the streaming analogue of
     // Tables.rebalance — a stateless shuffle, and a no-op cost at
-    // production split counts, where the source is many files)
+    // production split counts, where the source is many files).
+    // NOTE: deliberately NO stream-side filter on the count — alias
+    // substitution would push `SetMemberCount(chain) > 0` below the
+    // repartition and evaluate the whole chain twice at scan
+    // parallelism (same pathology as the eval side). The n > 0 gate is
+    // applied batch-side after the sink; a production deployment puts
+    // it in foreachBatch for the same single-evaluation plan.
     streamTable(s, dir, "documents").filter(!isEval)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         graft.functions.SetMemberCount.countIn(
           Text.wordShingles(Text.words(col("text")), DecontamN), bc)
           .as("n_shared_ngrams"))
-      .filter(col("n_shared_ngrams") > 0)
   }
 
   /** st6 stream side (exposed for the state-contract spec): semantic
@@ -165,17 +182,23 @@ object StreamingQueries {
       .select(col("doc_id"), Text.bandKeys(
         Text.minhash(Text.wordShingles(col("w"), 2), MinhashK),
         Bands, Rows).as("bks"))
-    val evalKeys: Array[String] = keyed(Tables.rebalance(
-        Tables.table(s, dir, "documents").filter(isEval)))
-      .select(explode(col("bks")).as("bk")).distinct()
-      .collect().map(_.getString(0))
+    // persist barrier before the explode — same rationale as st5Stream:
+    // keeps InferFiltersFromGenerate's size() guard (and the explode)
+    // reading the computed bks column instead of re-deriving the
+    // shingle→minhash→banding chain beneath the rebalance
+    val evalBks = keyed(Tables.rebalance(
+        Tables.table(s, dir, "documents").filter(isEval))).persist()
+    val evalKeys: Array[String] =
+      try evalBks.select(explode(col("bks")).as("bk")).distinct()
+        .collect().map(_.getString(0))
+      finally evalBks.unpersist()
     val bc = s.sparkContext.broadcast(evalKeys)
+    // no stream-side filter on the count — see st5Stream's note
     keyed(streamTable(s, dir, "documents").filter(!isEval)
         .repartition(s.sparkContext.defaultParallelism))
       .select(col("doc_id"),
         graft.functions.SetMemberCount.countIn(col("bks"), bc)
           .as("n_band_hits"))
-      .filter(col("n_band_hits") > 0)
   }
 
   def defs: Map[String, QueryDef] = Map(
@@ -284,7 +307,8 @@ object StreamingQueries {
     // side is constant.
     "st5_stream_decontaminate" -> QueryDef(
       (s, dir) => {
-        runStream(st5Stream(s, dir), "append").orderBy(col("doc_id"))
+        runStream(st5Stream(s, dir), "append")
+          .filter(col("n_shared_ngrams") > 0).orderBy(col("doc_id"))
       },
       // d7's oracle restricted to contaminated docs (the oracle's inner
       // join emits exactly the docs the stream's n > 0 filter keeps,
@@ -365,7 +389,8 @@ object StreamingQueries {
     // (paraphrases) at O(bands) integer work per doc.
     "st7_stream_fuzzy_flag" -> QueryDef(
       (s, dir) => {
-        runStream(st7Stream(s, dir), "append").orderBy(col("doc_id"))
+        runStream(st7Stream(s, dir), "append")
+          .filter(col("n_band_hits") > 0).orderBy(col("doc_id"))
       },
       // d2's signature/band CTE chain, restricted to train-side docs
       // whose band keys appear in the eval-side distinct key set (the
