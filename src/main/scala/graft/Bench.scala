@@ -41,12 +41,12 @@ object Bench {
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part",
       "p7_inclusion_deps", "p8_inclusion_deps_approx",
-      "p9_functional_deps"),
+      "p9_functional_deps", "p10_column_correlation"),
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
       "t7_mixture_sample", "t8_sequence_pack", "t9_gopher_rules",
-      "t10_word_rarity"),
+      "t10_word_rarity", "t11_importance_weights"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
@@ -74,7 +74,7 @@ object Bench {
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",
       "st5_stream_decontaminate", "st6_stream_semantic_flag",
-      "st7_stream_fuzzy_flag"))
+      "st7_stream_fuzzy_flag", "st8_stream_incremental_dedup"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

@@ -176,6 +176,16 @@ object ProfileQueries {
     * that must hold, plus non-key pairs that must fail — both polarities
     * so the operator is exercised, not vacuous. Bounded config list,
     * like [[InclusionKeyCols]]. */
+  /** p10: numeric measure columns correlated pairwise. All carry at
+    * most 2 decimal digits, so the DECIMAL(18,6) cast is lossless. */
+  val CorrCols: Seq[String] =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+  /** Index pairs (i < j) — col_x/col_y arrive pre-sorted by name
+    * because [[CorrCols]] is sorted. */
+  val CorrPairs: Seq[(Int, Int)] =
+    for { i <- CorrCols.indices; j <- CorrCols.indices if i < j }
+      yield (i, j)
+
   val FdCandidates: Seq[(String, String, String)] = Seq(
     ("customer", "c_custkey", "c_mktsegment"),
     ("customer", "c_nationkey", "c_mktsegment"),
@@ -436,5 +446,75 @@ object ProfileQueries {
         s"""SELECT * FROM (
         $selects
       ) ORDER BY det_col, dep_col"""
+      }),
+
+    // ---- p10: Pearson correlation matrix over lineitem's numeric
+    //      measure columns — the cross-column numeric profile (pairs
+    //      with p4's per-column stats; a modeler uses it to drop
+    //      near-duplicate features before training). ONE corpus scan:
+    //      every moment (n, Σx, Σx², Σxy for all pairs) reduces in a
+    //      single map-side-combined aggregate to ONE row, and the
+    //      #pairs² result assembles row-locally from it (inline over a
+    //      literal struct array — no second scan, no collect, no join).
+    //      Sums accumulate in exact decimals (the doubles carry <= 2
+    //      decimal digits, so DECIMAL(18,6) is a lossless cast) — the
+    //      moments are the same rationals in any partition order and in
+    //      DuckDB; the final Pearson formula is then fixed-shape IEEE
+    //      double arithmetic over those exact moments, mirrored
+    //      operation-for-operation in the twin. Overflow headroom:
+    //      Σ(price²) ~ 1e10/row needs 32 digits at 6e9 rows — inside
+    //      DECIMAL(38,12) for any single-table 100-TB scan.
+    "p10_column_correlation" -> QueryDef(
+      (s, dir) => {
+        val cols = CorrCols
+        val dec = cols.map(c => col(c).cast(DecimalType(18, 6)))
+        val pairs = CorrPairs
+        val aggs =
+          Seq(count(lit(1)).as("n")) ++
+          cols.indices.map(i => sum(dec(i)).as(s"s_$i")) ++
+          cols.indices.map(i => sum(dec(i) * dec(i)).as(s"q_$i")) ++
+          pairs.map { case (i, j) => sum(dec(i) * dec(j)).as(s"p_${i}_$j") }
+        val m = Tables.table(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+        def d(c: String) = col(c).cast("double")
+        val rows = pairs.map { case (i, j) =>
+          val corr =
+            (d("n") * d(s"p_${i}_$j") - d(s"s_$i") * d(s"s_$j")) /
+              (sqrt(d("n") * d(s"q_$i") - d(s"s_$i") * d(s"s_$i")) *
+                sqrt(d("n") * d(s"q_$j") - d(s"s_$j") * d(s"s_$j")))
+          struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+            round(corr, 6).as("corr"))
+        }
+        m.select(inline(array(rows: _*)))
+          .orderBy(col("col_x"), col("col_y"))
+      },
+      Some {
+        val cols = CorrCols
+        // 19 (not 18): DuckDB executes DECIMAL(18)xDECIMAL(18) in
+        // int64 and overflows at these magnitudes; width 19 promotes
+        // the multiply to int128 (result DECIMAL(38,12)). Both casts
+        // are lossless for <=2-decimal-digit values, so engine and
+        // twin still sum identical exact rationals.
+        def dc(c: String) = s"CAST($c AS DECIMAL(19,6))"
+        val moments =
+          Seq("count(*) AS n") ++
+          cols.indices.map(i => s"sum(${dc(cols(i))}) AS s_$i") ++
+          cols.indices.map(i =>
+            s"sum(${dc(cols(i))} * ${dc(cols(i))}) AS q_$i") ++
+          CorrPairs.map { case (i, j) =>
+            s"sum(${dc(cols(i))} * ${dc(cols(j))}) AS p_${i}_$j" }
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        val selects = CorrPairs.map { case (i, j) =>
+          s"""SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y,
+            round((${d("n")} * ${d(s"p_${i}_$j")} -
+                   ${d(s"s_$i")} * ${d(s"s_$j")}) /
+              (sqrt(${d("n")} * ${d(s"q_$i")} -
+                    ${d(s"s_$i")} * ${d(s"s_$i")}) *
+               sqrt(${d("n")} * ${d(s"q_$j")} -
+                    ${d(s"s_$j")} * ${d(s"s_$j")})), 6) AS corr
+          FROM m""" }.mkString("\n          UNION ALL ")
+        s"""WITH m AS (SELECT ${moments.mkString(", ")} FROM lineitem)
+        SELECT * FROM (
+          $selects
+        ) ORDER BY col_x, col_y"""
       }))
 }

@@ -201,6 +201,46 @@ object StreamingQueries {
           .as("n_band_hits"))
   }
 
+  /** st8 stream side (exposed for the state-contract spec): incremental
+    * dedup admission — d14's stream front, and the one st-family member
+    * whose static side CANNOT collapse into a broadcast set: the
+    * persisted LSH band index covers the WHOLE corpus (d14's
+    * materialized [[graft.dedup.DedupQueries.cappedBanded]] artifact,
+    * hot-bucket cap included), so the stream probes it with a
+    * stream-STATIC equi-join — stateless on the stream side (no state
+    * store; the static side is a parquet scan Spark re-plans per
+    * micro-batch, shuffle-partitioned or broadcast by size as Catalyst
+    * chooses). Each arriving doc computes its band keys ROW-LOCALLY
+    * (native MinHashSignature + LshBandKeys — the st7 lesson), then
+    * `explode_outer` + left join keeps novel docs (and <2-word docs,
+    * whose band-key array is empty) in-frame with a null match.
+    * Emitted rows are (doc_id, old_doc-or-null) candidate hits; the
+    * per-doc admission decision (count/first/is_novel) happens
+    * batch-side after the sink — in production a foreachBatch step,
+    * which is exact because a doc's candidate rows all land in its own
+    * micro-batch. Est/exact-Jaccard rerank of admitted candidates stays
+    * batch d14's job (the flag-now/resolve-later split st6/st7 use). */
+  private[streaming] def st8Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.{Bands, DeltaMod, MinhashK, Rows}
+    import graft.text.Text
+    val isDelta = col("doc_id") % DeltaMod === 0
+    val index = graft.dedup.DedupQueries.cappedBanded(s, dir)
+      .filter(col("doc_id") % DeltaMod =!= 0)
+      .select(col("bk"), col("doc_id").as("old_doc"))
+    streamTable(s, dir, "documents").filter(isDelta)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 2,
+          Text.bandKeys(
+            Text.minhash(Text.wordShingles(col("w"), 2), MinhashK),
+            Bands, Rows))
+          .otherwise(array().cast("array<string>")).as("bks"))
+      .select(col("doc_id"), explode_outer(col("bks")).as("bk"))
+      .join(index, Seq("bk"), "left_outer")
+      .select(col("doc_id"), col("old_doc"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- st1: streaming daily event rollup (complete-mode windowed agg)
@@ -403,6 +443,44 @@ object StreamingQueries {
       )
       SELECT t.doc_id, count(*) AS n_band_hits
       FROM t JOIN e USING (bk)
-      GROUP BY 1 ORDER BY doc_id"""))
+      GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- st8: streaming incremental dedup — d14's stream front. Each
+    // arriving delta doc is admitted against the PERSISTED corpus band
+    // index via a stateless stream-static join (see [[st8Stream]] for
+    // the scale contract). The oracle mirrors d14's candidate
+    // semantics: stream-side band keys are raw (a row cannot know
+    // global bucket counts), the index side carries the hot-bucket cap
+    // — equivalent to d14's both-sides-capped join because a hot
+    // bucket's INDEX rows are dropped either way.
+    "st8_stream_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        runStream(st8Stream(s, dir), "append")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("old_doc")).as("n_candidates"),
+            min(col("old_doc")).as("fc"))
+          .select(col("doc_id"), col("n_candidates"),
+            coalesce(col("fc"), lit(-1L)).as("first_candidate"),
+            (col("n_candidates") === 0).cast("long").as("is_novel"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${graft.dedup.DedupQueries.d2CoreSql},
+      cand AS (
+        SELECT DISTINCT d.doc_id, o.doc_id AS old_doc
+        FROM banded d JOIN capped o ON d.bk = o.bk
+        WHERE d.doc_id % ${graft.dedup.DedupQueries.DeltaMod} = 0
+          AND o.doc_id % ${graft.dedup.DedupQueries.DeltaMod} <> 0
+      ), ag AS (
+        SELECT doc_id, count(*) AS n_candidates,
+          min(old_doc) AS first_candidate
+        FROM cand GROUP BY 1
+      )
+      SELECT doc.doc_id,
+        coalesce(ag.n_candidates, 0) AS n_candidates,
+        coalesce(ag.first_candidate, -1) AS first_candidate,
+        CAST(coalesce(ag.n_candidates, 0) = 0 AS BIGINT) AS is_novel
+      FROM documents doc LEFT JOIN ag USING (doc_id)
+      WHERE doc.doc_id % ${graft.dedup.DedupQueries.DeltaMod} = 0
+      ORDER BY doc_id"""))
   )
 }

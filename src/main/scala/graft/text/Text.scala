@@ -29,6 +29,16 @@ object Text {
         j => array_join(slice(w, j + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
 
+  /** Word n-gram shingles WITH occurrences (no distinct) — for
+    * frequency-based features (t11 importance weights), where how often
+    * a gram appears in a doc matters, unlike the set-semantics dedup
+    * shingles above. */
+  def wordShinglesAll(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        j => array_join(slice(w, j + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Distinct character n-gram shingles of a string. */
   def charShingles(c: Column, n: Int): Column = {
     val s = lower(c)

@@ -44,6 +44,15 @@ object TextQueries {
 
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** t11 hashed-feature space size. 512 buckets keeps the bucket model
+    * broadcast-trivial while leaving hash collisions rare enough to
+    * separate the language distributions at every test sf (DSIR itself
+    * uses 10k buckets at web scale — a config knob, not a shape change:
+    * the model frame stays O(buckets) regardless of corpus size). */
+  val DsirBuckets = 512
+  /** t11 target distribution: the corpus's English subset. */
+  val DsirTargetLang = "en"
+
   /** Gopher word-count lower bound (the paper uses 50). NOTE: must be
     * declared before `defs` — the oracle SQL interpolates it eagerly. */
   val GopherMinWords = 50L
@@ -594,6 +603,99 @@ object TextQueries {
       )
       SELECT doc_id, count(*) AS n_words,
         CAST((sum(r) // count(*)) AS DOUBLE) / 1e6 AS mean_inv_p
-      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- t11: DSIR-style data-selection importance weights (Xie et
+    //      al. 2023, "Data Selection for Language Models via Importance
+    //      Resampling", arXiv:2302.03169): per-document log importance
+    //      weight log p_target(doc)/p_raw(doc) under hashed-n-gram
+    //      bag-of-words models. Features are word unigrams + bigrams
+    //      (with occurrences) hashed into [[DsirBuckets]] buckets; the
+    //      target distribution is the corpus's own English subset (the
+    //      standard "select raw data that looks like the target" setup —
+    //      any target corpus slots in the same chain). Scale shape: ONE
+    //      explode pass -> map-side-combined groupBy (doc_id, bucket)
+    //      whose size is <= docs x DsirBuckets rows; the bucket model
+    //      (DsirBuckets rows) reduces from it, rides back as a BROADCAST
+    //      join, and the per-doc weight is a second map-side-combined
+    //      groupBy. No all-pairs step, no driver loop; the only collect
+    //      is the 2-long totals row. Per-bucket log-ratios are doubles
+    //      (same ln on the same IEEE division in both engines, the A15
+    //      entropy precedent) but the per-doc SUM accumulates in exact
+    //      decimals, so the answer is partition-order-independent.
+    "t11_importance_weights" -> QueryDef(
+      (s, dir) => {
+        val b = DsirBuckets
+        val docs = Tables.table(s, dir, "documents")
+        val grams = Tables.rebalance(docs)
+          .select(col("doc_id"), col("lang"), Text.words(col("text")).as("w"))
+          .select(col("doc_id"), col("lang"),
+            explode(concat(col("w"), Text.wordShinglesAll(col("w"), 2))).as("g"))
+          .select(col("doc_id"), col("lang"),
+            pmod(Text.hash32(col("g")), lit(b.toLong)).as("b"))
+        val perDoc = grams.groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("n")).persist()
+        try {
+          val bc = perDoc.groupBy(col("b"))
+            .agg(sum(col("n")).as("raw_n"),
+              sum(when(col("lang") === DsirTargetLang, col("n"))
+                .otherwise(0L)).as("tgt_n"))
+            .persist()
+          val tots = bc.agg(
+            coalesce(sum(col("raw_n")), lit(0L)),
+            coalesce(sum(col("tgt_n")), lit(0L))).head()
+          val (rTot, tTot) = (tots.getLong(0), tots.getLong(1))
+          val lr = bc.select(col("b"),
+            (log((col("tgt_n") + 1).cast("double") / lit((tTot + b).toDouble)) -
+              log((col("raw_n") + 1).cast("double") / lit((rTot + b).toDouble)))
+              .as("lr"))
+          val w = perDoc.join(broadcast(lr), "b")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("n")).as("n_grams"),
+              sum((col("n") * col("lr")).cast(DecimalType(30, 15)))
+                .cast("double").as("wsum"))
+          docs.select(col("doc_id"))
+            .join(w, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+              round(coalesce(col("wsum"), lit(0.0)), 6).as("log_weight"))
+            .orderBy(col("doc_id"))
+        } finally perDoc.unpersist()
+      },
+      Some(s"""WITH wd AS (
+        SELECT doc_id, lang, $wordsSqlDuck AS w FROM documents
+      ), g AS (
+        SELECT doc_id, lang, unnest(w ||
+          CASE WHEN len(w) >= 2 THEN
+            list_transform(range(0, len(w) - 1),
+              j -> array_to_string(list_slice(w, j+1, j+2), ' '))
+          ELSE [] END) AS g
+        FROM wd
+      ), hb AS (
+        SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $DsirBuckets AS b
+        FROM g
+      ), per_doc AS (
+        SELECT doc_id, lang, b, count(*) AS n FROM hb GROUP BY 1, 2, 3
+      ), bc AS (
+        SELECT b, sum(n) AS raw_n,
+          sum(CASE WHEN lang = '$DsirTargetLang' THEN n ELSE 0 END) AS tgt_n
+        FROM per_doc GROUP BY 1
+      ), tot AS (
+        SELECT sum(raw_n) AS r, sum(tgt_n) AS t FROM bc
+      ), lr AS (
+        SELECT b,
+          ln(CAST(tgt_n + 1 AS DOUBLE) / CAST(t + $DsirBuckets AS DOUBLE)) -
+          ln(CAST(raw_n + 1 AS DOUBLE) / CAST(r + $DsirBuckets AS DOUBLE)) AS lr
+        FROM bc CROSS JOIN tot
+      ), ws AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+          CAST(sum(CAST(n * lr AS DECIMAL(30,15))) AS DOUBLE) AS wsum
+        FROM per_doc JOIN lr USING (b) GROUP BY 1
+      )
+      SELECT d.doc_id, coalesce(ws.n_grams, 0) AS n_grams,
+        round(coalesce(ws.wsum, 0.0), 6) AS log_weight
+      FROM documents d LEFT JOIN ws USING (doc_id)
+      ORDER BY doc_id"""))
   )
 }

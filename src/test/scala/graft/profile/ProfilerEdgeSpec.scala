@@ -52,4 +52,28 @@ class ProfilerEdgeSpec extends SparkSpec {
     // 0/0 -> null shares rather than a crash
     assert(out.isNullAt(out.fieldIndex("share_int")))
   }
+
+  test("p10 correlations are bounded, complete, and agree with Spark's " +
+      "built-in corr() to 1e-6") {
+    val rows = graft.SparkEntry.queries("p10_column_correlation")(
+      spark, "/root/testdata/sf0.001").collect()
+    val cols = graft.profile.ProfileQueries.CorrCols
+    assert(rows.length === cols.size * (cols.size - 1) / 2)
+    val m = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.values.forall(c => c >= -1.0 && c <= 1.0))
+    // independent implementation of the same statistic: Spark's
+    // streaming-covariance corr() aggregate (float path) must agree
+    // with the exact-decimal-moments formula to rounding resolution
+    val li = graft.sources.Tables.table(
+      spark, "/root/testdata/sf0.001", "lineitem")
+    val exprs = graft.profile.ProfileQueries.CorrPairs.map { case (i, j) =>
+      org.apache.spark.sql.functions.corr(cols(i), cols(j))
+        .as(s"${cols(i)}|${cols(j)}") }
+    val builtin = li.agg(exprs.head, exprs.tail: _*).collect().head
+    for (((x, y), c) <- m) {
+      val b = builtin.getAs[Double](s"$x|$y")
+      assert(math.abs(c - b) < 1e-6, s"$x~$y: p10 $c vs built-in corr $b")
+    }
+  }
 }

@@ -109,13 +109,14 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.values.exists(_._3 == 1L), "no core flagged at this sf")
   }
 
-  test("st5/st6/st7 state contract: the flag queries run with ZERO " +
+  test("st5/st6/st7/st8 state contract: the flag queries run with ZERO " +
       "stateful operators (append mode, no state store)") {
     import org.apache.spark.sql.streaming.Trigger
     val frames = Seq(
       "st5" -> StreamingQueries.st5Stream(spark, sf),
       "st6" -> StreamingQueries.st6Stream(spark, sf),
-      "st7" -> StreamingQueries.st7Stream(spark, sf))
+      "st7" -> StreamingQueries.st7Stream(spark, sf),
+      "st8" -> StreamingQueries.st8Stream(spark, sf))
     for ((nm, df) <- frames) {
       val q = df.writeStream.format("memory")
         .queryName(s"${nm}_state_contract").outputMode("append")
@@ -174,5 +175,54 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty, "no fuzzy candidates flagged at this sf")
     // flagged docs are train-side only
     assert(streamed.keySet.forall(_ % mod != 0))
+  }
+
+  test("st8 stream admission equals the batch delta-vs-index backfill") {
+    import graft.dedup.DedupQueries
+    val mod = DedupQueries.DeltaMod
+    val streamed = run("st8_stream_incremental_dedup")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // batch twin: raw delta band keys vs the capped persisted index —
+    // the same frame d14's candidate stage sees
+    val capped = DedupQueries.cappedBanded(spark, sf)
+    val index = capped.filter(col("doc_id") % mod =!= 0)
+      .select(col("bk"), col("doc_id").as("old_doc"))
+    val deltaBanded = graph8DeltaBanded(mod)
+    val cand = deltaBanded.join(index, "bk")
+      .select(col("doc_id"), col("old_doc")).distinct()
+    val ag = cand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), min(col("old_doc")).as("fc"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val deltaIds = graft.sources.Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed.keySet === deltaIds,
+      "every delta doc (novel or not, even <2-word docs) gets a row")
+    for (id <- deltaIds) {
+      val (n, fc, novel) = streamed(id)
+      ag.get(id) match {
+        case Some((bn, bfc)) =>
+          assert((n, fc, novel) === (bn, bfc, 0L), s"doc $id")
+        case None =>
+          assert((n, fc, novel) === (0L, -1L, 1L), s"doc $id should be novel")
+      }
+    }
+    assert(streamed.values.exists(_._3 == 0L), "no candidate admitted at this sf")
+    assert(streamed.values.exists(_._3 == 1L), "no novel doc at this sf")
+  }
+
+  /** The raw (uncapped) band keys of the delta docs — what each
+    * arriving stream row computes locally. */
+  private def graph8DeltaBanded(mod: Int) = {
+    import graft.dedup.DedupQueries.{Bands, MinhashK, Rows}
+    import graft.text.Text
+    graft.sources.Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(Text.bandKeys(
+        Text.minhash(Text.wordShingles(col("w"), 2), MinhashK),
+        Bands, Rows)).as("bk"))
   }
 }

@@ -147,6 +147,33 @@ class TextSpec extends SparkSpec {
     assert(out(sd + 1L)._3 === 3L)
   }
 
+  test("wordShinglesAll keeps occurrences (t11's frequency features)") {
+    val sh = one[collection.Seq[String]](
+      Text.wordShinglesAll(Text.words(lit("a b c a b")), 2))
+    assert(sh === Seq("a b", "b c", "c a", "a b"))
+    assert(one[collection.Seq[String]](
+      Text.wordShinglesAll(Text.words(lit("a")), 2))
+      === collection.Seq.empty[String])
+  }
+
+  test("t11 importance weights rank the target language's docs highest") {
+    // DSIR semantics: under a target = the English subset, English docs
+    // should average a higher per-gram log weight than non-English docs
+    val out = graft.SparkEntry.queries("t11_importance_weights")(
+      spark, "/root/testdata/sf0.001")
+    val docs = graft.sources.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val j = out.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("n_grams") > 0)
+      .withColumn("per_gram", col("log_weight") / col("n_grams"))
+      .groupBy(col("lang") === "en").agg(avg(col("per_gram")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(j(true) > j(false),
+      s"en mean per-gram weight ${j(true)} must exceed non-en ${j(false)}")
+    assert(j(true) > 0 && j(false) < 0,
+      "target subset scores positive, off-target negative")
+  }
+
   test("minhash: identical sets get identical signatures; banded keys collide") {
     val sh = array(lit("x y"), lit("y z"), lit("z w"))
     val m1 = one[collection.Seq[Long]](Text.minhash(sh, 16))
