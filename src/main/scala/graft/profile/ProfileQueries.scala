@@ -177,7 +177,7 @@ object ProfileQueries {
     * so the operator is exercised, not vacuous. Bounded config list,
     * like [[InclusionKeyCols]]. */
   /** p10: numeric measure columns correlated pairwise. All carry at
-    * most 2 decimal digits, so the DECIMAL(18,6) cast is lossless. */
+    * most 2 decimal digits, so x*100 rounds to an exact integer. */
   val CorrCols: Seq[String] =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
   /** Index pairs (i < j) — col_x/col_y arrive pre-sorted by name
@@ -456,24 +456,30 @@ object ProfileQueries {
     //      single map-side-combined aggregate to ONE row, and the
     //      #pairs² result assembles row-locally from it (inline over a
     //      literal struct array — no second scan, no collect, no join).
-    //      Sums accumulate in exact decimals (the doubles carry <= 2
-    //      decimal digits, so DECIMAL(18,6) is a lossless cast) — the
-    //      moments are the same rationals in any partition order and in
-    //      DuckDB; the final Pearson formula is then fixed-shape IEEE
-    //      double arithmetic over those exact moments, mirrored
-    //      operation-for-operation in the twin. Overflow headroom:
-    //      Σ(price²) ~ 1e10/row needs 32 digits at 6e9 rows — inside
-    //      DECIMAL(38,12) for any single-table 100-TB scan.
+    //      Exactness without per-row decimal cost: the doubles carry
+    //      <= 2 decimal digits, so x*100 rounds to an exact integer
+    //      LONG — and Pearson is scale-invariant, so the formula runs
+    //      directly on the scaled moments. Per-row work is then pure
+    //      codegen'd long multiplies (an all-DECIMAL formulation was
+    //      measured 8x slower — BigDecimal multiply per row); only the
+    //      accumulators are decimal, keeping sums exact in any
+    //      partition order and in DuckDB (which sums BIGINT into
+    //      int128 — same rationals, same double casts). Overflow
+    //      headroom: scaled products <= 1e14 fit long; Σ over 6e9 rows
+    //      needs 24 digits — inside DECIMAL(38,0) for any single-table
+    //      100-TB scan; Σx <= 6e16 fits the plain long sum.
     "p10_column_correlation" -> QueryDef(
       (s, dir) => {
         val cols = CorrCols
-        val dec = cols.map(c => col(c).cast(DecimalType(18, 6)))
+        val sc = cols.map(c => round(col(c) * 100).cast("long"))
         val pairs = CorrPairs
         val aggs =
           Seq(count(lit(1)).as("n")) ++
-          cols.indices.map(i => sum(dec(i)).as(s"s_$i")) ++
-          cols.indices.map(i => sum(dec(i) * dec(i)).as(s"q_$i")) ++
-          pairs.map { case (i, j) => sum(dec(i) * dec(j)).as(s"p_${i}_$j") }
+          cols.indices.map(i => sum(sc(i)).as(s"s_$i")) ++
+          cols.indices.map(i =>
+            sum((sc(i) * sc(i)).cast(DecimalType(38, 0))).as(s"q_$i")) ++
+          pairs.map { case (i, j) =>
+            sum((sc(i) * sc(j)).cast(DecimalType(38, 0))).as(s"p_${i}_$j") }
         val m = Tables.table(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
         def d(c: String) = col(c).cast("double")
         val rows = pairs.map { case (i, j) =>
@@ -489,12 +495,10 @@ object ProfileQueries {
       },
       Some {
         val cols = CorrCols
-        // 19 (not 18): DuckDB executes DECIMAL(18)xDECIMAL(18) in
-        // int64 and overflows at these magnitudes; width 19 promotes
-        // the multiply to int128 (result DECIMAL(38,12)). Both casts
-        // are lossless for <=2-decimal-digit values, so engine and
-        // twin still sum identical exact rationals.
-        def dc(c: String) = s"CAST($c AS DECIMAL(19,6))"
+        // same exact-integer scaling as the engine; DuckDB's
+        // sum(BIGINT) accumulates in int128, so every moment is the
+        // same exact rational the decimal accumulators hold
+        def dc(c: String) = s"CAST(round($c * 100) AS BIGINT)"
         val moments =
           Seq("count(*) AS n") ++
           cols.indices.map(i => s"sum(${dc(cols(i))}) AS s_$i") ++
