@@ -633,34 +633,36 @@ object TextQueries {
             explode(concat(col("w"), Text.wordShinglesAll(col("w"), 2))).as("g"))
           .select(col("doc_id"), col("lang"),
             pmod(Text.hash32(col("g")), lit(b.toLong)).as("b"))
+        // persisted WITHOUT a same-scope unpersist (t10's wc pattern):
+        // the RETURNED frame is lazy and still consumes perDoc, so an
+        // eager unpersist here would make every consumer re-derive the
+        // whole explode chain; the bench releases caches at group
+        // boundaries instead
         val perDoc = grams.groupBy(col("doc_id"), col("lang"), col("b"))
           .agg(count(lit(1)).as("n")).persist()
-        try {
-          val bc = perDoc.groupBy(col("b"))
-            .agg(sum(col("n")).as("raw_n"),
-              sum(when(col("lang") === DsirTargetLang, col("n"))
-                .otherwise(0L)).as("tgt_n"))
-            .persist()
-          val tots = bc.agg(
-            coalesce(sum(col("raw_n")), lit(0L)),
-            coalesce(sum(col("tgt_n")), lit(0L))).head()
-          val (rTot, tTot) = (tots.getLong(0), tots.getLong(1))
-          val lr = bc.select(col("b"),
-            (log((col("tgt_n") + 1).cast("double") / lit((tTot + b).toDouble)) -
-              log((col("raw_n") + 1).cast("double") / lit((rTot + b).toDouble)))
-              .as("lr"))
-          val w = perDoc.join(broadcast(lr), "b")
-            .groupBy(col("doc_id"))
-            .agg(sum(col("n")).as("n_grams"),
-              sum((col("n") * col("lr")).cast(DecimalType(30, 15)))
-                .cast("double").as("wsum"))
-          docs.select(col("doc_id"))
-            .join(w, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-              round(coalesce(col("wsum"), lit(0.0)), 6).as("log_weight"))
-            .orderBy(col("doc_id"))
-        } finally perDoc.unpersist()
+        val bc = perDoc.groupBy(col("b"))
+          .agg(sum(col("n")).as("raw_n"),
+            sum(when(col("lang") === DsirTargetLang, col("n"))
+              .otherwise(0L)).as("tgt_n"))
+        val tots = bc.agg(
+          coalesce(sum(col("raw_n")), lit(0L)),
+          coalesce(sum(col("tgt_n")), lit(0L))).head()
+        val (rTot, tTot) = (tots.getLong(0), tots.getLong(1))
+        val lr = bc.select(col("b"),
+          (log((col("tgt_n") + 1).cast("double") / lit((tTot + b).toDouble)) -
+            log((col("raw_n") + 1).cast("double") / lit((rTot + b).toDouble)))
+            .as("lr"))
+        val w = perDoc.join(broadcast(lr), "b")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("n_grams"),
+            sum((col("n") * col("lr")).cast(DecimalType(30, 15)))
+              .cast("double").as("wsum"))
+        docs.select(col("doc_id"))
+          .join(w, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            round(coalesce(col("wsum"), lit(0.0)), 6).as("log_weight"))
+          .orderBy(col("doc_id"))
       },
       Some(s"""WITH wd AS (
         SELECT doc_id, lang, $wordsSqlDuck AS w FROM documents
