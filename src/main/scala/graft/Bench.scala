@@ -58,7 +58,7 @@ object Bench {
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
-      "s7_ann_ivfadc"),
+      "s7_ann_ivfadc", "s8_knn_graph"),
     // matcher: m4 is charged the sample + feature matrix + model train;
     // the rest consume the materialized stages / cached model
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",

@@ -44,6 +44,9 @@ object SimilarityQueries {
   val Planes = 16
   val Dims = 64
 
+  /** s8: neighbors kept per vector in the corpus-wide kNN graph. */
+  val KnnGraphK = 5
+
   private def corpus(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), Text.asDouble(col("embedding")).as("v"))
@@ -430,7 +433,62 @@ object SimilarityQueries {
           row_number() OVER (PARTITION BY query_id
             ORDER BY adc, neighbor_id) AS rank
         FROM ivfadc) WHERE rank <= $TopK
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank""")),
+
+    // ---- s8: corpus-wide kNN graph — every vector's top-K nearest
+    //      neighbors, the graph primitive under NN-descent refinement,
+    //      graph-based ANN serving, and cluster-free semantic dedup.
+    //      Candidates come from the SHARED d5/d9 embedding pair
+    //      checkpoint ([[graft.dedup.DedupQueries.embeddingPairs]]):
+    //      exact all-pairs below NearDupBruteMax, mean-centered
+    //      adaptive-bits hyperplane LSH above — so the graph build
+    //      inherits every scale guard that family already proved
+    //      (bits-per-band grow with n to hold per-bucket quadratics
+    //      constant, hot-bucket cap, pair dedup) and costs ONE window
+    //      over the candidate table on top of the checkpoint every
+    //      other consumer shares. Per-vector candidate lists are
+    //      bounded by bands x bucket cap, so the rank window never
+    //      sorts a corpus-sized partition. Approximate above the brute
+    //      gate exactly as d5 documents (recall = the band-collision
+    //      probability at the pair's centered angular similarity);
+    //      isolated vectors (no surviving candidate) have no edges, as
+    //      in any LSH-built graph.
+    "s8_knn_graph" -> QueryDef(
+      (s, dir) => {
+        val p = graft.dedup.DedupQueries.embeddingPairs(s, dir)
+        val sym = p.select(col("vec1").as("vec_id"),
+            col("vec2").as("neighbor_id"), col("cos"))
+          .unionByName(p.select(col("vec2").as("vec_id"),
+            col("vec1").as("neighbor_id"), col("cos")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        sym.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= KnnGraphK)
+          .orderBy(col("vec_id"), col("rank"))
+      },
+      Some(s"""-- same exact-oracle bound as d5/d9: brute pair twin,
+      -- valid while count(embeddings) <= ${graft.dedup.DedupQueries.NearDupBruteMax}
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), p AS (
+        SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+          round(
+            list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+      ), sym AS (
+        SELECT vec1 AS vec_id, vec2 AS neighbor_id, cos FROM p
+        UNION ALL
+        SELECT vec2, vec1, cos FROM p
+      )
+      SELECT vec_id, neighbor_id, cos, rank FROM (
+        SELECT vec_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sym) WHERE rank <= $KnnGraphK
+      ORDER BY vec_id, rank"""))
   )
 
   /** Subspaced melt for PQ: (vec_id, sub, d, x6), sub = d div subDim. */

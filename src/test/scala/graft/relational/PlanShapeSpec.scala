@@ -149,4 +149,32 @@ class PlanShapeSpec extends SparkSpec {
         f.selectedPartitions.partitionCount }
     assert(parts.forall(_ == 1), s"expected exactly one partition read: $parts")
   }
+
+  test("p10 is one pruned scan + one single-row exchange, nothing else") {
+    val p = plan("p10_column_correlation")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_shipdate") && !read.contains("l_orderkey"),
+      s"moment scan must prune to the measure columns: $read")
+    assert(!p.contains("Join"), "the pair matrix assembles row-locally")
+    // the only data exchange is the partial->final single-row agg (the
+    // 6-row result sort's range exchange is not a data-sized shuffle)
+    val dataExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("rangepartitioning")).toSeq
+    assert(dataExchanges.size == 1 &&
+      dataExchanges.head.contains("SinglePartition"),
+      s"expected one SinglePartition agg exchange, got: $dataExchanges")
+  }
+
+  test("t11's bucket model rides back as a broadcast join") {
+    val p = plan("t11_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the per-doc weight join must key on the hash bucket, not
+    // shuffle the corpus against the model
+    assert(!p.contains("SortMergeJoin"),
+      "the O(buckets) model side must broadcast, never sort-merge:\n" +
+        p.take(800))
+  }
 }
