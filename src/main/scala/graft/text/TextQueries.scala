@@ -57,6 +57,19 @@ object TextQueries {
     * declared before `defs` — the oracle SQL interpolates it eagerly. */
   val GopherMinWords = 50L
 
+  /** t12 bigram-LM training subset: the corpus's English docs (the
+    * CCNet recipe trains its filtering LM on a clean target corpus and
+    * scores everything). */
+  val LmTrainLang = "en"
+
+  /** t13 boilerplate word-shingle width and the distinct-doc threshold
+    * above which a shingle counts as boilerplate within its source. */
+  val BoilerN = 5
+  val BoilerMinDocs = 3L
+  /** t13 flag threshold: docs whose boilerplate occurrence fraction
+    * reaches this are marked template-heavy. */
+  val BoilerFracFlag = 0.30
+
   /** Per-document quality frame `(doc_id, n_words, punct_ratio,
     * stop_ratio, mean_word_len, quality_score)` — t2's contract, shared
     * with dedup's quality-aware cluster canonicalization (d13) so both
@@ -698,6 +711,189 @@ object TextQueries {
       SELECT d.doc_id, coalesce(ws.n_grams, 0) AS n_grams,
         round(coalesce(ws.wsum, 0.0), 6) AS log_weight
       FROM documents d LEFT JOIN ws USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- t12: bigram-LM perplexity scoring — the CCNet filtering
+    //      recipe: train an n-gram LM on a clean target subset (here
+    //      the corpus's [[LmTrainLang]] docs), score EVERY doc by its
+    //      average per-bigram negative log-likelihood; high-NLL docs
+    //      are out-of-domain / low-quality candidates. Add-one
+    //      smoothing over the training vocabulary:
+    //        P(w2|w1) = (cb(w1 w2) + 1) / (cu(w1) + V)
+    //      with cb = train bigram count, cu = train left-context count
+    //      (cb summed over w2 — so the distribution sums to 1 exactly),
+    //      V = distinct train unigram vocabulary.
+    //
+    //      Scale shape: the model is corpus-derived and corpus-sized,
+    //      so the score pass joins doc bigrams to the model with
+    //      KEY-EQUALITY shuffle joins on the gram / left-word — no
+    //      broadcast of an unbounded model, no all-pairs anything; all
+    //      aggregations are map-side-combinable counts. (A production
+    //      run scoring against a FIXED small LM would broadcast it —
+    //      this query demonstrates the non-broadcast shape that holds
+    //      when the model itself is big.) Numerics: ln on the same
+    //      IEEE division in both engines (t11 precedent), per-doc sums
+    //      accumulate n×logp in exact decimals, final avg rounded.
+    "t12_lm_perplexity" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val bi = Tables.rebalance(docs)
+          .select(col("doc_id"), col("lang"), Text.words(col("text")).as("w"))
+          .select(col("doc_id"), col("lang"),
+            explode(Text.wordShinglesAll(col("w"), 2)).as("g"))
+        // per-(doc, gram) occurrence counts: one map-side-combined agg
+        // feeding both the model build (train rows) and the score pass
+        val pg = bi.groupBy(col("doc_id"), col("lang"), col("g"))
+          .agg(count(lit(1)).as("n")).persist()
+        val cb = pg.filter(col("lang") === LmTrainLang)
+          .groupBy(col("g")).agg(sum(col("n")).as("cb"))
+        val cu = cb
+          .groupBy(split(col("g"), " ").getItem(0).as("w1"))
+          .agg(sum(col("cb")).as("cu"))
+        val vocab = Tables.rebalance(docs)
+          .filter(col("lang") === LmTrainLang)
+          .select(explode(Text.words(col("text"))).as("t"))
+          .agg(countDistinct(col("t"))).head().getLong(0)
+        val scored = pg
+          .join(cb, Seq("g"), "left")
+          .withColumn("w1", split(col("g"), " ").getItem(0))
+          .join(cu, Seq("w1"), "left")
+          .withColumn("logp",
+            log((coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+              (coalesce(col("cu"), lit(0L)) + vocab).cast("double")))
+        val perDoc = scored.groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("n_bigrams"),
+            sum((-col("n") * col("logp")).cast(DecimalType(30, 15)))
+              .as("nll"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("nll").cast("double") /
+              col("n_bigrams").cast("double"), 6).as("avg_nll"))
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH wd AS (
+        SELECT doc_id, lang, $wordsSqlDuck AS w FROM documents
+      ), g AS (
+        SELECT doc_id, lang, unnest(
+          CASE WHEN len(w) >= 2 THEN
+            list_transform(range(0, len(w) - 1),
+              j -> array_to_string(list_slice(w, j+1, j+2), ' '))
+          ELSE [] END) AS g
+        FROM wd
+      ), pg AS (
+        SELECT doc_id, lang, g, count(*) AS n FROM g GROUP BY 1, 2, 3
+      ), cb AS (
+        SELECT g, sum(n) AS cb FROM pg
+        WHERE lang = '$LmTrainLang' GROUP BY 1
+      ), cu AS (
+        SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS cu
+        FROM cb GROUP BY 1
+      ), voc AS (
+        SELECT count(DISTINCT t) AS v FROM (
+          SELECT unnest(w) AS t FROM wd WHERE lang = '$LmTrainLang')
+      ), scored AS (
+        SELECT pg.doc_id, pg.n,
+          ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE) /
+             CAST(coalesce(cu.cu, 0) + voc.v AS DOUBLE)) AS logp
+        FROM pg
+        LEFT JOIN cb USING (g)
+        LEFT JOIN cu ON split_part(pg.g, ' ', 1) = cu.w1
+        CROSS JOIN voc
+      ), per_doc AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+          round(CAST(sum(CAST(-n * logp AS DECIMAL(30,15))) AS DOUBLE) /
+            CAST(sum(n) AS DOUBLE), 6) AS avg_nll
+        FROM scored GROUP BY 1
+      )
+      SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+        coalesce(p.avg_nll, 0.0) AS avg_nll
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id""")),
+
+    // ---- t13: boilerplate shingle detection — the RefinedWeb/CCNet
+    //      common-line removal pass, adapted to this corpus's
+    //      single-line docs as common word-[[BoilerN]]-gram removal: a
+    //      shingle occurring in >= [[BoilerMinDocs]] DISTINCT docs of
+    //      the same source is template boilerplate (nav bars, footers,
+    //      license headers); each doc reports how much of it is
+    //      boilerplate by occurrence.
+    //
+    //      Scale shape: one explode feeds ONE map-side-combinable
+    //      (doc, source, gram) pre-agg that serves both sides — its
+    //      rows are the per-doc-distinct view (the boilerplate vote:
+    //      one row per doc per gram) and carry the occurrence counts
+    //      (the fraction numerator) — so hot grams hit the
+    //      (source, gram) groupBy pre-reduced, one row per doc, and
+    //      the boiler join back is key-equality on (source, gram). No
+    //      doc-doc comparison at any point: O(corpus grams) at 100 TB.
+    "t13_boilerplate" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val pg = Tables.rebalance(docs)
+          .select(col("doc_id"), col("source"),
+            Text.words(col("text")).as("w"))
+          .select(col("doc_id"), col("source"),
+            explode(Text.wordShinglesAll(col("w"), BoilerN)).as("g"))
+          .groupBy(col("doc_id"), col("source"), col("g"))
+          .agg(count(lit(1)).as("n")).persist()
+        val boiler = pg.groupBy(col("source"), col("g"))
+          .agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= BoilerMinDocs)
+          .select(col("source"), col("g"), lit(1L).as("is_boiler"))
+        val perDoc = pg
+          .join(boiler, Seq("source", "g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("n_grams"),
+            sum(col("n") * coalesce(col("is_boiler"), lit(0L)))
+              .as("n_boiler"))
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+            (floor(coalesce(col("n_boiler").cast("double") /
+              col("n_grams").cast("double"), lit(0.0)) * 1e6 + 0.5) / 1e6)
+              .as("boiler_frac"))
+          .withColumn("boiler_heavy",
+            (col("boiler_frac") >= BoilerFracFlag).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH wd AS (
+        SELECT doc_id, source, $wordsSqlDuck AS w FROM documents
+      ), g AS (
+        SELECT doc_id, source, unnest(
+          CASE WHEN len(w) >= $BoilerN THEN
+            list_transform(range(0, len(w) - ${BoilerN - 1}),
+              j -> array_to_string(list_slice(w, j+1, j+$BoilerN), ' '))
+          ELSE [] END) AS g
+        FROM wd
+      ), pg AS (
+        SELECT doc_id, source, g, count(*) AS n FROM g GROUP BY 1, 2, 3
+      ), boiler AS (
+        SELECT source, g FROM pg GROUP BY 1, 2
+        HAVING count(*) >= $BoilerMinDocs
+      ), per_doc AS (
+        SELECT pg.doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+          CAST(sum(n * CASE WHEN boiler.g IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_boiler
+        FROM pg LEFT JOIN boiler
+          ON pg.source = boiler.source AND pg.g = boiler.g
+        GROUP BY 1
+      )
+      SELECT d.doc_id,
+        coalesce(p.n_grams, 0) AS n_grams,
+        coalesce(p.n_boiler, 0) AS n_boiler,
+        floor(coalesce(CAST(p.n_boiler AS DOUBLE) /
+          CAST(p.n_grams AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+          AS boiler_frac,
+        CAST(floor(coalesce(CAST(p.n_boiler AS DOUBLE) /
+          CAST(p.n_grams AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+          >= $BoilerFracFlag AS BIGINT) AS boiler_heavy
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 }

@@ -156,6 +156,58 @@ class TextSpec extends SparkSpec {
       === collection.Seq.empty[String])
   }
 
+  test("t12 perplexity matches hand-computed add-one bigram NLL") {
+    import spark.implicits._
+    // train subset = en docs: "a b a b" and "z" (vocab {a,b,z}, V=3);
+    // bigram counts cb: "a b"->2, "b a"->1; contexts cu: a->2, b->1
+    val docs = Seq(
+      (0L, "a b a b", "en", "s0", 7L),
+      (1L, "c d", "de", "s0", 3L),
+      (2L, "z", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t12").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t12_lm_perplexity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    // doc0: -(2*ln(3/5) + ln(2/4))/3
+    val d0 = -(2 * math.log(3.0 / 5) + math.log(2.0 / 4)) / 3
+    assert(out(0L)._1 === 3L)
+    assert(math.abs(out(0L)._2 - d0) < 1e-6, s"${out(0L)._2} vs $d0")
+    // doc1 (off-train): unseen bigram AND context -> -ln(1/(0+3))
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - math.log(3.0)) < 1e-6)
+    // single-word doc: no bigrams, 0.0 score
+    assert(out(2L) === (0L, 0.0))
+    // the off-train doc scores strictly worse than the in-train doc
+    assert(out(1L)._2 > out(0L)._2)
+  }
+
+  test("t13 flags shingles shared by >=3 docs of one source as boilerplate") {
+    import spark.implicits._
+    val tpl = "one two three four five"
+    val docs = Seq(
+      (0L, s"$tpl alpha beta", "en", "s0", 1L), // 3 grams, 1 boiler
+      (1L, s"$tpl gamma", "en", "s0", 1L),      // 2 grams, 1 boiler
+      (2L, tpl, "en", "s0", 1L),                // 1 gram, all boiler
+      (3L, tpl, "en", "s1", 1L),                // s1 has 1 doc: NOT boiler
+      (4L, "tiny doc", "en", "s0", 1L))         // <5 words: no grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t13").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t13_boilerplate")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boiler_frac"), r.getAs[Long]("boiler_heavy")))
+      .toMap
+    assert(out(0L) === (3L, 1L, 0.333333, 1L))
+    assert(out(1L) === (2L, 1L, 0.5, 1L))
+    assert(out(2L) === (1L, 1L, 1.0, 1L))
+    assert(out(3L) === (1L, 0L, 0.0, 0L),
+      "same shingle in a 1-doc source is not boilerplate there")
+    assert(out(4L) === (0L, 0L, 0.0, 0L))
+  }
+
   test("t11 importance weights rank the target language's docs highest") {
     // DSIR semantics: under a target = the English subset, English docs
     // should average a higher per-gram log weight than non-English docs
