@@ -46,7 +46,8 @@ object Bench {
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
       "t7_mixture_sample", "t8_sequence_pack", "t9_gopher_rules",
-      "t10_word_rarity", "t11_importance_weights"),
+      "t10_word_rarity", "t11_importance_weights",
+      "t12_lm_perplexity", "t13_boilerplate"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
@@ -54,7 +55,8 @@ object Bench {
       "d3_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
       "d7_decontamination", "d8_leakage_safe_split",
       "d9_embedding_clusters", "d10_substring_windows",
-      "d11_semantic_dedup", "d14_incremental_dedup"),
+      "d11_semantic_dedup", "d14_incremental_dedup",
+      "d15_bloom_decontamination", "d16_corpus_diff"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",

@@ -106,6 +106,17 @@ object DedupQueries {
     * tokens; 8 words fits this corpus's 10-99-word documents). */
   val SubstringWindow = 8
 
+  /** d16 snapshot-derivation constants: old omits doc_id % DiffMod ==
+    * DiffAddSlot ("added"), new omits % == DiffRemoveSlot ("removed")
+    * and rewrites text when doc_id % DiffChangeMod == DiffChangeSlot
+    * ("changed"). Slots are distinct residues so every class is
+    * populated at every test sf. */
+  val DiffMod = 20L
+  val DiffAddSlot = 3L
+  val DiffRemoveSlot = 0L
+  val DiffChangeMod = 11L
+  val DiffChangeSlot = 5L
+
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private def shinglesSqlDuck(n: Int) =
     s"""CASE WHEN len($wordsSqlDuck) >= $n THEN
@@ -1048,7 +1059,120 @@ object DedupQueries {
         CAST(CASE WHEN sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) > 0
           THEN 1 ELSE 0 END AS BIGINT) AS is_substring_dup
       FROM wins w JOIN counts c ON w.h = c.h
-      GROUP BY w.doc_id ORDER BY w.doc_id"""))
+      GROUP BY w.doc_id ORDER BY w.doc_id""")),
+
+    // ---- d15: Bloom-filter decontamination — d7's answer computed the
+    //      way a 100-TB corpus-vs-benchmark pass actually ships. d7
+    //      broadcasts the eval n-gram set as exact strings; at real
+    //      benchmark-suite sizes that broadcast is GBs on every
+    //      executor. d15 broadcasts a ~9.6-bits-per-gram Bloom filter
+    //      instead (1% fpp) and probes it ROW-LOCALLY over each doc's
+    //      shingle array (native codegen'd [[graft.functions.BloomMemberCount]]
+    //      — no explode, no join for the clean majority); only docs
+    //      with >= 1 bloom hit explode and take the exact key-equality
+    //      confirm join, which removes the false positives. No false
+    //      negatives, so the output is BYTE-IDENTICAL to d7 — the
+    //      oracle is the same SQL, and the plan is the one you'd want
+    //      at scale: contaminated docs are rare, so the expensive path
+    //      sees a tiny fraction of the corpus. The confirm join is
+    //      deliberately NOT broadcast-hinted: its eval side is the
+    //      exact gram set d15 exists to avoid broadcasting (AQE may
+    //      still choose broadcast at test scale — that choice is
+    //      size-driven, which is the point).
+    "d15_bloom_decontamination" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val isEval = col("doc_id") % DecontamEvalMod === 0
+        val withSh = docs.select(col("doc_id"),
+          Text.wordShingles(Text.words(col("text")), DecontamN).as("sh"))
+        val evalGrams = withSh.filter(isEval)
+          .select(explode(col("sh")).as("g")).distinct().persist()
+        val nEval = evalGrams.count()
+        val bloom = s.sparkContext.broadcast(
+          evalGrams.stat.bloomFilter("g", math.max(1000L, nEval), 0.01))
+        val train = withSh.filter(!isEval).withColumn("bloom_hits",
+          graft.functions.BloomMemberCount.countIn(col("sh"), bloom))
+        val confirmed = train.filter(col("bloom_hits") > 0L)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(evalGrams, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+        train.select(col("doc_id"))
+          .join(confirmed, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n"), lit(0L)).as("n_shared_ngrams"),
+            (coalesce(col("n"), lit(0L)) > 0L).cast("long").as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      // identical result to d7 by construction (bloom has no false
+      // negatives; the exact confirm join removes its false positives),
+      // so the oracle is d7's exact-containment SQL verbatim
+      Some(s"""WITH g AS (
+        SELECT doc_id, unnest(${shinglesSqlDuck(DecontamN)}) AS g
+        FROM documents
+      ), e AS (
+        SELECT DISTINCT g FROM g WHERE doc_id % $DecontamEvalMod = 0
+      ), c AS (
+        SELECT g.doc_id, count(*) AS n
+        FROM g JOIN e USING (g) WHERE g.doc_id % $DecontamEvalMod <> 0
+        GROUP BY 1
+      )
+      SELECT d.doc_id, coalesce(n, 0) AS n_shared_ngrams,
+        CAST(coalesce(n, 0) > 0 AS BIGINT) AS contaminated
+      FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % $DecontamEvalMod <> 0
+      ORDER BY d.doc_id""")),
+
+    // ---- d16: corpus snapshot diff — the data-versioning primitive a
+    //      recurring ingest needs beside d14's incremental admission:
+    //      given two corpus snapshots, classify every doc_id as
+    //      added / removed / changed / unchanged. Snapshots are derived
+    //      deterministically from the one documents table (old drops
+    //      doc_id % [[DiffMod]] == [[DiffAddSlot]] — those become the
+    //      "added" docs; new drops % == [[DiffRemoveSlot]] — "removed" —
+    //      and appends an edit marker to text when
+    //      doc_id % [[DiffChangeMod]] == [[DiffChangeSlot]] — "changed").
+    //
+    //      Scale shape: each side reduces to (doc_id, md5(text)) at the
+    //      scan — the full-outer join shuffles 16-byte fingerprints on
+    //      the doc_id key, never text bytes; classification is a
+    //      row-local CASE. At 100 TB this is the plan: narrow columns
+    //      through the shuffle, one key-equality join, no driver state.
+    "d16_corpus_diff" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val oldFp = docs
+          .filter(col("doc_id") % DiffMod =!= DiffAddSlot)
+          .select(col("doc_id"), md5(col("text")).as("old_fp"))
+        val newFp = docs
+          .filter(col("doc_id") % DiffMod =!= DiffRemoveSlot)
+          .select(col("doc_id"), md5(
+            when(col("doc_id") % DiffChangeMod === DiffChangeSlot,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+            .as("new_fp"))
+        oldFp.join(newFp, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("old_fp").isNull, "added")
+              .when(col("new_fp").isNull, "removed")
+              .when(col("old_fp") =!= col("new_fp"), "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH old AS (
+        SELECT doc_id, md5(text) AS old_fp FROM documents
+        WHERE doc_id % $DiffMod <> $DiffAddSlot
+      ), new AS (
+        SELECT doc_id, md5(CASE WHEN doc_id % $DiffChangeMod = $DiffChangeSlot
+            THEN text || ' rev2' ELSE text END) AS new_fp
+        FROM documents WHERE doc_id % $DiffMod <> $DiffRemoveSlot
+      )
+      SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        CASE WHEN old.doc_id IS NULL THEN 'added'
+             WHEN new.doc_id IS NULL THEN 'removed'
+             WHEN old_fp <> new_fp THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+      ORDER BY doc_id"""))
   )
 
   /** Embedding near-dup pair table (vec1 < vec2, exact cosine) — the

@@ -317,4 +317,64 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("d15 bloom path is byte-identical to d7's exact decontamination") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared_ngrams"),
+        r.getAs[Long]("contaminated"))
+    val d7 = DedupQueries.defs("d7_decontamination").fn(spark, sf)
+      .collect().map(key).toSeq
+    val d15 = DedupQueries.defs("d15_bloom_decontamination").fn(spark, sf)
+      .collect().map(key).toSeq
+    assert(d7.nonEmpty && d15 === d7,
+      "bloom pre-filter + exact confirm must not change the answer")
+  }
+
+  test("BloomMemberCount: no false negatives, null semantics, codegen probe") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{BloomMemberCount, SetMemberCount}
+    val keys = (0 until 200).map(i => s"gram-$i")
+    val bloom = spark.sparkContext.broadcast {
+      val f = org.apache.spark.util.sketch.BloomFilter.create(keys.size, 0.01)
+      keys.foreach(f.putString)
+      f
+    }
+    val exact = spark.sparkContext.broadcast(keys.toArray)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("gram-0", "gram-7", "nope", "gram-199")),
+      (2L, Seq("absent-a", "absent-b")),
+      (3L, Seq[String]())).toDF("id", "arr")
+      .withColumn("bloom_n", BloomMemberCount.countIn(col("arr"), bloom))
+      .withColumn("exact_n", SetMemberCount.countIn(col("arr"), exact))
+    val rows = df.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("bloom_n"), r.getAs[Long]("exact_n"))).toMap
+    // superset property: bloom count >= exact count, and every true
+    // member is found (row 1 has 3 true members)
+    assert(rows(1L)._2 === 3L && rows(1L)._1 >= 3L)
+    assert(rows(2L)._1 >= rows(2L)._2 && rows(2L)._2 === 0L)
+    assert(rows(3L) === (0L, 0L))
+    // null array -> null (not 0)
+    val n = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("arr")
+      .select(BloomMemberCount.countIn(col("arr"), bloom).as("c"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("d16 classifies added/removed/changed/unchanged deterministically") {
+    val out = DedupQueries.defs("d16_corpus_diff").fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val ids = out.keySet
+    ids.foreach { id =>
+      val expected =
+        if (id % DedupQueries.DiffMod == DedupQueries.DiffAddSlot) "added"
+        else if (id % DedupQueries.DiffMod == DedupQueries.DiffRemoveSlot) "removed"
+        else if (id % DedupQueries.DiffChangeMod == DedupQueries.DiffChangeSlot) "changed"
+        else "unchanged"
+      assert(out(id) === expected, s"doc $id")
+    }
+    // all four classes appear at sf0.001
+    assert(out.values.toSet ===
+      Set("added", "removed", "changed", "unchanged"))
+  }
 }
