@@ -180,6 +180,12 @@ object ProfileQueries {
     * most 2 decimal digits, so x*100 rounds to an exact integer. */
   val CorrCols: Seq[String] =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** p11: quantile fractions reported per numeric column, and the
+    * coarse-histogram width that bounds pass-2 work (see the p11 doc
+    * comment). */
+  val QuantileQs: Seq[Double] = Seq(0.25, 0.50, 0.75, 0.95)
+  val QuantileBuckets = 1024
   /** Index pairs (i < j) — col_x/col_y arrive pre-sorted by name
     * because [[CorrCols]] is sorted. */
   val CorrPairs: Seq[(Int, Int)] =
@@ -520,5 +526,96 @@ object ProfileQueries {
         SELECT * FROM (
           $selects
         ) ORDER BY col_x, col_y"""
+      }),
+
+    // ---- p11: EXACT quantiles (discrete: the value at global rank
+    //      ceil(q·n)) per numeric column — p4's stats battery lacks
+    //      order statistics, and the naive exact plan (one window sort
+    //      per column) funnels each column through a single task. This
+    //      is the distributed-selection shape instead, two bounded
+    //      passes over a narrow (col, value) melt:
+    //        pass 1: per-column count/min/max (one map-side agg), then
+    //          a [[QuantileBuckets]]-bin histogram (groupBy (col,
+    //          bucket) — O(cols × buckets) rows) with a cumulative
+    //          window over the TINY histogram locating, for every
+    //          quantile rank, its target bucket and in-bucket offset;
+    //        pass 2: only rows landing in a target bucket survive
+    //          (~n/buckets per column per quantile) and a row_number
+    //          window partitioned by (col, q) — whose partitions are
+    //          bucket-sized BY CONSTRUCTION, never column-sized —
+    //          picks the offset-th value.
+    //      Bucketing via floor((v-min)/w) is monotone in v, so the
+    //      global rank decomposes exactly into (bucket, offset); ties
+    //      share a bucket, and equal values make the in-bucket
+    //      row_number tie-break immaterial. Constant columns (min ==
+    //      max) answer from pass-1 stats directly — the one case where
+    //      a "bucket" would be the whole column. The oracle computes
+    //      the same ranks by brute-force row_number over each column.
+    "p11_quantile_profile" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cols = CorrCols
+        val nb = QuantileBuckets
+        val melted = Tables.table(s, dir, "lineitem")
+          .select(inline(array(cols.map(c =>
+            struct(lit(c).as("c"), col(c).as("v"))): _*)))
+        val stats = melted.groupBy(col("c")).agg(
+          count(lit(1)).as("n"), min(col("v")).as("mn"),
+          max(col("v")).as("mx")).persist()
+        val qlits = explode(array(QuantileQs.map(lit): _*)).as("q")
+        val targets = stats.select(col("c"), col("n"), col("mn"),
+            col("mx"), qlits)
+          .withColumn("rank", ceil(col("q") * col("n")))
+        val constant = targets.filter(col("mn") === col("mx"))
+          .select(col("c").as("col_name"), col("q"),
+            col("mn").cast("double").as("q_value"))
+        val varTargets = targets.filter(col("mn") =!= col("mx"))
+        val bucketed = melted.join(broadcast(stats), "c")
+          .filter(col("mn") =!= col("mx"))
+          .withColumn("b", least(
+            floor((col("v") - col("mn")) /
+              ((col("mx") - col("mn")) / nb)).cast("long"),
+            lit(nb - 1L)))
+        val hist = bucketed.groupBy(col("c"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy(col("c"))
+            .orderBy(col("b"))))
+          .withColumn("cum_prev", col("cum") - col("cnt"))
+        val located = varTargets.join(cum, Seq("c"))
+          .filter(col("rank") > col("cum_prev") &&
+            col("rank") <= col("cum"))
+          .select(col("c"), col("b"), col("q"),
+            (col("rank") - col("cum_prev")).as("off"))
+        val picked = bucketed
+          .join(broadcast(located), Seq("c", "b"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("c"), col("q")).orderBy(col("v"))))
+          .filter(col("rn") === col("off"))
+          .select(col("c").as("col_name"), col("q"),
+            col("v").cast("double").as("q_value"))
+        picked.union(constant)
+          .orderBy(col("col_name"), col("q"))
+      },
+      Some {
+        val melt = CorrCols
+          .map(c => s"SELECT '$c' AS c, $c AS v FROM lineitem")
+          .mkString("\n        UNION ALL ")
+        val qs = QuantileQs.map(q => s"($q)").mkString(", ")
+        s"""WITH m AS (
+        $melt
+      ), r AS (
+        SELECT c, v, row_number() OVER (PARTITION BY c ORDER BY v) AS rn,
+          count(*) OVER (PARTITION BY c) AS n
+        FROM m
+      )
+      SELECT c AS col_name, CAST(q AS DOUBLE) AS q,
+        CAST(v AS DOUBLE) AS q_value
+      FROM r CROSS JOIN (VALUES $qs) qs(q)
+      -- rank arithmetic on DOUBLE, matching the engine's IEEE
+      -- ceil(q*n) bit-for-bit (0.95 is not exact in binary; a decimal
+      -- ceil could differ by one at divisible-n boundaries)
+      WHERE rn = CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)
+      ORDER BY col_name, q"""
       }))
 }
