@@ -72,7 +72,8 @@ object Bench {
     // modeler (ontology-sized graphs)
     Seq("g1_semantic_models", "g2_alignment_graph", "g3_model_evaluation"),
     // multimodal plumbing
-    Seq("mm1_media_features", "mm2_frame_samples", "mm3_resized"),
+    Seq("mm1_media_features", "mm2_frame_samples", "mm3_resized",
+      "mm4_media_dedup"),
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",

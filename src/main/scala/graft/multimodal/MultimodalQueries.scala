@@ -127,6 +127,81 @@ object MultimodalQueries {
         CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
         CAST(least(octet_length(p), 784) AS BIGINT) AS n_bytes_resized,
         md5(substr(hex(p), 1, CAST(2 * least(octet_length(p), 784) AS INT))) AS fp
-      FROM m ORDER BY media_id"""))
+      FROM m ORDER BY media_id""")),
+
+    // ---- mm4: media dedup — exact (payload fingerprint) AND
+    //      perceptual (quantized byte-class histogram, the pHash role
+    //      with the stub codec: two media whose byte distributions
+    //      quantize identically share a phash, tolerating small edits
+    //      that leave the distribution's 1/16-resolution shape alone).
+    //      Fully declarative — no mapPartitions: the high nibble of
+    //      every payload byte is extracted with one regex over the hex
+    //      string ('(.).' -> '$1' keeps odd positions), per-class
+    //      counts are 16 codegen'd length(replace(...)) folds, and the
+    //      quantization (count*16 div n) is exact integer arithmetic,
+    //      so the phash is engine-portable with no double rounding.
+    //      Clustering is d1's window pattern on each fingerprint.
+    //      Scale: row-local fingerprints + two key-equality windows —
+    //      O(corpus) at any size, no pairwise comparison.
+    "mm4_media_dedup" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Multimodal.mediaTable(s, dir).toDF()
+          .select(col("media_id"), col("mime"), hex(col("payload")).as("hx"))
+          .withColumn("hi", regexp_replace(col("hx"), "(.).", "$1"))
+        val digits = "0123456789ABCDEF"
+        // exact integer quantization: (count * 16) div n — `div` keeps
+        // both engines in integer arithmetic (a double floor() can land
+        // one below at exact multiples)
+        val quant = concat_ws(",", digits.map(d => expr(
+          s"CAST(CAST(length(hi) - length(replace(hi, '$d', '')) AS BIGINT)" +
+            s" * 16 div length(hi) AS BIGINT)")): _*)
+        val fp = m.select(col("media_id"), col("mime"),
+          md5(col("hx")).as("exact_fp"), md5(quant).as("phash"))
+        val we = Window.partitionBy(col("exact_fp"))
+        val wp = Window.partitionBy(col("phash"))
+        fp.withColumn("exact_canonical", min(col("media_id")).over(we))
+          .withColumn("exact_size", count(lit(1)).over(we))
+          .withColumn("percep_canonical", min(col("media_id")).over(wp))
+          .withColumn("percep_size", count(lit(1)).over(wp))
+          .select(col("media_id"), col("mime"), col("exact_fp"),
+            col("phash"), col("exact_canonical"), col("exact_size"),
+            col("percep_canonical"), col("percep_size"),
+            (col("media_id") =!= col("exact_canonical")).cast("long")
+              .as("is_exact_dup"),
+            (col("media_id") =!= col("percep_canonical")).cast("long")
+              .as("is_percep_dup"))
+          .orderBy(col("media_id"))
+      },
+      Some {
+        val digits = "0123456789ABCDEF"
+        val counts = digits.map(d =>
+          s"(length(hi) - length(replace(hi, '$d', ''))) * 16 // length(hi)")
+          .mkString(", ")
+        s"""WITH m AS (
+        SELECT doc_id AS media_id,
+          ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+          hex(encode(text)) AS hx
+        FROM documents
+      ), hi AS (
+        SELECT media_id, mime, hx,
+          regexp_replace(hx, '(.).', '\\1', 'g') AS hi
+        FROM m
+      ), fp AS (
+        SELECT media_id, mime, md5(hx) AS exact_fp,
+          md5(concat_ws(',', $counts)) AS phash
+        FROM hi
+      )
+      SELECT media_id, mime, exact_fp, phash,
+        min(media_id) OVER (PARTITION BY exact_fp) AS exact_canonical,
+        count(*) OVER (PARTITION BY exact_fp) AS exact_size,
+        min(media_id) OVER (PARTITION BY phash) AS percep_canonical,
+        count(*) OVER (PARTITION BY phash) AS percep_size,
+        CAST(media_id <> min(media_id) OVER (PARTITION BY exact_fp)
+          AS BIGINT) AS is_exact_dup,
+        CAST(media_id <> min(media_id) OVER (PARTITION BY phash)
+          AS BIGINT) AS is_percep_dup
+      FROM fp ORDER BY media_id"""
+      })
   )
 }

@@ -37,4 +37,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === videos * 4)
     assert(frames.groupBy(_.media_id).values.forall(_.length === 4))
   }
+
+  test("mm4: exact dup implies perceptual dup; phash quantizes byte histogram") {
+    val rows = graft.SparkEntry.queries("mm4_media_dedup")(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_size") <= r.getAs[Long]("percep_size"),
+        "an exact-payload cluster can never be split by the coarser phash")
+    }
+    // exact dups share phash: group by exact_fp, all phashes equal within
+    rows.groupBy(_.getAs[String]("exact_fp")).values.foreach { g =>
+      assert(g.map(_.getAs[String]("phash")).distinct.length === 1)
+    }
+    // perceptual clustering is strictly coarser somewhere at this sf
+    // (distinct texts with identical quantized byte histograms exist)
+    assert(rows.map(_.getAs[String]("phash")).distinct.length <
+      rows.map(_.getAs[String]("exact_fp")).distinct.length)
+  }
 }
