@@ -74,6 +74,8 @@ object Bench {
     // multimodal plumbing
     Seq("mm1_media_features", "mm2_frame_samples", "mm3_resized",
       "mm4_media_dedup"),
+    // composed end-to-end pipeline (quality -> dedup -> decontam -> split)
+    Seq("e1_training_pipeline"),
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",

@@ -16,7 +16,8 @@ object SparkEntry {
     matcher.EvalQueries.defs,
     modeler.ModelerQueries.defs,
     multimodal.MultimodalQueries.defs,
-    streaming.StreamingQueries.defs
+    streaming.StreamingQueries.defs,
+    pipeline.PipelineQueries.defs
   )
 
   private lazy val (qs, oracles) = QueryDef.split(registries: _*)

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QueryDef
+import graft.sources.Tables
+import graft.text.{Text, TextQueries}
+
+/** The composed training-data pipeline — the "a user could switch and
+  * run their pipeline" proof: quality gate → exact dedup → benchmark
+  * decontamination → leakage-safe split, emitted as a per-document
+  * LEDGER (every stage's verdict as a column) rather than a filtered
+  * corpus, because at 100 TB the audit trail is the product a data
+  * team actually ships alongside the kept set (`final_keep = 1` rows
+  * ARE the corpus; the rest say exactly why a doc fell out).
+  *
+  * Every stage reuses the standalone operator's shared kernel — t2's
+  * [[graft.text.TextQueries.qualityFrame]], d1's normalized
+  * fingerprint, d7's eval n-gram containment, d8's hash-split — so the
+  * composition can't drift from the operators it composes (and the
+  * oracle composes the same shared SQL CTEs).
+  *
+  * Scale shape: one narrow quality projection (row-local), one
+  * fingerprint window (key-equality on fp), one broadcast-able eval
+  * gram join gated BEHIND the quality+dedup filters (the decontam
+  * explode runs only on surviving canonicals — stage order is the
+  * optimization: each stage shrinks the next stage's input, exactly
+  * how production pipelines sequence cheap-to-expensive), and a
+  * row-local split hash. No all-pairs anything.
+  */
+object PipelineQueries {
+
+  /** Quality gate: ~p10 of the synthetic corpus's t2 score at every
+    * test sf (measured 0.455 at sf0.01) — drops the worst decile. */
+  val PipelineMinQuality = 0.45
+
+  val defs: Map[String, QueryDef] = Map(
+    "e1_training_pipeline" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN,
+          SplitTrainFrac, SplitValFrac}
+        val docs = Tables.table(s, dir, "documents")
+        val isEval = col("doc_id") % DecontamEvalMod === 0
+        // stage 1: quality (t2's shared scorer), eval docs excluded
+        val q = TextQueries.qualityFrame(s, dir)
+          .filter(!isEval)
+          .select(col("doc_id"), col("quality_score"),
+            (col("quality_score") >= PipelineMinQuality).cast("long")
+              .as("passed_quality"))
+        // stage 2: exact dedup among quality survivors only (d1's
+        // normalized fingerprint; failed docs don't compete)
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val fp = docs.select(col("doc_id"), md5(norm).as("fp"))
+        val staged = q.join(fp, "doc_id")
+        val w = Window.partitionBy(col("passed_quality"), col("fp"))
+        val deduped = staged.withColumn("is_canonical",
+          (col("passed_quality") === 1L &&
+            col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
+        // stage 3: decontamination (d7's exact containment), computed
+        // ONLY for surviving canonicals — the stage-order optimization
+        val grams = docs
+          .select(col("doc_id"),
+            explode(Text.wordShingles(Text.words(col("text")), DecontamN))
+              .as("g"))
+        val evalGrams = broadcast(
+          grams.filter(isEval).select(col("g")).distinct())
+        val contaminatedIds = grams
+          .join(deduped.filter(col("is_canonical") === 1L)
+            .select(col("doc_id")), "doc_id")
+          .join(evalGrams, "g")
+          .select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(1L))
+        // stage 4: leakage-safe split — d8's hash, keyed on the exact-
+        // cluster fingerprint so exact dups always share a split
+        val u = (conv(substring(md5(col("fp").cast("binary")), 1, 15),
+          16, 10).cast("long") % 1000L).cast("double") / 1000.0
+        deduped
+          .join(contaminatedIds, Seq("doc_id"), "left")
+          .withColumn("contaminated",
+            coalesce(col("contaminated"), lit(0L)))
+          .withColumn("split",
+            when(u < SplitTrainFrac, "train")
+              .when(u < SplitTrainFrac + SplitValFrac, "val")
+              .otherwise("test"))
+          .withColumn("final_keep",
+            (col("is_canonical") === 1L && col("contaminated") === 0L)
+              .cast("long"))
+          .select(col("doc_id"), col("quality_score"),
+            col("passed_quality"), col("is_canonical"),
+            col("contaminated"), col("split"), col("final_keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN,
+          SplitTrainFrac, SplitValFrac}
+        val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+        val shingles =
+          s"""CASE WHEN len($wordsSqlDuck) >= $DecontamN THEN
+            list_distinct(list_transform(range(0, len($wordsSqlDuck) - ${DecontamN - 1}),
+              j -> array_to_string(list_slice($wordsSqlDuck, j+1, j+$DecontamN), ' ')))
+          ELSE [] END"""
+        s"""WITH ${TextQueries.qualitySqlCte},
+        st AS (
+          SELECT q.doc_id, q.quality_score,
+            CAST(q.quality_score >= $PipelineMinQuality AS BIGINT)
+              AS passed_quality,
+            md5(trim(regexp_replace(regexp_replace(lower(d.text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM q JOIN documents d USING (doc_id)
+          WHERE q.doc_id % $DecontamEvalMod <> 0
+        ), dd AS (
+          SELECT *, CAST(passed_quality = 1 AND doc_id =
+            min(doc_id) OVER (PARTITION BY passed_quality, fp)
+            AS BIGINT) AS is_canonical
+          FROM st
+        ), g AS (
+          SELECT doc_id, unnest($shingles) AS g FROM documents
+        ), e AS (
+          SELECT DISTINCT g FROM g WHERE doc_id % $DecontamEvalMod = 0
+        ), cont AS (
+          SELECT DISTINCT g.doc_id FROM g
+          JOIN (SELECT doc_id FROM dd WHERE is_canonical = 1) k
+            USING (doc_id)
+          JOIN e USING (g)
+        )
+        SELECT dd.doc_id, dd.quality_score, dd.passed_quality,
+          dd.is_canonical,
+          CAST(cont.doc_id IS NOT NULL AS BIGINT) AS contaminated,
+          CASE WHEN (CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT)
+              % 1000) / 1000.0 < $SplitTrainFrac THEN 'train'
+            WHEN (CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT)
+              % 1000) / 1000.0 < ${SplitTrainFrac + SplitValFrac}
+              THEN 'val'
+            ELSE 'test' END AS split,
+          CAST(dd.is_canonical = 1 AND cont.doc_id IS NULL AS BIGINT)
+            AS final_keep
+        FROM dd LEFT JOIN cont ON dd.doc_id = cont.doc_id
+        ORDER BY dd.doc_id"""
+      })
+  )
+}
