@@ -119,9 +119,19 @@ object Bench {
     val only: Set[String] = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default: one shuffle partition per core (the bench-scale sweet
+    // spot). Scale rehearsals override upward — a real cluster grows
+    // partition COUNT with data, which fixed-core local mode can't do
+    // by itself: at sf100 a 32-partition shuffle puts ~100x the bytes
+    // in one task's sort page (measured: 2 GiB page-allocation stalls),
+    // while AQE coalesces an oversized partition count back down
+    // wherever stages are small, so the override only affects the
+    // stages that need it.
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
