@@ -80,7 +80,8 @@ object Bench {
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",
       "st5_stream_decontaminate", "st6_stream_semantic_flag",
-      "st7_stream_fuzzy_flag", "st8_stream_incremental_dedup"))
+      "st7_stream_fuzzy_flag", "st8_stream_incremental_dedup",
+      "st9_stream_drift_monitor"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

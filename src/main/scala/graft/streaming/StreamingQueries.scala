@@ -73,6 +73,12 @@ object StreamingQueries {
 
   val SessionGapSec = 1800L
 
+  /** st9: relative deviation of a day's per-type mean from the batch
+    * baseline above which the day is flagged as drifting (0.15 sits at
+    * ~p80 of the synthetic events' daily deviations — flags the tail,
+    * not the noise floor). */
+  val DriftTol = 0.15
+
   /** st5 eval subset: denser than batch d7's every-50th (every 10th
     * doc) so the contamination flags have hits to count at small sf. */
   val StreamEvalMod = 10
@@ -481,6 +487,66 @@ object StreamingQueries {
         CAST(coalesce(ag.n_candidates, 0) = 0 AS BIGINT) AS is_novel
       FROM documents doc LEFT JOIN ag USING (doc_id)
       WHERE doc.doc_id % ${graft.dedup.DedupQueries.DeltaMod} = 0
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- st9: streaming drift monitor — the data-quality watchdog a
+    //      production ingest runs beside the pipeline: each arriving
+    //      event is ENRICHED with its type's batch-baseline mean via a
+    //      stateless stream-static broadcast join (the baseline rides
+    //      in the grouping key — no post-aggregation join, which
+    //      streaming forbids), then a watermarked DAILY windowed agg
+    //      compares the day's mean against the baseline and flags
+    //      relative deviations above [[DriftTol]]. State = open day
+    //      windows only (bounded: types × 1-2 days); append mode, so
+    //      each closed day emits exactly once — st2's emission-gate
+    //      semantics, mirrored in the oracle (the final partial day
+    //      stays open and is not emitted). Numerics: decimal-exact
+    //      sums, one IEEE division per side, identical in DuckDB.
+    "st9_stream_drift_monitor" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.table(s, dir, "events")
+          .groupBy($"event_type")
+          .agg((dsum($"value").cast("double") /
+            count(lit(1))).as("base_mean"))
+        val enriched = streamTable(s, dir, "events")
+          .withWatermark("ts", "0 seconds")
+          .join(broadcast(base), "event_type")
+        val out = enriched
+          .groupBy(window($"ts", "1 day"), $"event_type", $"base_mean")
+          .agg(count(lit(1)).as("n_events"),
+            (dsum($"value").cast("double") / count(lit(1))).as("mean_raw"))
+          .withColumn("rel_dev",
+            round(abs($"mean_raw" - $"base_mean") / abs($"base_mean"), 6))
+          .select($"window.start".cast("date").as("day"), $"event_type",
+            $"n_events", round($"mean_raw", 6).as("mean_value"),
+            round($"base_mean", 6).as("base_mean"), $"rel_dev",
+            ($"rel_dev" > DriftTol).cast("long").as("drift"))
+        runStream(out, "append")
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some(s"""WITH base AS (
+        SELECT event_type,
+          CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+            AS bm
+        FROM events GROUP BY 1
+      ), d AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+            AS dm
+        FROM events GROUP BY 1, 2
+      )
+      SELECT day, event_type, n_events,
+        round(dm, 6) AS mean_value,
+        round(bm, 6) AS base_mean,
+        round(abs(dm - bm) / abs(bm), 6) AS rel_dev,
+        CAST(round(abs(dm - bm) / abs(bm), 6) > $DriftTol AS BIGINT)
+          AS drift
+      FROM d JOIN base USING (event_type)
+      -- st2's emission gate: only day windows the final watermark
+      -- (max ts) closed are emitted; the last partial day stays open
+      WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <=
+        (SELECT max(ts) FROM events)
+      ORDER BY day, event_type"""))
   )
 }

@@ -212,6 +212,41 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.values.exists(_._3 == 1L), "no novel doc at this sf")
   }
 
+  test("st9 drift monitor equals the gated batch comparison; state is " +
+      "one bounded windowed agg") {
+    val events = graft.sources.Tables.table(spark, sf, "events")
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    def dmean = (sum(col("value").cast("decimal(25,6)")).cast("double") /
+      count(lit(1)))
+    val base = events.groupBy(col("event_type"))
+      .agg(dmean.as("bm"))
+    val batch = events
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dmean.as("dm"))
+      .join(base, "event_type")
+      // emission gate: only days the final watermark (max ts) closed
+      .filter(date_add(col("day"), 1).cast("timestamp") <= lit(maxTs))
+      .withColumn("rel_dev", round(abs(col("dm") - col("bm")) /
+        abs(col("bm")), 6))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("rel_dev"))).toMap
+    val streamed = run("st9_stream_drift_monitor").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("rel_dev"),
+          r.getAs[Long]("drift"))).toMap
+    assert(streamed.nonEmpty && streamed.keySet === batch.keySet,
+      "emitted (day, type) windows must be exactly the watermark-closed set")
+    streamed.foreach { case (k, (n, dev, drift)) =>
+      assert((n, dev) === batch(k), s"window $k")
+      assert(drift === (if (dev > StreamingQueries.DriftTol) 1L else 0L))
+    }
+    assert(streamed.values.exists(_._3 == 1L), "no drifting day at this sf")
+    assert(streamed.values.exists(_._3 == 0L), "every day drifting at this sf")
+  }
+
   /** The raw (uncapped) band keys of the delta docs — what each
     * arriving stream row computes locally. */
   private def graph8DeltaBanded(mod: Int) = {
