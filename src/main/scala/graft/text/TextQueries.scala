@@ -754,20 +754,34 @@ object TextQueries {
           .filter(col("lang") === LmTrainLang)
           .select(explode(Text.words(col("text"))).as("t"))
           .agg(countDistinct(col("t"))).head().getLong(0)
-        val scored = pg
-          .join(cb, Seq("g"), "left")
-          .withColumn("w1", split(col("g"), " ").getItem(0))
-          .join(cu, Seq("w1"), "left")
-          .withColumn("logp",
-            log((coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
-              (coalesce(col("cu"), lit(0L)) + vocab).cast("double")))
-        val perDoc = scored.groupBy(col("doc_id"))
-          .agg(sum(col("n")).as("n_bigrams"),
-            sum((-col("n") * col("logp")).cast(DecimalType(30, 15)))
-              .as("nll"))
-          .select(col("doc_id"), col("n_bigrams"),
-            round(col("nll").cast("double") /
-              col("n_bigrams").cast("double"), 6).as("avg_nll"))
+        // empty training subset: no model, no signal — every doc scores
+        // 0.0 rather than ln(1/0)=Inf (which ANSI mode would refuse to
+        // cast to the decimal accumulator). ORACLE BOUND: the DuckDB
+        // twin assumes a non-empty train subset (true at every test sf,
+        // where lang='en' docs always exist). No `return` in this
+        // lambda — a non-local return from a Function2 throws at
+        // runtime, so both arms are one expression.
+        val perDoc = if (vocab == 0L) {
+          pg.groupBy(col("doc_id"))
+            .agg(sum(col("n")).as("n_bigrams"))
+            .select(col("doc_id"), col("n_bigrams"),
+              lit(0.0).as("avg_nll"))
+        } else {
+          val scored = pg
+            .join(cb, Seq("g"), "left")
+            .withColumn("w1", split(col("g"), " ").getItem(0))
+            .join(cu, Seq("w1"), "left")
+            .withColumn("logp",
+              log((coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+                (coalesce(col("cu"), lit(0L)) + vocab).cast("double")))
+          scored.groupBy(col("doc_id"))
+            .agg(sum(col("n")).as("n_bigrams"),
+              sum((-col("n") * col("logp")).cast(DecimalType(30, 15)))
+                .as("nll"))
+            .select(col("doc_id"), col("n_bigrams"),
+              round(col("nll").cast("double") /
+                col("n_bigrams").cast("double"), 6).as("avg_nll"))
+        }
         docs.select(col("doc_id"))
           .join(perDoc, Seq("doc_id"), "left")
           .select(col("doc_id"),

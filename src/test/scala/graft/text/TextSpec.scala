@@ -183,6 +183,20 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._2 > out(0L)._2)
   }
 
+  test("t12 with no training-language docs scores 0.0 (no Inf, no crash)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "c d e", "de", "s0", 5L),
+      (1L, "f", "fr", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t12e").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t12_lm_perplexity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    assert(out(0L) === (2L, 0.0) && out(1L) === (0L, 0.0))
+  }
+
   test("t13 flags shingles shared by >=3 docs of one source as boilerplate") {
     import spark.implicits._
     val tpl = "one two three four five"
