@@ -36,7 +36,7 @@ object Bench {
       "q21_approx_distinct", "q22_asof_join", "q23_range_join",
       "q24_sessionize", "q25_bucketed_join", "q26_partition_pruned",
       "q27_percentiles", "q28_pivot", "q29_latest_snapshot", "q30_cube",
-      "q31_grouping_sets"),
+      "q31_grouping_sets", "q32_skyline"),
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part",

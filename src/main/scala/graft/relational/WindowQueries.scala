@@ -28,6 +28,10 @@ object WindowQueries {
     ("N", 2019L, 100L),
     ("R", 2019L, 100L))
 
+  /** q32: price bands for the two-level skyline sweep — window
+    * partitions hold ~n/buckets rows (the p11 knob: scale with data). */
+  val SkylineBuckets = 1024
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- q16: lag/lead deltas per user over event time
@@ -439,6 +443,75 @@ object WindowQueries {
       Some("""SELECT event_type,
           round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_value,
           count(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q32: skyline (Pareto front) over orders — maximize
+    //      o_totalprice, minimize o_orderdate: the multi-criteria
+    //      selection operator (EDBT 2023, "Integration of Skyline
+    //      Queries into Spark SQL"). The naive plan is an O(n²)
+    //      dominance self-join; the global-window plan (sort all rows
+    //      by price, running-min date) is a single-task sort. This is
+    //      the bucketed two-level sweep instead — p11's
+    //      bounded-partition-window technique applied to dominance:
+    //        1. one stats pass fixes [[SkylineBuckets]] price bands;
+    //        2. per (bucket, price): min date (map-side agg), then a
+    //           PER-BUCKET window (partitions of ~n/buckets rows) gives
+    //           each price the min date among strictly-higher prices in
+    //           its own bucket;
+    //        3. a bucket-summary window (O(buckets) rows) gives the min
+    //           date over all higher buckets (strictly higher price by
+    //           construction — equal prices share a bucket);
+    //        4. a row survives iff no same-price row has a strictly
+    //           earlier date AND no higher-price min-date is <= its own
+    //           (the two dominance strictness cases, kept separate).
+    //      Everything is key-equality aggs + bounded windows; the only
+    //      single-partition window holds one row per bucket.
+    "q32_skyline" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nb = SkylineBuckets
+        val o = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        val st = o.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx")).head()
+        val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+        val bucketed = o.withColumn("b",
+          if (mx == mn) lit(0L)
+          else least(floor((col("o_totalprice") - mn) / ((mx - mn) / nb))
+            .cast("long"), lit(nb - 1L)))
+        // (bucket, price) -> earliest date at that exact price
+        val pm = bucketed.groupBy(col("b"), col("o_totalprice"))
+          .agg(min(col("o_orderdate")).as("pmin"))
+        val wIn = Window.partitionBy(col("b"))
+          .orderBy(col("o_totalprice").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pmw = pm.withColumn("md_gt_in", min(col("pmin")).over(wIn))
+        val bsum = bucketed.groupBy(col("b"))
+          .agg(min(col("o_orderdate")).as("bmin"))
+        val wUp = Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bcum = bsum.withColumn("md_gt_bk", min(col("bmin")).over(wUp))
+          .select(col("b"), col("md_gt_bk"))
+        bucketed
+          .join(pmw, Seq("b", "o_totalprice"))
+          .join(broadcast(bcum), Seq("b"))
+          .withColumn("md_gt",
+            least(col("md_gt_in"), col("md_gt_bk")))
+          .filter(
+            // same-price strict-date dominance
+            !(col("pmin") < col("o_orderdate")) &&
+            // higher-price, date <= mine dominance
+            (col("md_gt").isNull || col("md_gt") > col("o_orderdate")))
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT r.o_orderkey, r.o_totalprice, r.o_orderdate
+      FROM orders r WHERE NOT EXISTS (
+        SELECT 1 FROM orders s
+        WHERE s.o_totalprice >= r.o_totalprice
+          AND s.o_orderdate <= r.o_orderdate
+          AND (s.o_totalprice > r.o_totalprice
+            OR s.o_orderdate < r.o_orderdate))
+      ORDER BY r.o_orderkey"""))
   )
 }
