@@ -186,6 +186,13 @@ object ProfileQueries {
     * comment). */
   val QuantileQs: Seq[Double] = Seq(0.25, 0.50, 0.75, 0.95)
   val QuantileBuckets = 1024
+
+  /** p12: candidate key columns (orders) — singles plus all pairs. */
+  val KeyCols: Seq[String] = Seq("o_custkey", "o_orderdate", "o_orderkey",
+    "o_orderpriority", "o_orderstatus", "o_totalprice")
+  val KeyPairs: Seq[(Int, Int)] =
+    for { i <- KeyCols.indices; j <- KeyCols.indices if i < j }
+      yield (i, j)
   /** Index pairs (i < j) — col_x/col_y arrive pre-sorted by name
     * because [[CorrCols]] is sorted. */
   val CorrPairs: Seq[(Int, Int)] =
@@ -617,5 +624,73 @@ object ProfileQueries {
       -- ceil could differ by one at divisible-n boundaries)
       WHERE rn = CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)
       ORDER BY col_name, q"""
+      }),
+
+    // ---- p12: key discovery (unique column combinations, the fourth
+    //      classic profiling task beside p7/p8 INDs, p9 FDs and the
+    //      stats battery — HyUCC/Metanome family): which single
+    //      columns and column pairs uniquely identify an orders row,
+    //      and which of those are MINIMAL (no unique proper subset).
+    //      Shape: TWO corpus scans total — all 6 single-column exact
+    //      distincts in one aggregate, all 15 pair distincts in a
+    //      second (Catalyst plans multi-countDistinct as one
+    //      Expand + two-level partial aggregate: map-side combined,
+    //      no value ships to one reducer) — then the 21-row result
+    //      assembles row-locally from the one-row moment frame (p10's
+    //      inline pattern, no second pass, no join). Null caveat:
+    //      multi-column countDistinct drops rows with ANY null member
+    //      (DuckDB's count(DISTINCT (a,b)) counts them) — equal here
+    //      because orders has no nulls; a null-bearing table would
+    //      coalesce to sentinels first.
+    "p12_key_discovery" -> QueryDef(
+      (s, dir) => {
+        val cols = KeyCols
+        val base = Tables.table(s, dir, "orders")
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          cols.indices.map(i =>
+            countDistinct(col(cols(i))).as(s"s_$i")) ++
+          KeyPairs.map { case (i, j) =>
+            countDistinct(col(cols(i)), col(cols(j))).as(s"p_${i}_$j") }
+        val m = base.agg(aggs.head, aggs.tail: _*)
+        val singleRows = cols.indices.map { i =>
+          struct(lit(cols(i)).as("combo"), col(s"s_$i").as("n_distinct"),
+            (col(s"s_$i") === col("n")).cast("long").as("is_unique"),
+            (col(s"s_$i") === col("n")).cast("long")
+              .as("is_minimal_unique"))
+        }
+        val pairRows = KeyPairs.map { case (i, j) =>
+          val u = col(s"p_${i}_$j") === col("n")
+          struct(lit(s"${cols(i)}+${cols(j)}").as("combo"),
+            col(s"p_${i}_$j").as("n_distinct"),
+            u.cast("long").as("is_unique"),
+            (u && col(s"s_$i") =!= col("n") && col(s"s_$j") =!= col("n"))
+              .cast("long").as("is_minimal_unique"))
+        }
+        m.select(inline(array((singleRows ++ pairRows): _*)))
+          .orderBy(col("combo"))
+      },
+      Some {
+        val cols = KeyCols
+        val moments = Seq("count(*) AS n") ++
+          cols.indices.map(i =>
+            s"count(DISTINCT ${cols(i)}) AS s_$i") ++
+          KeyPairs.map { case (i, j) =>
+            s"count(DISTINCT (${cols(i)}, ${cols(j)})) AS p_${i}_$j" }
+        val singles = cols.indices.map { i =>
+          s"""SELECT '${cols(i)}' AS combo, s_$i AS n_distinct,
+            CAST(s_$i = n AS BIGINT) AS is_unique,
+            CAST(s_$i = n AS BIGINT) AS is_minimal_unique FROM m"""
+        }
+        val pairs = KeyPairs.map { case (i, j) =>
+          s"""SELECT '${cols(i)}+${cols(j)}' AS combo,
+            p_${i}_$j AS n_distinct,
+            CAST(p_${i}_$j = n AS BIGINT) AS is_unique,
+            CAST(p_${i}_$j = n AND s_$i <> n AND s_$j <> n AS BIGINT)
+              AS is_minimal_unique FROM m"""
+        }
+        s"""WITH m AS (SELECT ${moments.mkString(", ")} FROM orders)
+        SELECT * FROM (
+          ${(singles ++ pairs).mkString("\n          UNION ALL ")}
+        ) ORDER BY combo"""
       }))
 }

@@ -27,6 +27,34 @@ class QuantileSpec extends SparkSpec {
     }
   }
 
+  test("p12 key discovery: o_orderkey is the key; minimality excludes " +
+      "pairs containing it") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("p12_key_discovery")(spark, sf)
+      .collect().map(r => r.getAs[String]("combo") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("is_unique"),
+          r.getAs[Long]("is_minimal_unique"))).toMap
+    assert(out.size === ProfileQueries.KeyCols.size +
+      ProfileQueries.KeyPairs.size)
+    // the primary key is unique AND minimal
+    assert(out("o_orderkey")._2 === 1L && out("o_orderkey")._3 === 1L)
+    // any pair containing a unique single is unique but NOT minimal
+    out.keys.filter(k => k.contains("+") && k.contains("o_orderkey"))
+      .foreach { k =>
+        assert(out(k)._2 === 1L && out(k)._3 === 0L, k)
+      }
+    // low-cardinality singles are not unique
+    assert(out("o_orderstatus")._2 === 0L)
+    assert(out("o_orderpriority")._2 === 0L)
+    // cross-check one pair count against a direct computation
+    val direct = graft.sources.Tables.table(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_orderdate")))
+      .head().getLong(0)
+    assert(out("o_custkey+o_orderdate")._1 === direct)
+  }
+
   test("p11 answers constant columns from pass-1 stats") {
     import spark.implicits._
     val rows = Seq(
