@@ -468,6 +468,22 @@ object DedupQueries {
 
   /** d7: word n-gram size for benchmark decontamination. */
   val DecontamN = 5
+
+  /** Materialized (doc_id, distinct word-[[DecontamN]]-gram array)
+    * checkpoint — the shared input of the decontamination family (d7
+    * exact, d15 bloom, e1's pipeline stage 3). Besides the usual
+    * compute-once sharing ([[shingled]]'s rationale), materializing
+    * matters for PLAN quality here: an inline shingle expression gets
+    * CollapseProject-inlined into d15's bloom Filter AND its confirm
+    * Generate, re-tokenizing every doc 3-4x per row (HOFs defeat both
+    * CSE and codegen — the d5/st7 lesson); scanning the checkpoint
+    * makes `sh` a plain attribute, computed exactly once per doc. */
+  def decontamShingled(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"decontam-shingles|$dir") {
+      Tables.rebalance(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"),
+          Text.wordShingles(Text.words(col("text")), DecontamN).as("sh"))
+    }
   /** d7: the held-out "benchmark" subset — every 50th doc id. */
   val DecontamEvalMod = 50
   /** d14: the incoming "delta batch" — every 4th doc id (~25% of the
@@ -566,10 +582,8 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
         val isEval = col("doc_id") % DecontamEvalMod === 0
-        val grams = docs
-          .select(col("doc_id"), Text.words(col("text")).as("w"))
-          .select(col("doc_id"),
-            explode(Text.wordShingles(col("w"), DecontamN)).as("g"))
+        val grams = decontamShingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
         val evalGrams = broadcast(
           grams.filter(isEval).select(col("g")).distinct())
         val shared = grams.filter(!isEval)
@@ -1081,10 +1095,8 @@ object DedupQueries {
     //      size-driven, which is the point).
     "d15_bloom_decontamination" -> QueryDef(
       (s, dir) => {
-        val docs = Tables.table(s, dir, "documents")
         val isEval = col("doc_id") % DecontamEvalMod === 0
-        val withSh = docs.select(col("doc_id"),
-          Text.wordShingles(Text.words(col("text")), DecontamN).as("sh"))
+        val withSh = decontamShingled(s, dir)
         val evalGrams = withSh.filter(isEval)
           .select(explode(col("sh")).as("g")).distinct().persist()
         val nEval = evalGrams.count()

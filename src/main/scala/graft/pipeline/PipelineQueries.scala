@@ -58,12 +58,11 @@ object PipelineQueries {
         val deduped = staged.withColumn("is_canonical",
           (col("passed_quality") === 1L &&
             col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
-        // stage 3: decontamination (d7's exact containment), computed
-        // ONLY for surviving canonicals — the stage-order optimization
-        val grams = docs
-          .select(col("doc_id"),
-            explode(Text.wordShingles(Text.words(col("text")), DecontamN))
-              .as("g"))
+        // stage 3: decontamination (d7's exact containment) off the
+        // shared materialized shingle checkpoint, computed ONLY for
+        // surviving canonicals — the stage-order optimization
+        val grams = graft.dedup.DedupQueries.decontamShingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
         val evalGrams = broadcast(
           grams.filter(isEval).select(col("g")).distinct())
         val contaminatedIds = grams

@@ -177,4 +177,30 @@ class PlanShapeSpec extends SparkSpec {
       "the O(buckets) model side must broadcast, never sort-merge:\n" +
         p.take(800))
   }
+
+  test("d15's bloom probe gates the explode and probes a plain " +
+      "attribute, not an inlined shingle expression") {
+    val p = plan("d15_bloom_decontamination")
+    // the native probe runs as a row-local filter over the
+    // MATERIALIZED shingle attribute — before decontamShingled, the
+    // shingle HOF chain was CollapseProject-inlined into this filter
+    // and the confirm Generate, re-tokenizing every doc 3-4x per row
+    val probeLine = p.linesIterator
+      .find(_.contains("graft_bloom_member_count")).getOrElse("")
+    assert(probeLine.nonEmpty, p.take(800))
+    assert(!probeLine.contains("regexp_extract_all"),
+      "probe must reference the checkpoint attribute, not recompute " +
+        s"the tokenize chain inline:\n$probeLine")
+    assert(p.contains("Generate explode"),
+      "confirm path explodes the survivors")
+  }
+
+  test("q32 has no dominance self-join") {
+    val p = plan("q32_skyline")
+    // the two-level sweep replaces the O(n²) dominance join entirely:
+    // windows + key-equality joins only
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no dominance self-join")
+  }
 }
