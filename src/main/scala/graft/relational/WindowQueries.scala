@@ -474,7 +474,11 @@ object WindowQueries {
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
         val st = o.agg(min(col("o_totalprice")).as("mn"),
           max(col("o_totalprice")).as("mx")).head()
-        val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+        // empty input: min/max are null — the skyline of nothing is
+        // nothing (and getDouble would NPE)
+        val (mn, mx) =
+          if (st.isNullAt(0)) (0.0, 0.0)
+          else (st.getDouble(0), st.getDouble(1))
         val bucketed = o.withColumn("b",
           if (mx == mn) lit(0L)
           else least(floor((col("o_totalprice") - mn) / ((mx - mn) / nb))

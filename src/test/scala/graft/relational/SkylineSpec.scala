@@ -44,4 +44,16 @@ class SkylineSpec extends SparkSpec {
     // BOTH ties survive (neither dominates the other)
     assert(got === Set(2L, 4L))
   }
+
+  test("q32 on an empty table returns an empty skyline, no NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, String, Double,
+      java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft-q32e").toString
+    empty.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(graft.SparkEntry.queries("q32_skyline")(spark, dir)
+      .collect().isEmpty)
+  }
 }
