@@ -95,12 +95,11 @@ object Bench {
   }
 
   /** Release every Spark-level cache, blocking until gone, so the next
-    * group's first query isn't taxed by async unpersist churn. */
-  private def releaseCaches(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-  }
+    * group's first query isn't taxed by async unpersist churn. Shared
+    * with long-lived sessions via [[graft.core.Caches]], which also
+    * documents the pipelineCache lifecycle this sweep completes. */
+  private def releaseCaches(spark: SparkSession): Unit =
+    graft.core.Caches.release(spark)
 
   /** Timed runs per query. Single-run numbers produced phantom 4-6x
     * swings two rounds running (pure scheduler/JIT contention noise, not
@@ -186,7 +185,20 @@ object Bench {
          |  "cold": ${jmap(cold)}
          |}
          |""".stripMargin)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"sf":"$sfDir","detail_file":"$file","top5":${jmap(collection.mutable.LinkedHashMap(top5: _*))},"queries":${jmap(results)}}""")
+    // The FINAL stdout line must survive a ~4 KB tail capture INTACT
+    // (r7: the full-precision 107-query map alone was ~3.9 KB, so the
+    // single combined line arrived with its head cut off and never
+    // parsed). So: the per-query medians map goes on the PENULTIMATE
+    // line (ms-rounded, which halves it — full precision lives in
+    // BENCH_LOCAL.json), and the final line is a short self-contained
+    // summary. Both complete lines together fit the tail window, any
+    // truncation eats the penultimate line's head only, and either line
+    // alone is valid JSON a parser can take.
+    val totalR = math.round(total * 1000) / 1000.0
+    val rounded = results.map { case (k, v) =>
+      k -> (math.round(v * 1000).toDouble / 1000) }
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$Runs,"sf":"$sfDir","queries":${jmap(rounded)}}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$Runs,"sf":"$sfDir","detail_file":"$file","top5":${jmap(collection.mutable.LinkedHashMap(top5: _*))}}""")
     spark.stop()
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.QueryDef
+import graft.core.Caches.PipelineCacheOps
 import graft.sources.Tables
 import graft.text.Text
 
@@ -1037,7 +1038,7 @@ object DedupQueries {
             array_distinct(transform(sequence(lit(0), size(col("w")) - W),
               j => md5(concat_ws(" ", slice(col("w"), j + 1, lit(W)))
                 .cast("binary"))))).as("h"))
-          .persist()
+          .pipelineCache()
         val counts = wins.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("n_docs"))
         // wins stays persisted across its two consumers (counts + join);
@@ -1098,7 +1099,7 @@ object DedupQueries {
         val isEval = col("doc_id") % DecontamEvalMod === 0
         val withSh = decontamShingled(s, dir)
         val evalGrams = withSh.filter(isEval)
-          .select(explode(col("sh")).as("g")).distinct().persist()
+          .select(explode(col("sh")).as("g")).distinct().pipelineCache()
         val nEval = evalGrams.count()
         val bloom = s.sparkContext.broadcast(
           evalGrams.stat.bloomFilter("g", math.max(1000L, nEval), 0.01))
@@ -1201,7 +1202,7 @@ object DedupQueries {
       val e = Tables.rebalance(Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), Text.asDouble(col("embedding")).as("v")))
         .withColumn("nrm", Text.norm(col("v")))
-        .persist()
+        .pipelineCache()
       val n = e.count()
       val pairs = if (n <= NearDupBruteMax)
         embeddingPairsBrute(e) else embeddingPairsLsh(e, n)
@@ -1256,7 +1257,7 @@ object DedupQueries {
         concat_ws(":", lit(b),
           Text.hyperplaneBandKey(col("v"), b, bits, dims, center))): _*)
         .as("bks"))
-      .persist()
+      .pipelineCache()
     val banded = keyed.select(col("vec_id"), explode(col("bks")).as("bk"))
     val hot = banded.groupBy(col("bk"))
       .agg(count(lit(1)).as("bsz"))

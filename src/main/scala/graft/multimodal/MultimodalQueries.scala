@@ -153,9 +153,13 @@ object MultimodalQueries {
         // exact integer quantization: (count * 16) div n — `div` keeps
         // both engines in integer arithmetic (a double floor() can land
         // one below at exact multiples)
+        // greatest(n, 1) guards the zero-length payload: real ingests
+        // carry zero-byte media files, and under ANSI mode a 0 divisor
+        // would fail the whole query; empty payloads quantize to all
+        // zeros and dedup together, which is the behavior you want.
         val quant = concat_ws(",", digits.map(d => expr(
           s"CAST(CAST(length(hi) - length(replace(hi, '$d', '')) AS BIGINT)" +
-            s" * 16 div length(hi) AS BIGINT)")): _*)
+            s" * 16 div greatest(length(hi), 1) AS BIGINT)")): _*)
         val fp = m.select(col("media_id"), col("mime"),
           md5(col("hx")).as("exact_fp"), md5(quant).as("phash"))
         val we = Window.partitionBy(col("exact_fp"))
@@ -176,7 +180,8 @@ object MultimodalQueries {
       Some {
         val digits = "0123456789ABCDEF"
         val counts = digits.map(d =>
-          s"(length(hi) - length(replace(hi, '$d', ''))) * 16 // length(hi)")
+          s"(length(hi) - length(replace(hi, '$d', ''))) * 16" +
+            s" // greatest(length(hi), 1)")
           .mkString(", ")
         s"""WITH m AS (
         SELECT doc_id AS media_id,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
+import graft.core.Caches.PipelineCacheOps
 import graft.sources.Tables
 
 /** Profiling queries registered with the driver harness. Double-typed
@@ -248,7 +249,7 @@ object ProfileQueries {
                 col(c).cast("long").as("v"))
           }
           .reduce(_ unionByName _)
-          .filter(col("v").isNotNull).distinct().persist()
+          .filter(col("v").isNotNull).distinct().pipelineCache()
         val sizes = dv.groupBy(col("col_name")).agg(count(lit(1)).as("n"))
         val inter = dv.select(col("col_name").as("col_a"), col("v"))
           .join(dv.select(col("col_name").as("col_b"), col("v")), "v")
@@ -337,7 +338,7 @@ object ProfileQueries {
           .select(col("col_name"), posexplode(
             array((1 to K).map(i => col(s"m$i")): _*)).as(Seq("i0", "m")))
           .select(col("col_name"), (col("i0") + 1).as("i"), col("m"))
-          .persist()
+          .pipelineCache()
         val card = longSigs.groupBy(col("col_name"))
           .agg(sum(col("m")).as("sm"))
           .select(col("col_name"),
@@ -575,7 +576,7 @@ object ProfileQueries {
           .reduce(_ unionByName _)
         val stats = melted.groupBy(col("c")).agg(
           count(lit(1)).as("n"), min(col("v")).as("mn"),
-          max(col("v")).as("mx")).persist()
+          max(col("v")).as("mx")).pipelineCache()
         val qlits = explode(array(QuantileQs.map(lit): _*)).as("q")
         val targets = stats.select(col("c"), col("n"), col("mn"),
             col("mx"), qlits)

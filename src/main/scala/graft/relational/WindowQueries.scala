@@ -475,10 +475,15 @@ object WindowQueries {
         val st = o.agg(min(col("o_totalprice")).as("mn"),
           max(col("o_totalprice")).as("mx")).head()
         // empty input: min/max are null — the skyline of nothing is
-        // nothing (and getDouble would NPE)
+        // nothing (and reading the number would NPE). getAs[Number]
+        // rather than getDouble: this repo's parquet stores
+        // o_totalprice as double, but canonical TPC-H data types it
+        // DECIMAL(15,2), and the bucket bounds only need double
+        // precision either way.
         val (mn, mx) =
           if (st.isNullAt(0)) (0.0, 0.0)
-          else (st.getDouble(0), st.getDouble(1))
+          else (st.getAs[Number](0).doubleValue(),
+            st.getAs[Number](1).doubleValue())
         val bucketed = o.withColumn("b",
           if (mx == mn) lit(0L)
           else least(floor((col("o_totalprice") - mn) / ((mx - mn) / nb))

@@ -18,9 +18,11 @@ import graft.sources.Tables
   * stream computes the same answer as the warehouse would".
   *
   * Scale notes (the reason each shape is 100-TB-safe):
-  *  - st1: windowed aggregation state is O(#windows × #event_types),
-  *    independent of stream length; sums are decimal-accumulated so the
-  *    answer is batch-identical regardless of micro-batch boundaries.
+  *  - st1: watermarked append-mode windowed aggregation — state is
+  *    OPEN day windows only (O(#event_types × 1-2 days), bounded by
+  *    the watermark, independent of stream lifetime); closed days emit
+  *    exactly once; sums are decimal-accumulated so the answer is
+  *    batch-identical regardless of micro-batch boundaries.
   *  - st2: `session_window` keeps state per OPEN session only; the
   *    watermark closes and emits sessions exactly once (append mode).
   *    Emission is watermark-gated, so the oracle filters to sessions
@@ -97,6 +99,23 @@ object StreamingQueries {
     * construction (an eval suite, not a corpus), so collecting its
     * distinct n-grams into a broadcast is the same static-side-as-
     * driver-constant move st6 makes with the centroid index. */
+  /** st1 stream side (exposed for the state-contract spec): the daily
+    * rollup as a WATERMARKED append-mode windowed aggregation. The
+    * 0-second watermark tracks max event time, so a day window closes
+    * (emits once, state row evicted) as soon as a later-day event
+    * arrives; state at any instant is the OPEN windows only —
+    * O(#event_types × 1-2 days) regardless of how long the stream has
+    * been running. */
+  private[streaming] def st1Stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    streamTable(s, dir, "events")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), money($"value").as("sum_value"))
+      .select($"window.start".cast("date").as("day"), $"event_type",
+        $"n_events", $"sum_value")
+  }
+
   private[streaming] def st5Stream(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.DedupQueries.DecontamN
     import graft.text.Text
@@ -249,20 +268,31 @@ object StreamingQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
-    // ---- st1: streaming daily event rollup (complete-mode windowed agg)
+    // ---- st1: streaming daily event rollup — watermarked APPEND mode
+    // (st9's pattern). State = open day windows only (types × 1-2
+    // days), so state is bounded by the watermark and independent of
+    // stream LIFETIME — the previous complete-mode form kept one state
+    // row per (day, type) forever and re-emitted the whole result
+    // table every trigger. Each closed day emits exactly once; the
+    // oracle mirrors the emission gate (the final partial day stays
+    // open and is not emitted — st2/st9's gate semantics).
     "st1_stream_event_rollup" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        val out = streamTable(s, dir, "events")
-          .groupBy(window($"ts", "1 day"), $"event_type")
-          .agg(count(lit(1)).as("n_events"), money($"value").as("sum_value"))
-          .select($"window.start".cast("date").as("day"), $"event_type",
-            $"n_events", $"sum_value")
-        runStream(out, "complete")
+        runStream(st1Stream(s, dir), "append")
+          .orderBy(col("day"), col("event_type"))
       },
-      Some("""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
-        round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+      Some("""WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+          round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2)
+            AS sum_value
+        FROM events GROUP BY 1, 2
+      )
+      SELECT day, event_type, n_events, sum_value FROM d
+      -- emission gate: only day windows the final watermark (max ts)
+      -- closed are emitted; the last partial day stays open
+      WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <=
+        (SELECT max(ts) FROM events)
+      ORDER BY day, event_type""")),
 
     // ---- st2: streaming sessionization (session_window, append mode,
     // watermark-gated emission). The oracle mirrors BOTH semantics that

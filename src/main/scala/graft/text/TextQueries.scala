@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
+import graft.core.Caches.PipelineCacheOps
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -587,7 +588,7 @@ object TextQueries {
         // vocab-sized count table persists; the corpus-total scalar
         // comes from it (one corpus pass, not two), O(1) driver state
         val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
-          .persist()
+          .pipelineCache()
         val total = Option(wc.agg(sum(col("c"))).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L) // null on empty corpus
         words.join(wc, "word")
@@ -652,7 +653,7 @@ object TextQueries {
         // whole explode chain; the bench releases caches at group
         // boundaries instead
         val perDoc = grams.groupBy(col("doc_id"), col("lang"), col("b"))
-          .agg(count(lit(1)).as("n")).persist()
+          .agg(count(lit(1)).as("n")).pipelineCache()
         val bc = perDoc.groupBy(col("b"))
           .agg(sum(col("n")).as("raw_n"),
             sum(when(col("lang") === DsirTargetLang, col("n"))
@@ -744,7 +745,7 @@ object TextQueries {
         // per-(doc, gram) occurrence counts: one map-side-combined agg
         // feeding both the model build (train rows) and the score pass
         val pg = bi.groupBy(col("doc_id"), col("lang"), col("g"))
-          .agg(count(lit(1)).as("n")).persist()
+          .agg(count(lit(1)).as("n")).pipelineCache()
         val cb = pg.filter(col("lang") === LmTrainLang)
           .groupBy(col("g")).agg(sum(col("n")).as("cb"))
         val cu = cb
@@ -853,7 +854,7 @@ object TextQueries {
           .select(col("doc_id"), col("source"),
             explode(Text.wordShinglesAll(col("w"), BoilerN)).as("g"))
           .groupBy(col("doc_id"), col("source"), col("g"))
-          .agg(count(lit(1)).as("n")).persist()
+          .agg(count(lit(1)).as("n")).pipelineCache()
         val boiler = pg.groupBy(col("source"), col("g"))
           .agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= BoilerMinDocs)

@@ -13,16 +13,49 @@ class StreamingQueriesSpec extends SparkSpec {
   private def run(name: String) =
     graft.SparkEntry.queries(name)(spark, sf)
 
-  test("st1 streaming daily rollup equals the batch aggregation") {
+  test("st1 streaming daily rollup equals the gated batch aggregation") {
     val streamed = run("st1_stream_event_rollup")
       .orderBy("day", "event_type").collect().toSeq
-    val batch = graft.sources.Tables.table(spark, sf, "events")
+    val events = graft.sources.Tables.table(spark, sf, "events")
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(25,6)")).cast("double"), 2)
           .as("sum_value"))
+      // emission gate: only days the final watermark (max ts) closed
+      .filter(date_add(col("day"), 1).cast("timestamp") <= lit(maxTs))
       .orderBy("day", "event_type").collect().toSeq
-    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("st1 state contract: append mode, state bounded by the watermark " +
+      "(open windows only), closed days emitted exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamingQueries.st1Stream(spark, sf)
+      .writeStream.format("memory").queryName("st1_state_contract")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val stateOps = q.recentProgress.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "st1 is a windowed agg — expects state")
+      assert(stateOps.forall(_.operatorName == "stateStoreSave"),
+        s"unexpected state operators: ${stateOps.map(_.operatorName).toSet}")
+      val nTypes = graft.sources.Tables.table(spark, sf, "events")
+        .select(col("event_type")).distinct().count()
+      // after the final no-data batch the watermark sits at max ts:
+      // every closed day's row was EVICTED on emit; remaining state is
+      // open windows only — at most the final partial day per type
+      // (2× slack for a window straddling the watermark)
+      val lastTotal = q.recentProgress.last.stateOperators.map(_.numRowsTotal).sum
+      assert(lastTotal <= nTypes * 2,
+        s"state not watermark-bounded: $lastTotal rows for $nTypes types")
+      // closed days emit exactly once across all micro-batches
+      val out = spark.table("st1_state_contract")
+      assert(out.count() ===
+        out.select(col("day"), col("event_type")).distinct().count(),
+        "a (day, type) window emitted more than once")
+    } finally q.stop()
   }
 
   test("st2 emits exactly the sessions the final watermark closed") {
