@@ -158,6 +158,9 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
     }
   } catch {
     case _: NumberFormatException => err(ex, 400, "ids must be integers")
+    // malformed request bodies (Json.Malformed et al) are the CLIENT's
+    // error: 400 with the parse diagnostic, never a 500
+    case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
     case e: NoSuchElementException => err(ex, 404, e.getMessage)
     case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
   }

@@ -18,15 +18,95 @@ object Json {
       case c => c.toString
     } + "\""
 
-  /** Parse a flat JSON object's string fields: {"k":"v", ...} ->
-    * Map(k -> unescaped v). Non-string fields and nesting are ignored —
-    * the service transports (meta sidecars, HTTP bodies) are flat
-    * string-field objects by contract. */
+  /** A request body that is not the contracted flat JSON object. The
+    * HTTP layer maps this to 400 (client error), never 500. */
+  final class Malformed(msg: String, at: Int)
+    extends IllegalArgumentException(s"malformed JSON at offset $at: $msg")
+
+  /** Parse a flat JSON object: {"k":"v","n":1,...} -> Map(k -> value
+    * text, string values unescaped). The HTTP transport is flat
+    * scalar-field objects BY CONTRACT, and this parser enforces it:
+    * nested objects/arrays, unterminated strings, bad escapes, missing
+    * separators, and trailing garbage all throw [[Malformed]] with the
+    * offending offset — an untrusted body can produce a 400, never a
+    * 500 or a silently misread field (the previous regex scan would
+    * lift `"a":"b"` out of a NESTED object as if it were top-level).
+    * Non-string scalars (numbers, booleans, null) are returned as their
+    * literal text. */
   def parseFlat(s: String): Map[String, String] = {
-    val re = """"(\w+)":\s*"((?:[^"\\]|\\.)*)"""".r
-    re.findAllMatchIn(s)
-      .map(m => m.group(1) -> unescape(m.group(2)))
-      .toMap
+    var i = 0
+    def fail(msg: String): Nothing = throw new Malformed(msg, i)
+    def ws(): Unit =
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') {
+          if (i + 1 >= s.length) fail("truncated escape")
+          s.charAt(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'b' => sb += '\b'; i += 2
+            case 'f' => sb += '\f'; i += 2
+            case '"' | '\\' | '/' => sb += s.charAt(i + 1); i += 2
+            case 'u' =>
+              if (i + 6 > s.length) fail("truncated \\u escape")
+              val hex = s.substring(i + 2, i + 6)
+              if (!hex.forall(c => c.isDigit ||
+                  ('a' <= c.toLower && c.toLower <= 'f')))
+                fail(s"bad \\u escape '$hex'")
+              sb += Integer.parseInt(hex, 16).toChar; i += 6
+            case e => fail(s"unknown escape '\\$e'")
+          }
+        } else { sb += s.charAt(i); i += 1 }
+      }
+      if (i >= s.length) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    def scalar(): String = {
+      ws()
+      if (i >= s.length) fail("missing value")
+      s.charAt(i) match {
+        case '"' => string()
+        case '{' | '[' => fail("nested objects/arrays not allowed " +
+          "(flat scalar-field object contract)")
+        case _ =>
+          val start = i
+          while (i < s.length && !",}".contains(s.charAt(i)) &&
+            !s.charAt(i).isWhitespace) i += 1
+          val lit = s.substring(start, i)
+          val ok = lit == "true" || lit == "false" || lit == "null" ||
+            lit.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?""")
+          if (!ok) { i = start; fail(s"not a JSON scalar: '$lit'") }
+          lit
+      }
+    }
+    expect('{')
+    val out = Map.newBuilder[String, String]
+    ws()
+    if (i < s.length && s.charAt(i) == '}') i += 1
+    else {
+      var more = true
+      while (more) {
+        val k = string()
+        expect(':')
+        out += k -> scalar()
+        ws()
+        if (i < s.length && s.charAt(i) == ',') { i += 1; ws() }
+        else { expect('}'); more = false }
+      }
+    }
+    ws()
+    if (i < s.length) fail("trailing content after object")
+    out.result()
   }
 
   /** Unescape the body of a JSON string literal in ONE left-to-right

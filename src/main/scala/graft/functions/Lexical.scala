@@ -244,26 +244,46 @@ object Lexical {
       * License/header lines (leading whitespace) are skipped.
       * Validation (single root, no cycles, defined parents) applies as
       * for [[parse]]. */
+    /** One tokenized WNDB data-file synset line: offset, member words
+      * (lowercased, underscores -> spaces), and the first hypernym /
+      * instance-hypernym pointer's target offset within the same POS,
+      * if any. */
+    final case class WndbSynset(offset: String, words: Seq[String],
+      hypernym: Option[String])
+
+    /** Tokenize the synset lines of any WNDB `data.<pos>` file
+      * (wninput(5WN) grammar): `offset lex_filenum ss_type w_cnt(hex)
+      * (word lex_id)+ p_cnt(dec) (ptr_symbol offset pos source_target)*
+      * [frames...] | gloss`. `ssTypes` is the accepted ss_type set
+      * (nouns "n"; verbs also tokenize — their trailing frames section
+      * sits after the pointers we read and before the gloss, so the
+      * same field walk applies). License/header lines (leading
+      * whitespace) are skipped. */
+    def parseWndbSynsets(lines: Iterator[String],
+        ssTypes: Set[String]): Seq[WndbSynset] = lines
+      .filter(l => l.nonEmpty && !l.charAt(0).isWhitespace)
+      .map { line =>
+        val f = line.split("\\|")(0).trim.split("\\s+")
+        require(ssTypes.contains(f(2)),
+          s"unexpected ss_type '${f(2)}' (wanted ${ssTypes.mkString("/")})")
+        val wCnt = Integer.parseInt(f(3), 16)
+        val words = (0 until wCnt)
+          .map(i => f(4 + 2 * i).toLowerCase.replace('_', ' '))
+        val pIdx = 4 + 2 * wCnt
+        val pCnt = f(pIdx).toInt
+        val hypernym = (0 until pCnt).map { j =>
+          val b = pIdx + 1 + 4 * j
+          (f(b), f(b + 1), f(b + 2))
+        }.collectFirst {
+          case (sym, off, pos)
+            if (sym == "@" || sym == "@i") && ssTypes.contains(pos) => off
+        }
+        WndbSynset(f(0), words, hypernym)
+      }.toSeq
+
     def parseWndbNoun(lines: Iterator[String]): Taxonomy = {
-      val synsets = lines
-        .filter(l => l.nonEmpty && !l.charAt(0).isWhitespace)
-        .map { line =>
-          val f = line.split("\\|")(0).trim.split("\\s+")
-          require(f(2) == "n", s"non-noun ss_type '${f(2)}' in data.noun")
-          val wCnt = Integer.parseInt(f(3), 16)
-          val words = (0 until wCnt)
-            .map(i => f(4 + 2 * i).toLowerCase.replace('_', ' '))
-          val pIdx = 4 + 2 * wCnt
-          val pCnt = f(pIdx).toInt
-          val hypernym = (0 until pCnt).map { j =>
-            val b = pIdx + 1 + 4 * j
-            (f(b), f(b + 1), f(b + 2))
-          }.collectFirst {
-            case (sym, off, pos) if (sym == "@" || sym == "@i") && pos == "n" =>
-              off
-          }
-          (f(0), words, hypernym)
-        }.toSeq
+      val synsets = parseWndbSynsets(lines, Set("n"))
+        .map(s => (s.offset, s.words, s.hypernym))
       val nameOf = synsets.map { case (off, ws, _) => off -> ws.head }.toMap
       val parent = synsets.flatMap { case (_, ws, h) =>
         h.flatMap(nameOf.get).filter(_ != ws.head).map(ws.head -> _)

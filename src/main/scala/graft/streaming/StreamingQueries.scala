@@ -56,16 +56,48 @@ object StreamingQueries {
     if (name == "events") Tables.normalizeEventsTs(src) else src
   }
 
-  /** Run `df` as a streaming query into a memory sink until all
-    * available input is processed (Trigger.AvailableNow, which also
-    * runs the final no-data batch that advances the watermark and
-    * flushes closed windows), then return the sink table. */
+  /** Run `df` as a streaming query until all available input is
+    * processed (Trigger.AvailableNow, which also runs the final
+    * no-data batch that advances the watermark and flushes closed
+    * windows), then return the sink contents.
+    *
+    * Sink selection: the default memory sink is the ORACLE harness —
+    * the driver reads the sink table and compares it to DuckDB, and at
+    * oracle scale results are tiny. But a memory sink collects the
+    * whole result into the driver, so at rehearsal scale (sf100: 60M
+    * sessions) it measures driver collection and maxResultSize walls,
+    * not the operator. `SPARK_GRAFT_STREAM_SINK=parquet` switches
+    * rehearsals to what production runs: foreachBatch writing each
+    * micro-batch to a scratch parquet dir (executor-side IO, nothing
+    * through the driver), returned as a plain parquet read. One-shot
+    * rehearsal JVMs leave the scratch dirs to /tmp cleanup. */
   private def runStream(df: DataFrame, mode: String): DataFrame = {
     val nm = s"graft_stream_${runId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(nm)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(nm)
+    val spark = df.sparkSession
+    // system property first so the sink-parity spec can flip it in-JVM
+    val sink = sys.props.get("graft.stream.sink")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_SINK"))
+    if (sink.contains("parquet")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_stream_$nm").toString
+      val write: (DataFrame, Long) => Unit = (batch, _) =>
+        batch.write.mode("append").parquet(dir)
+      val q = df.writeStream.foreachBatch(write)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // an empty stream never fires foreachBatch: no files → typed empty
+      val wrote = new java.io.File(dir).listFiles()
+        .exists(_.getName.endsWith(".parquet"))
+      if (wrote) spark.read.schema(df.schema).parquet(dir)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        df.schema)
+    } else {
+      val q = df.writeStream.format("memory").queryName(nm)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(nm)
+    }
   }
 
   private def dsum(c: org.apache.spark.sql.Column) =

@@ -110,4 +110,43 @@ class ServerSpec extends SparkSpec {
       assert(get(base, s"/v1.0/model/$modelId")._1 === 404)
     } finally server.stop()
   }
+
+  test("malformed request bodies get 400 with a parse diagnostic, never 500") {
+    val root = java.nio.file.Files.createTempDirectory("graft-http-bad").toString
+    val server = new GraftHttpServer(new GraftService(root), () => spark)
+    val port = server.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      val bad = Seq(
+        "nested object" -> """{"name":{"a":"b"},"dir":"/tmp"}""",
+        "nested array" -> """{"name":["a"],"dir":"/tmp"}""",
+        "truncated mid-string" -> """{"name":"x""",
+        "truncated mid-escape" -> """{"name":"x\""",
+        "truncated after colon" -> """{"name":""",
+        "unterminated object" -> """{"name":"x","dir":"/tmp"""",
+        "unknown escape" -> """{"name":"a\qb","dir":"/x"}""",
+        // built by concat: Scala pre-processes \u even in triple quotes
+        "bad unicode escape" -> ("""{"name":"""" + "\\" + """uZZZZ","dir":"/x"}"""),
+        "short unicode escape" -> ("""{"name":"""" + "\\" + "u12"),
+        "trailing garbage" -> """{"name":"x","dir":"/y"} extra""",
+        "not json at all" -> "hello",
+        "unquoted key" -> """{name:"x","dir":"/y"}""",
+        "bare scalar value" -> """{"name":nope}""",
+        "missing colon" -> """{"name" "x"}""",
+        "empty body" -> "")
+      for ((label, body) <- bad) {
+        val (code, resp) = post(base, "/v1.0/dataset", body)
+        assert(code === 400, s"$label: expected 400, got $code ($resp)")
+        assert(resp.contains("\"error\":"), s"$label: $resp")
+      }
+      // valid JSON, wrong shape: still the route's own 400, not a 500
+      assert(post(base, "/v1.0/dataset", "{}")._1 === 400)
+      assert(post(base, "/v1.0/dataset",
+        """{"dir":"/tmp","other":1}""")._1 === 400)
+      // valid scalars parse: numbers/bools/null tolerated, \u escapes ok
+      val (okCode, okBody) = post(base, "/v1.0/dataset",
+        """{"name":"Aok","n":1,"b":true,"x":null,"dir":"/tmp/ok","tables":""}""")
+      assert(okCode === 200 && okBody.contains("\"name\":\"Aok\""), okBody)
+    } finally server.stop()
+  }
 }

@@ -280,6 +280,23 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.values.exists(_._3 == 0L), "every day drifting at this sf")
   }
 
+  test("parquet rehearsal sink produces the memory sink's exact rows") {
+    // the rehearsal sink (foreachBatch -> scratch parquet) must be a
+    // pure harness swap: same rows, same schema, for a stateless query
+    // (st4) and a watermarked windowed agg (st1, exercises the
+    // emission gate through foreachBatch's per-batch appends)
+    for (name <- Seq("st4_stream_quality_scrub", "st1_stream_event_rollup")) {
+      val viaMemory = run(name).collect().toSeq
+      System.setProperty("graft.stream.sink", "parquet")
+      val viaParquet =
+        try run(name).collect().toSeq
+        finally System.clearProperty("graft.stream.sink")
+      assert(viaParquet.map(_.toString).sorted ===
+        viaMemory.map(_.toString).sorted, s"$name sink divergence")
+      assert(viaParquet.nonEmpty)
+    }
+  }
+
   /** The raw (uncapped) band keys of the delta docs — what each
     * arriving stream row computes locally. */
   private def graph8DeltaBanded(mod: Int) = {
