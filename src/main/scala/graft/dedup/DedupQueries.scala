@@ -1101,8 +1101,13 @@ object DedupQueries {
         val evalGrams = withSh.filter(isEval)
           .select(explode(col("sh")).as("g")).distinct().pipelineCache()
         val nEval = evalGrams.count()
+        // stat.bloomFilter over ZERO rows returns a filter with a null
+        // bit buffer (probe NPEs); an explicitly-empty filter keeps the
+        // no-eval-docs corpus on the fast no-hits path
         val bloom = s.sparkContext.broadcast(
-          evalGrams.stat.bloomFilter("g", math.max(1000L, nEval), 0.01))
+          if (nEval == 0)
+            org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+          else evalGrams.stat.bloomFilter("g", math.max(1000L, nEval), 0.01))
         val train = withSh.filter(!isEval).withColumn("bloom_hits",
           graft.functions.BloomMemberCount.countIn(col("sh"), bloom))
         val confirmed = train.filter(col("bloom_hits") > 0L)
@@ -1154,20 +1159,27 @@ object DedupQueries {
     "d16_corpus_diff" -> QueryDef(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
+        // presence flags, NOT fingerprint-nullness: md5(NULL text) is
+        // NULL, so a null-text doc present in both snapshots would
+        // read as "added" if classification keyed off the fp columns.
+        // The oracle classifies on the joined doc_id the same way.
         val oldFp = docs
           .filter(col("doc_id") % DiffMod =!= DiffAddSlot)
-          .select(col("doc_id"), md5(col("text")).as("old_fp"))
+          .select(col("doc_id"), md5(col("text")).as("old_fp"),
+            lit(1).as("in_old"))
         val newFp = docs
           .filter(col("doc_id") % DiffMod =!= DiffRemoveSlot)
           .select(col("doc_id"), md5(
             when(col("doc_id") % DiffChangeMod === DiffChangeSlot,
               concat(col("text"), lit(" rev2"))).otherwise(col("text")))
-            .as("new_fp"))
+            .as("new_fp"), lit(1).as("in_new"))
         oldFp.join(newFp, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
-            when(col("old_fp").isNull, "added")
-              .when(col("new_fp").isNull, "removed")
-              .when(col("old_fp") =!= col("new_fp"), "changed")
+            when(col("in_old").isNull, "added")
+              .when(col("in_new").isNull, "removed")
+              // null-safe: both fps NULL (null text both sides) is
+              // "unchanged", matching the oracle's <> three-valued CASE
+              .when(!(col("old_fp") <=> col("new_fp")), "changed")
               .otherwise("unchanged").as("status"))
           .orderBy(col("doc_id"))
       },

@@ -49,7 +49,10 @@ object Multimodal {
       .select(col("doc_id").as("media_id"),
         element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
           (col("doc_id") % 3 + 1).cast("int")).as("mime"),
-        encode(col("text"), "UTF-8").as("payload"))
+        // coalesce: a NULL-text doc is a zero-byte media file (real
+        // ingests have them), not a null payload the codec NPEs on;
+        // the mm oracles coalesce identically
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[(Long, String, Array[Byte])]
       .map { case (id, mime, payload) =>
         val d = StubCodec.decode(payload)

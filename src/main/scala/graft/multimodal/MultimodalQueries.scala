@@ -37,8 +37,8 @@ object MultimodalQueries {
       Some(s"""WITH m AS (
         SELECT doc_id AS media_id,
           ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
-          hex(encode(text)) AS hx,
-          octet_length(encode(text)) AS n
+          hex(encode(coalesce(text, ''))) AS hx,
+          octet_length(encode(coalesce(text, ''))) AS n
         FROM documents
       ), hashed AS (
         SELECT media_id, mime, hx, n,
@@ -86,7 +86,7 @@ object MultimodalQueries {
       // are doc_id % 3 == 2 (mime array index 3), frame i spans
       // [len*i/4, min(len, len*i/4 + max(1, len/4))) in integer division
       Some("""WITH v AS (
-        SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+        SELECT doc_id AS media_id, octet_length(encode(coalesce(text, ''))) AS len
         FROM documents WHERE doc_id % 3 = 2
       ), f AS (
         SELECT media_id, unnest(range(0, 4)) AS i, len
@@ -120,7 +120,7 @@ object MultimodalQueries {
       Some("""WITH m AS (
         SELECT doc_id AS media_id,
           ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
-          encode(text) AS p
+          encode(coalesce(text, '')) AS p
         FROM documents
       )
       SELECT media_id, mime,
@@ -186,7 +186,7 @@ object MultimodalQueries {
         s"""WITH m AS (
         SELECT doc_id AS media_id,
           ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
-          hex(encode(text)) AS hx
+          hex(encode(coalesce(text, ''))) AS hx
         FROM documents
       ), hi AS (
         SELECT media_id, mime, hx,

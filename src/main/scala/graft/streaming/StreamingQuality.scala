@@ -31,9 +31,11 @@ object StreamingQuality {
     docs
       .withColumn("w", Text.words(col("text")))
       .withColumn("n_words", size(col("w")).cast("long"))
+      // nullif mirrors DuckDB's NULL on length-0 division (ANSI Spark
+      // would throw on an empty doc) — see TextQueries.qualityFrame
       .withColumn("punct_ratio", round(
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-          .cast("double") / length(col("text")), 6))
+          .cast("double") / nullif(length(col("text")), lit(0)), 6))
       .withColumn("stop_ratio", round(
         expr(s"size(filter(w, x -> x IN ($stop)))").cast("double") /
           greatest(size(col("w")), lit(1)), 6))
@@ -41,7 +43,10 @@ object StreamingQuality {
         r6(least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
           (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
           least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3))
-      .withColumn("keep", (col("quality_score") >= MinQuality).cast("long"))
+      // when/otherwise, not a bare cast: a NULL score (null-text doc)
+      // must yield keep = 0 like the oracle's CASE, not keep = NULL
+      .withColumn("keep",
+        when(col("quality_score") >= MinQuality, 1L).otherwise(0L))
       .withColumn("scrubbed", Text.piiScrub(col("text")))
       .select(col("doc_id"), col("n_words"), col("quality_score"),
         col("keep"), col("scrubbed"))

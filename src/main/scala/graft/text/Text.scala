@@ -118,10 +118,14 @@ object Text {
   def bandKeys(mh: Column, bands: Int, rows: Int): Column =
     graft.functions.LshBandKeys.bandKeys(mh, bands, rows)
 
-  /** Exact Jaccard similarity of two distinct-element arrays. */
+  /** Exact Jaccard similarity of two distinct-element arrays. Two
+    * EMPTY sets (e.g. both docs shorter than the shingle width) are
+    * 0/0: DuckDB's division yields NULL there where ANSI Spark throws,
+    * so the union size is nullif-guarded to mirror the oracle — the
+    * pair then fails any `>= threshold` gate in both engines. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b))
+      nullif(size(array_union(a, b)).cast("double"), lit(0.0))
 
   /** First 8 md5 hex chars of a token as an unsigned 32-bit value —
     * the per-word hash feeding SimHash. */

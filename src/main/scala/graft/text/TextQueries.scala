@@ -86,15 +86,22 @@ object TextQueries {
     Tables.table(s, dir, "documents")
       .withColumn("w", Text.words(col("text")))
       .withColumn("n_words", size(col("w")).cast("long"))
+      // nullif mirrors DuckDB: length 0 divides to NULL there, where
+      // ANSI Spark would throw — an EMPTY doc gets a null punct_ratio
+      // in both engines (and least() skips the null identically in the
+      // score, so quality_score stays defined)
       .withColumn("punct_ratio", round(
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-          .cast("double") / length(col("text")), 6))
+          .cast("double") / nullif(length(col("text")), lit(0)), 6))
       .withColumn("stop_ratio", round(
         expr(s"size(filter(w, x -> x IN ($stop)))").cast("double") /
           greatest(size(col("w")), lit(1)), 6))
+      // nullif, not greatest: DuckDB's list_sum([]) is NULL, so a
+      // zero-word doc's mean_word_len is NULL there — the fold here is
+      // 0, and NULL-dividing it matches (0/NULL = NULL = NULL/1)
       .withColumn("mean_word_len", round(
         expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double") /
-          greatest(size(col("w")), lit(1)), 6))
+          nullif(size(col("w")), lit(0)), 6))
       .withColumn("quality_score",
         floor((least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
           (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
