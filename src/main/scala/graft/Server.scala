@@ -136,7 +136,7 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
         }
       case ("POST", "model" :: id :: "predict" :: Nil) =>
         queryParam(ex, "dataset") match {
-          case Some(ds) =>
+          case Some(ds) => try {
             val pred = svc.predictModel(spark(), id.toInt, ds.toInt)
             val cols = pred.columnPredictions
               .select("col_name", "predicted_label", "confidence")
@@ -151,6 +151,13 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
               s"""{"suggestion":${i + 1},"linkCost":${sug.scores.linkCost},"triples":[$triples]}"""
             }.mkString("[", ",", "]")
             respond(ex, 200, s"""{"predictions":$cols,"suggestions":$sugs}""")
+          } finally {
+            // a predict is a terminal unit of work: release the
+            // pipeline-stage caches (BaggedPrediction's bagged melt et
+            // al) so a long-lived server doesn't accumulate persisted
+            // frames until LRU eviction churn — the Caches contract
+            graft.core.Caches.release(spark())
+          }
           case None => err(ex, 400, "query param dataset required")
         }
 
@@ -158,9 +165,11 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
     }
   } catch {
     case _: NumberFormatException => err(ex, 400, "ids must be integers")
-    // malformed request bodies (Json.Malformed et al) are the CLIENT's
-    // error: 400 with the parse diagnostic, never a 500
-    case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
+    // malformed request bodies are the CLIENT's error: 400 with the
+    // parse diagnostic, never a 500. ONLY the dedicated body-parser
+    // type — a server-internal require()/Spark IllegalArgumentException
+    // must keep surfacing as 500, not masquerade as a client error
+    case e: Json.Malformed => err(ex, 400, String.valueOf(e.getMessage))
     case e: NoSuchElementException => err(ex, 404, e.getMessage)
     case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
   }

@@ -197,6 +197,9 @@ class GraftService(val rootDir: String,
       if (st != Octopus.Busy) // Busy = a concurrent train owns the record
         writeMeta(mdDir(modelId), "description" -> model.description,
           "state" -> st.toString, "created" -> model.created.toString)
+      // train complete = end of a unit of work: drop pipeline-stage
+      // caches so a long-lived server JVM doesn't accumulate them
+      Caches.release(spark)
     }(GraftService.dispatchEc)
     Octopus.Busy
   }

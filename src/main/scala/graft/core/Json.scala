@@ -59,7 +59,9 @@ object Json {
             case 'u' =>
               if (i + 6 > s.length) fail("truncated \\u escape")
               val hex = s.substring(i + 2, i + 6)
-              if (!hex.forall(c => c.isDigit ||
+              // ASCII hex ONLY: Character.isDigit also accepts e.g.
+              // Arabic-Indic digits, which parseInt(16) would tolerate
+              if (!hex.forall(c => ('0' <= c && c <= '9') ||
                   ('a' <= c.toLower && c.toLower <= 'f')))
                 fail(s"bad \\u escape '$hex'")
               sb += Integer.parseInt(hex, 16).toChar; i += 6

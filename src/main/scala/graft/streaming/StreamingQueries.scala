@@ -80,15 +80,20 @@ object StreamingQueries {
     if (sink.contains("parquet")) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_stream_$nm").toString
-      val write: (DataFrame, Long) => Unit = (batch, _) =>
-        batch.write.mode("append").parquet(dir)
+      // foreachBatch is AT-LEAST-ONCE: a micro-batch re-executed after
+      // a task/executor failure (plausible at rehearsal scale) must not
+      // double-append. Each batch overwrites its own batchId-keyed
+      // subdir, so a retry replaces its previous attempt — idempotent
+      // without a transactional sink
+      val write: (DataFrame, Long) => Unit = (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$dir/b$id")
       val q = df.writeStream.foreachBatch(write)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // an empty stream never fires foreachBatch: no files → typed empty
-      val wrote = new java.io.File(dir).listFiles()
-        .exists(_.getName.endsWith(".parquet"))
-      if (wrote) spark.read.schema(df.schema).parquet(dir)
+      // an empty stream never fires foreachBatch: no subdirs → typed empty
+      val wrote = new java.io.File(dir).listFiles().exists(_.isDirectory)
+      if (wrote) spark.read.schema(df.schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
       else spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         df.schema)

@@ -100,6 +100,13 @@ class ServerSpec extends SparkSpec {
       assert(cp === 200, bp)
       assert(bp.contains("\"predictions\":[") &&
         bp.contains("\"label\":") && bp.contains("\"suggestions\":["), bp)
+      // the predict handler is a terminal unit of work: it must leave
+      // NO persisted frames behind (Caches.release contract — without
+      // it, BaggedPrediction's bagged melt survives every call and a
+      // long-lived server accumulates cached frames until LRU churn)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"predict leaked persisted RDDs: ${spark.sparkContext
+          .getPersistentRDDs.values.map(_.name).mkString(", ")}")
 
       // error contract
       assert(get(base, "/v1.0/dataset/999")._1 === 404)
@@ -127,6 +134,10 @@ class ServerSpec extends SparkSpec {
         "unknown escape" -> """{"name":"a\qb","dir":"/x"}""",
         // built by concat: Scala pre-processes \u even in triple quotes
         "bad unicode escape" -> ("""{"name":"""" + "\\" + """uZZZZ","dir":"/x"}"""),
+        // Character.isDigit would accept these Arabic-Indic digits;
+        // the parser must insist on ASCII hex
+        "non-ascii digit unicode escape" ->
+          ("""{"name":"""" + "\\" + "u١٢٣٤" + """","dir":"/x"}"""),
         "short unicode escape" -> ("""{"name":"""" + "\\" + "u12"),
         "trailing garbage" -> """{"name":"x","dir":"/y"} extra""",
         "not json at all" -> "hello",
