@@ -197,7 +197,18 @@ object Bench {
     val totalR = math.round(total * 1000) / 1000.0
     val rounded = results.map { case (k, v) =>
       k -> (math.round(v * 1000).toDouble / 1000) }
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$Runs,"sf":"$sfDir","queries":${jmap(rounded)}}""")
+    val fullLine =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$Runs,"sf":"$sfDir","queries":${jmap(rounded)}}"""
+    //  4. stdout under `sbt runMain` can NEVER end with our line (sbt
+    //     appends "[success] Total time..." and prefixes "[info] "), so
+    //     a last-line parse of captured output structurally fails. The
+    //     same one-line summary therefore also goes to a fixed sibling
+    //     FILE, BENCH_SUMMARY.json, free of any log decoration — parse
+    //     that, or strip sbt prefixes from the tail.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json").toAbsolutePath,
+      fullLine + "\n")
+    println(fullLine)
     println(s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$Runs,"sf":"$sfDir","detail_file":"$file","top5":${jmap(collection.mutable.LinkedHashMap(top5: _*))}}""")
     spark.stop()
   }

@@ -26,8 +26,25 @@ import org.apache.spark.sql.functions._
   *    cross-replica cosine is noise while within-replica planted
   *    near-dups are preserved exactly.
   *
-  * Usage: ScaleUp <srcSfDir> <dstDir> [factor=10]. Refuses to write
-  * into /root/testdata (driver-owned, read-only).
+  * Skew mode (`ScaleUp <src> <dst> <factor> skew`) reshapes the
+  * replicas into the hot-key distribution a real web corpus has, so
+  * the cap-guarded operators (d2/d4/d14/t8/t13/q20/st8 hot-bucket and
+  * shard caps) can be rehearsed against the condition they exist for:
+  *  - one HOT document source holds ~half the corpus (replicas
+  *    factor/2.. get `source = "hot"`) — d4's (source, length-bucket)
+  *    blocks and t8's per-source packing see one giant group;
+  *  - every doc_id % 10 == 0 doc gets the SAME template text in every
+  *    replica (no marker): ~10% of the corpus is one identical
+  *    boilerplate cluster, so its shingles/minhash signatures/band
+  *    keys form the Zipf head (d2/d14/st8 hot band buckets, t13
+  *    boilerplate shingles, d1 one giant exact-dup group);
+  *  - one hot event_type: replicas factor/2.. collapse event_type to
+  *    'click', putting >50% of events on one group key (q20's salted
+  *    agg, the st rollups).
+  * Uniform mode stays byte-identical to the original generator.
+  *
+  * Usage: ScaleUp <srcSfDir> <dstDir> [factor=10] [skew]. Refuses to
+  * write into /root/testdata (driver-owned, read-only).
   */
 object ScaleUp {
 
@@ -35,6 +52,7 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     require(!dst.startsWith("/root/testdata"), "testdata is read-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -98,19 +116,38 @@ object ScaleUp {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * oS))
       .withColumn("l_partkey", col("l_partkey") + lit(i * pS))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * sS))), "lineitem")
-    write(reps(i => ev
-      .withColumn("event_id", col("event_id") + lit(i * eS))
-      .withColumn("user_id", col("user_id") + lit(i * uS))), "events")
+    write(reps { i =>
+      val base = ev
+        .withColumn("event_id", col("event_id") + lit(i * eS))
+        .withColumn("user_id", col("user_id") + lit(i * uS))
+      if (skew && i >= factor / 2)
+        base.withColumn("event_type", lit("click")) // the hot key
+      else base
+    }, "events")
+
+    // skew mode's shared boilerplate: the SAME text in every replica,
+    // long enough to clear min-length gates and produce full shingle /
+    // signature sets (the Zipf head every hot-bucket cap guards)
+    val template = ("spark scale corpus template sentence with common " +
+      "filter join group window order select table row data stream " +
+      "batch shuffle partition broadcast hash sort merge agg ") * 3
 
     write(reps { i =>
-      val base = doc.withColumn("doc_id", col("doc_id") + lit(i * dS))
-      if (i == 0) base else base
+      val keyed = doc.withColumn("doc_id", col("doc_id") + lit(i * dS))
+      val base = if (i == 0) keyed else keyed
         .withColumn("source", concat(col("source"), lit(s"_r$i")))
         .withColumn("text", expr(
           s"""array_join(transform(split(text, ' '),
              (w, j) -> CASE WHEN j % 3 = 2 THEN concat(w, ' zq$i')
                        ELSE w END), ' ')"""))
         .withColumn("n_chars", length(col("text")).cast("long"))
+      if (!skew) base
+      else base
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, lit(template)).otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source",
+          if (i >= factor / 2) lit("hot") else col("source"))
     }, "documents")
 
     write(reps { i =>
