@@ -1,6 +1,11 @@
 #!/usr/bin/env python3
 """Dev-only: build the adversarial text fixture at /tmp/adversarial.
 
+NOTE: the committed regression gate for this corpus is
+src/test/scala/graft/AdversarialParitySpec.scala, which rebuilds the
+same 30 docs in-JVM and pins the DuckDB-parity rows — keep the two
+literals in sync if docs are added here.
+
 The synthetic corpus is clean ASCII with no null/empty docs, so the
 text/dedup/streaming families' DuckDB parity has never been exercised
 against the inputs a real ingest throws at a tokenizer: null text,
