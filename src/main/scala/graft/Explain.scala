@@ -14,6 +14,16 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // `counts` mode: one line per query with its shuffle/broadcast
+    // operator counts from the initial physical plan — the generator
+    // for PlanBudgetSpec's pinned shuffle budgets
+    if (args.headOption.contains("counts")) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        val (s, b) = Explain.exchangeCounts(fn(spark, sfDir))
+        println(s"""COUNT $n shuffles=$s broadcasts=$b""")
+      }
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q5_nation_revenue")
     names.foreach { n =>
@@ -21,5 +31,18 @@ object Explain {
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
+  }
+
+  /** (shuffle exchanges, broadcast exchanges) in a frame's initial
+    * physical plan. */
+  def exchangeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) =
+    exchangeCounts(df.queryExecution.executedPlan.toString)
+
+  /** Same, from an already-rendered plan string (lets plan-invariant
+    * specs share one planning sweep across several gates). */
+  def exchangeCounts(plan: String): (Int, Int) = {
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    val shuffles = "Exchange".r.findAllIn(plan).size - broadcasts
+    (shuffles, broadcasts)
   }
 }

@@ -1,13 +1,34 @@
 package graft
 
-/** Global plan invariant over EVERY harness query: no cartesian product
-  * or broadcast-nested-loop join reaches a physical plan unless the
-  * query is on the explicit whitelist of deliberate small-side scans.
-  * This is the "would it survive 100×?" guard in executable form — a
-  * new operator that accidentally plans an all-pairs join fails here
-  * before any bench or driver run sees it. */
+/** Global plan invariants over EVERY harness query — the "would it
+  * survive 100×?" guard in executable form. Three gates over one
+  * shared planning sweep:
+  *
+  *  1. no cartesian / broadcast-nested-loop join outside the explicit
+  *     whitelist (an accidental all-pairs join fails here before any
+  *     bench or driver run sees it);
+  *  2. per-query SHUFFLE BUDGETS: the number of shuffle exchanges in
+  *     the initial physical plan is pinned (regenerate with
+  *     `sbt "runMain graft.Explain counts"`) — a lost broadcast, an
+  *     accidental repartition, or a de-optimized rewrite shows up as a
+  *     budget breach, the shuffle-regression analogue of gate 1;
+  *  3. joins whose small side MUST broadcast at catalog scale (dims,
+  *     eval sets, centroid tables) actually plan a BroadcastExchange.
+  *
+  * Budgets are ORDER-SENSITIVE through Materialize: queries are
+  * planned in sorted-name order, matching the Explain counts run, so
+  * shared stages are built by the same first consumer in both.
+  */
 class GlobalPlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
+
+  /** One planning sweep shared by all gates (sorted order — see
+    * scaladoc). Streaming queries EXECUTE on access (the returned
+    * frame is the sink read), so their strings gate only test 1. */
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
 
   /** Queries allowed an all-pairs operator, each with a reason. */
   private val whitelist: Map[String, String] = Map(
@@ -33,15 +54,161 @@ class GlobalPlanSpec extends SparkSpec {
       "never data-proportional"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        val bad = plan.contains("CartesianProduct") ||
-          plan.contains("BroadcastNestedLoopJoin")
-        if (bad && !whitelist.contains(name)) Some(name) else None
-    }
+    val offenders = plans.collect { case (name, plan)
+      if (plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")) &&
+        !whitelist.contains(name) => name }
     assert(offenders.isEmpty,
       s"unlisted all-pairs joins in: ${offenders.mkString(", ")} — " +
         "either fix the plan or whitelist with a written reason")
+  }
+
+  /** Pinned shuffle-exchange counts per query (initial physical plan,
+    * sf0.001, shuffle.partitions=4 — the SparkSpec session).
+    * Regenerate after an intentional plan change with
+    * `sbt "runMain graft.Explain counts"`. st* excluded: their
+    * returned frame is the sink read, not the streaming plan. */
+  private val shuffleBudget: Map[String, Int] = Map(
+    "d10_substring_windows" -> 6,
+    "d11_semantic_dedup" -> 4,
+    "d12_fuzzy_decontamination" -> 3,
+    "d13_cluster_canonical" -> 3,
+    "d14_incremental_dedup" -> 6,
+    "d15_bloom_decontamination" -> 5,
+    "d16_corpus_diff" -> 3,
+    "d1_exact_dedup" -> 2,
+    "d2_minhash_lsh" -> 1,
+    "d3_simhash" -> 2,
+    "d4_ngram_jaccard" -> 3,
+    "d5_embedding_neardup" -> 0,
+    "d6_dup_clusters" -> 4,
+    "d7_decontamination" -> 3,
+    "d8_leakage_safe_split" -> 2,
+    "d9_embedding_clusters" -> 7,
+    "e1_training_pipeline" -> 6,
+    "g1_semantic_models" -> 1,
+    "g2_alignment_graph" -> 1,
+    "g3_model_evaluation" -> 0,
+    "m10_lexical_features" -> 2,
+    "m1_knn_name_features" -> 2,
+    "m2_min_class_distance" -> 2,
+    "m3_char_cosine_features" -> 11,
+    "m4_semantic_type_predictions" -> 1,
+    "m5_resample_counts" -> 6,
+    "m6_matcher_eval" -> 3,
+    "m7_pairwise_features" -> 5,
+    "m8_bagged_predictions" -> 51,
+    "m9_word_tf" -> 4,
+    "mm1_media_features" -> 1,
+    "mm2_frame_samples" -> 1,
+    "mm3_resized" -> 1,
+    "mm4_media_dedup" -> 3,
+    "p10_column_correlation" -> 1,
+    "p11_quantile_profile" -> 8,
+    "p12_key_discovery" -> 2,
+    "p1_profile_customer" -> 9,
+    "p2_profile_documents" -> 9,
+    "p3_profile_orders" -> 9,
+    "p4_numeric_stats" -> 2,
+    "p5_inferred_types" -> 4,
+    "p6_profile_part" -> 9,
+    "p7_inclusion_deps" -> 6,
+    "p8_inclusion_deps_approx" -> 8,
+    "p9_functional_deps" -> 36,
+    "q10_customers_without_final_orders" -> 1,
+    "q11_nations_cust_and_supp" -> 2,
+    "q12_events_daily" -> 3,
+    "q13_events_props" -> 2,
+    "q14_orders_by_month" -> 2,
+    "q15_part_type_volume" -> 2,
+    "q16_event_deltas" -> 2,
+    "q17_moving_avg" -> 2,
+    "q18_priority_count" -> 2,
+    "q19_rollup_revenue" -> 2,
+    "q1_pricing_summary" -> 2,
+    "q20_salted_agg" -> 3,
+    "q21_approx_distinct" -> 2,
+    "q22_asof_join" -> 2,
+    "q23_range_join" -> 3,
+    "q24_sessionize" -> 2,
+    "q25_bucketed_join" -> 2,
+    "q26_partition_pruned" -> 2,
+    "q27_percentiles" -> 2,
+    "q28_pivot" -> 3,
+    "q29_latest_snapshot" -> 2,
+    "q2_filter_project" -> 1,
+    "q30_cube" -> 2,
+    "q31_grouping_sets" -> 2,
+    "q32_skyline" -> 5,
+    "q3_top_customers" -> 1,
+    "q5_nation_revenue" -> 2,
+    "q6_revenue_delta" -> 1,
+    "q7_distinct_parts" -> 3,
+    "q8_window_top_orders" -> 2,
+    "q9_customers_with_open_orders" -> 1,
+    "s1_ann_bruteforce" -> 2,
+    "s2_ann_lsh" -> 3,
+    "s3_ann_ivf" -> 4,
+    "s4_kmeans_embeddings" -> 3,
+    "s5_ann_ivf_kmeans" -> 8,
+    "s6_ann_pq" -> 6,
+    "s7_ann_ivfadc" -> 13,
+    "s8_knn_graph" -> 2,
+    "t10_word_rarity" -> 4,
+    "t11_importance_weights" -> 11,
+    "t12_lm_perplexity" -> 11,
+    "t13_boilerplate" -> 7,
+    "t1_token_stats" -> 2,
+    "t2_quality_scores" -> 1,
+    "t3_lang_id" -> 2,
+    "t4_fingerprints" -> 1,
+    "t5_pii_scrub" -> 1,
+    "t6_repetition" -> 5,
+    "t7_mixture_sample" -> 2,
+    "t8_sequence_pack" -> 2,
+    "t9_gopher_rules" -> 1)
+
+  test("no query exceeds its pinned shuffle budget") {
+    val breaches = plans.flatMap { case (name, plan) =>
+      shuffleBudget.get(name).flatMap { budget =>
+        val (shuffles, _) = Explain.exchangeCounts(plan)
+        if (shuffles > budget) Some(s"$name: $shuffles > $budget") else None
+      }
+    }
+    assert(breaches.isEmpty,
+      s"shuffle budget breaches: ${breaches.mkString("; ")} — a lost " +
+        "broadcast or accidental repartition; if the new plan is " +
+        "intentional, regenerate budgets with `runMain graft.Explain counts`")
+    // every non-streaming query must carry a budget (a new operator
+    // without one silently escapes the gate)
+    val unbudgeted = plans.map(_._1)
+      .filterNot(n => n.startsWith("st") || shuffleBudget.contains(n))
+    assert(unbudgeted.isEmpty, s"queries without a shuffle budget: " +
+      s"${unbudgeted.mkString(", ")}")
+  }
+
+  /** Joins whose small side (dims, broadcast eval/centroid tables)
+    * must stay broadcast — a sort-merge fallback here means a full
+    * fact-table shuffle at 100 TB. */
+  private val mustBroadcast = Seq(
+    "q5_nation_revenue",   // customer/supplier/nation/region dims
+    "q3_top_customers",    // customer dim into the orders agg
+    "q11_nations_cust_and_supp", // nation dim
+    "q15_part_type_volume",      // part dim
+    "d7_decontamination",  // broadcast eval n-gram set
+    "d12_fuzzy_decontamination", // broadcast eval band keys
+    "d11_semantic_dedup",  // broadcast k-means centroids
+    "s3_ann_ivf",          // broadcast centroid table
+    "t10_word_rarity",     // broadcast corpus-rarity vocabulary head
+    "e1_training_pipeline") // broadcast eval set inside the ledger
+
+  test("small-side joins stay broadcast") {
+    val byName = plans.toMap
+    val fallbacks = mustBroadcast.filterNot(n =>
+      byName(n).contains("BroadcastExchange") ||
+        byName(n).contains("BroadcastQueryStage"))
+    assert(fallbacks.isEmpty,
+      s"expected broadcast joins fell back to shuffle in: " +
+        s"${fallbacks.mkString(", ")}")
   }
 }
