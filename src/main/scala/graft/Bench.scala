@@ -81,7 +81,7 @@ object Bench {
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",
       "st5_stream_decontaminate", "st6_stream_semantic_flag",
       "st7_stream_fuzzy_flag", "st8_stream_incremental_dedup",
-      "st9_stream_drift_monitor"))
+      "st9_stream_drift_monitor", "st10_stream_pipeline_admission"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

@@ -303,6 +303,83 @@ object StreamingQueries {
       .select(col("doc_id"), col("old_doc"))
   }
 
+  /** st10 stream side (exposed for the state-contract spec): the
+    * composed pipeline's streaming ADMISSION front — e1's per-doc
+    * ledger for continuously-arriving delta docs, every stage reusing
+    * the standalone operator's kernel:
+    *
+    *  - quality: t2's shared scorer ([[graft.text.TextQueries.qualityOf]])
+    *    as a row-local projection, gated at e1's
+    *    [[graft.pipeline.PipelineQueries.PipelineMinQuality]];
+    *  - exact-dup admission: e1/d1's normalized-text fingerprint,
+    *    probed against the EXISTING corpus's materialized distinct-fp
+    *    index via a stateless stream-static left join — d14/st8's
+    *    admission shape (the index is the persisted artifact a
+    *    production job probes; it cannot broadcast at 100 TB, the
+    *    join shuffles 16-byte fps only);
+    *  - decontamination: st5's row-local native SetMemberCount probe
+    *    against the broadcast eval n-gram set (benchmark-sized by
+    *    construction; st's denser [[StreamEvalMod]] eval subset);
+    *  - split + admit: e1's row-local hash split and keep rule.
+    *
+    * No watermark, no state store, no stream-side aggregation: append
+    * mode, O(doc) work per arrival at any stream lifetime. Delta-vs-
+    * delta dups are batch d1/d14's job on the next snapshot — the
+    * flag-now/resolve-later split st6/st7/st8 use. */
+  private[streaming] def st10Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.{DecontamN, DeltaMod,
+      SplitTrainFrac, SplitValFrac}
+    import graft.pipeline.PipelineQueries.PipelineMinQuality
+    import graft.text.{Text, TextQueries}
+    val isDelta = col("doc_id") % DeltaMod === 0
+    val isEval = col("doc_id") % StreamEvalMod === 0
+    def norm(c: org.apache.spark.sql.Column) = trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    // persisted corpus fingerprint index (distinct fps of non-delta
+    // docs) — materialized once like d14's band index
+    val fpIndex = graft.core.Materialize(s, s"st10-fps|$dir") {
+      Tables.table(s, dir, "documents")
+        .filter(col("doc_id") % DeltaMod =!= 0)
+        .select(md5(norm(col("text"))).as("fp"))
+        .filter(col("fp").isNotNull).distinct()
+    }.withColumn("hit", lit(1L))
+    // broadcast eval n-gram set — st5's static side (same persist
+    // barrier rationale; see st5Stream)
+    val evalSh = Tables.rebalance(
+        Tables.table(s, dir, "documents").filter(isEval))
+      .select(Text.wordShingles(
+        Text.words(col("text")), DecontamN).as("sh"))
+      .persist()
+    val evalGrams: Array[String] =
+      try evalSh.select(explode(col("sh")).as("g"))
+        .distinct().collect().map(_.getString(0))
+      finally evalSh.unpersist()
+    val bc = s.sparkContext.broadcast(evalGrams)
+    val u = (conv(substring(md5(col("fp").cast("binary")), 1, 15),
+      16, 10).cast("long") % 1000L).cast("double") / 1000.0
+    TextQueries.qualityOf(
+        streamTable(s, dir, "documents").filter(isDelta && !isEval)
+          .repartition(s.sparkContext.defaultParallelism))
+      .withColumn("passed_quality",
+        when(col("quality_score") >= PipelineMinQuality, 1L).otherwise(0L))
+      .withColumn("fp", md5(norm(col("text"))))
+      .withColumn("contaminated",
+        (graft.functions.SetMemberCount.countIn(
+          Text.wordShingles(col("w"), DecontamN), bc) > 0L).cast("long"))
+      .withColumn("split",
+        when(u < SplitTrainFrac, "train")
+          .when(u < SplitTrainFrac + SplitValFrac, "val")
+          .otherwise("test"))
+      .join(fpIndex, Seq("fp"), "left_outer")
+      .withColumn("is_exact_dup", coalesce(col("hit"), lit(0L)))
+      .withColumn("admit",
+        (col("passed_quality") === 1L && col("is_exact_dup") === 0L &&
+          col("contaminated") === 0L).cast("long"))
+      .select(col("doc_id"), col("quality_score"), col("passed_quality"),
+        col("is_exact_dup"), col("contaminated"), col("split"),
+        col("admit"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- st1: streaming daily event rollup — watermarked APPEND mode
@@ -614,6 +691,63 @@ object StreamingQueries {
       -- (max ts) closed are emitted; the last partial day stays open
       WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <=
         (SELECT max(ts) FROM events)
-      ORDER BY day, event_type"""))
+      ORDER BY day, event_type""")),
+
+    // ---- st10: streaming pipeline admission — e1's composed ledger
+    //      as a continuous-ingest front (see [[st10Stream]] for the
+    //      per-stage scale contract). The oracle composes the SAME
+    //      shared SQL pieces e1's oracle composes (t2's quality CTE,
+    //      d1's normalized fingerprint, d7/st5's shingle containment,
+    //      d8's hash split), restricted to delta non-eval docs.
+    "st10_stream_pipeline_admission" -> QueryDef(
+      (s, dir) => {
+        runStream(st10Stream(s, dir), "append").orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.dedup.DedupQueries.{DecontamN, DeltaMod,
+          SplitTrainFrac, SplitValFrac}
+        import graft.pipeline.PipelineQueries.PipelineMinQuality
+        val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+        val shingles =
+          s"""CASE WHEN len($wordsSqlDuck) >= $DecontamN THEN
+            list_distinct(list_transform(range(0, len($wordsSqlDuck) - ${DecontamN - 1}),
+              j -> array_to_string(list_slice($wordsSqlDuck, j+1, j+$DecontamN), ' ')))
+          ELSE [] END"""
+        s"""WITH ${graft.text.TextQueries.qualitySqlCte},
+        fps AS (
+          SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM documents
+        ), corpus AS (
+          SELECT DISTINCT fp FROM fps
+          WHERE doc_id % $DeltaMod <> 0 AND fp IS NOT NULL
+        ), gg AS (
+          SELECT doc_id, unnest($shingles) AS g FROM documents
+        ), ev AS (
+          SELECT DISTINCT g FROM gg WHERE doc_id % $StreamEvalMod = 0
+        ), cont AS (
+          SELECT DISTINCT gg.doc_id FROM gg JOIN ev USING (g)
+          WHERE gg.doc_id % $DeltaMod = 0 AND gg.doc_id % $StreamEvalMod <> 0
+        )
+        SELECT q.doc_id, q.quality_score,
+          CAST(q.quality_score >= $PipelineMinQuality AS BIGINT)
+            AS passed_quality,
+          CAST(corpus.fp IS NOT NULL AS BIGINT) AS is_exact_dup,
+          CAST(cont.doc_id IS NOT NULL AS BIGINT) AS contaminated,
+          CASE WHEN (CAST(('0x' || substr(md5(f.fp), 1, 15)) AS BIGINT)
+              % 1000) / 1000.0 < $SplitTrainFrac THEN 'train'
+            WHEN (CAST(('0x' || substr(md5(f.fp), 1, 15)) AS BIGINT)
+              % 1000) / 1000.0 < ${SplitTrainFrac + SplitValFrac}
+              THEN 'val'
+            ELSE 'test' END AS split,
+          CAST(q.quality_score >= $PipelineMinQuality
+            AND corpus.fp IS NULL AND cont.doc_id IS NULL AS BIGINT)
+            AS admit
+        FROM q JOIN fps f USING (doc_id)
+        LEFT JOIN corpus ON f.fp = corpus.fp
+        LEFT JOIN cont ON q.doc_id = cont.doc_id
+        WHERE q.doc_id % $DeltaMod = 0 AND q.doc_id % $StreamEvalMod <> 0
+        ORDER BY q.doc_id"""
+      })
   )
 }

@@ -81,9 +81,17 @@ object TextQueries {
     * floor(x*1e6+0.5)/1e6 instead of round(): pure IEEE double ops,
     * bit-identical across engines (round() implementations differ at
     * exact .5e-6 boundaries, which these weighted sums hit). */
-  def qualityFrame(s: SparkSession, dir: String): DataFrame = {
+  def qualityFrame(s: SparkSession, dir: String): DataFrame =
+    qualityOf(Tables.table(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+        col("stop_ratio"), col("mean_word_len"), col("quality_score"))
+
+  /** The same scorer over ANY documents frame (batch or streaming —
+    * st10's admission front reuses it row for row), with the input
+    * columns kept so downstream stages can keep reading `text`/`w`. */
+  def qualityOf(docs: DataFrame): DataFrame = {
     val stop = enStopwords.map(w => s"'$w'").mkString(", ")
-    Tables.table(s, dir, "documents")
+    docs
       .withColumn("w", Text.words(col("text")))
       .withColumn("n_words", size(col("w")).cast("long"))
       // nullif mirrors DuckDB: length 0 divides to NULL there, where
@@ -106,8 +114,6 @@ object TextQueries {
         floor((least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
           (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
           least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3) * 1e6 + 0.5) / 1e6)
-      .select(col("doc_id"), col("n_words"), col("punct_ratio"),
-        col("stop_ratio"), col("mean_word_len"), col("quality_score"))
   }
 
   /** DuckDB CTE chain producing `q(doc_id, n_words, punct_ratio,
