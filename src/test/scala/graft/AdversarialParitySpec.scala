@@ -177,6 +177,27 @@ class AdversarialParitySpec extends SparkSpec {
     assert(pairs.size === 119)
   }
 
+  // ---- pin 6: st10 streaming admission over pathological delta docs
+  //      (null/emoji/1-word texts flow through quality+dedup+decontam
+  //      without throwing; the exact-dup probe sees cross-source dups)
+  test("st10 admission: pathological delta docs admit deterministically") {
+    val rows = run("st10_stream_pipeline_admission").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(4L, 8L, 12L, 16L, 24L, 28L),
+      "delta non-eval docs of the 30-doc corpus")
+    assert(rows(4L).getLong(3) === 1L,
+      "doc 4 ('word') is an exact dup of corpus doc 5 ('word', webB)")
+    assert(rows(4L).getLong(6) === 0L, "dup -> not admitted")
+    assert(rows(8L).getLong(2) === 0L && rows(8L).getLong(6) === 0L,
+      "emoji doc fails the quality gate")
+    assert(rows(12L).getLong(6) === 1L, "repetition doc passes (quality only)")
+    // admit == passed && !dup && !contaminated, row for row
+    rows.values.foreach { r =>
+      assert(r.getLong(6) === (if (r.getLong(2) == 1L && r.getLong(3) == 0L &&
+        r.getLong(4) == 0L) 1L else 0L))
+    }
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {
