@@ -137,6 +137,133 @@ object PipelineQueries {
             AS final_keep
         FROM dd LEFT JOIN cont ON dd.doc_id = cont.doc_id
         ORDER BY dd.doc_id"""
+      }),
+
+    // ---- e2: corpus card — the DATASHEET a corpus release ships with
+    //      (Gebru et al.'s "Datasheets for Datasets", reduced to the
+    //      measurable corpus-level facts): composition counts, token
+    //      volume, the quality-score distribution, exact-dup rate and
+    //      benchmark-contamination rate. Long (metric, value) rows so
+    //      the schema never changes when metrics are added.
+    //
+    //      Every number reuses a standalone operator's shared kernel
+    //      (t2's scorer, d1/e1's normalized fingerprint, d7's eval
+    //      n-gram containment) — the card cannot drift from the
+    //      operators it summarizes. Scale shape: three aggregation
+    //      passes (one over the quality projection, one over distinct
+    //      fingerprints, one over the gated contamination join), each
+    //      a map-side-combined groupBy-less agg; the single-row frames
+    //      cross-join (1×1×1) and melt with stack. No driver loops,
+    //      no all-pairs anything.
+    "e2_corpus_card" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.DedupQueries.DecontamEvalMod
+        val docs = Tables.table(s, dir, "documents")
+        val isEval = col("doc_id") % DecontamEvalMod === 0
+        val q = TextQueries.qualityOf(docs)
+        val base = q.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          countDistinct(col("source")).cast("double").as("n_sources"),
+          countDistinct(col("lang")).cast("double").as("n_langs"),
+          sum(col("n_words")).cast("double").as("total_words"),
+          round(avg(col("n_words")), 6).as("mean_words_per_doc"),
+          round(avg(col("quality_score")), 6).as("mean_quality"),
+          round(avg((col("quality_score") >= PipelineMinQuality)
+            .cast("double")), 6).as("quality_pass_rate"))
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val fps = docs.select(md5(norm).as("fp")).filter(col("fp").isNotNull)
+        val dup = fps.agg(
+          count(lit(1)).cast("double").as("n_fp_docs"),
+          countDistinct(col("fp")).cast("double").as("n_distinct_fp"))
+        // d7's containment, reduced to the contaminated-doc count over
+        // the shared materialized shingle checkpoint
+        val grams = graft.dedup.DedupQueries.decontamShingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val evalGrams = broadcast(
+          grams.filter(isEval).select(col("g")).distinct())
+        val cont = docs.filter(!isEval).select(col("doc_id"))
+          .join(grams.join(evalGrams, "g").select(col("doc_id")).distinct()
+            .withColumn("hit", lit(1)), Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).cast("double").as("n_train_docs"),
+            sum(coalesce(col("hit"), lit(0)).cast("double"))
+              .as("n_contaminated"))
+        base.crossJoin(dup).crossJoin(cont)
+          .select(expr(s"""stack(9,
+            'n_docs', n_docs,
+            'n_sources', n_sources,
+            'n_langs', n_langs,
+            'total_words', total_words,
+            'mean_words_per_doc', mean_words_per_doc,
+            'mean_quality', mean_quality,
+            'quality_pass_rate', quality_pass_rate,
+            'exact_dup_rate',
+              round((n_fp_docs - n_distinct_fp) / n_fp_docs, 6),
+            'contamination_rate',
+              round(n_contaminated / n_train_docs, 6)) AS (metric, value)"""))
+          .orderBy(col("metric"))
+      },
+      Some {
+        import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN}
+        val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+        val shingles =
+          s"""CASE WHEN len($wordsSqlDuck) >= $DecontamN THEN
+            list_distinct(list_transform(range(0, len($wordsSqlDuck) - ${DecontamN - 1}),
+              j -> array_to_string(list_slice($wordsSqlDuck, j+1, j+$DecontamN), ' ')))
+          ELSE [] END"""
+        s"""WITH ${TextQueries.qualitySqlCte},
+        qd2 AS (
+          SELECT q.doc_id, q.n_words, q.quality_score, d.source, d.lang
+          FROM q JOIN documents d USING (doc_id)
+        ), base AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+            CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+            CAST(sum(n_words) AS DOUBLE) AS total_words,
+            round(avg(CAST(n_words AS DOUBLE)), 6) AS mean_words_per_doc,
+            round(avg(quality_score), 6) AS mean_quality,
+            round(avg(CAST(quality_score >= $PipelineMinQuality AS DOUBLE)), 6)
+              AS quality_pass_rate
+          FROM qd2
+        ), fps AS (
+          SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM documents
+          WHERE text IS NOT NULL
+        ), dup AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_fp_docs,
+            CAST(count(DISTINCT fp) AS DOUBLE) AS n_distinct_fp
+          FROM fps
+        ), gg AS (
+          SELECT doc_id, unnest($shingles) AS g FROM documents
+        ), ev AS (
+          SELECT DISTINCT g FROM gg WHERE doc_id % $DecontamEvalMod = 0
+        ), contdocs AS (
+          SELECT DISTINCT gg.doc_id FROM gg JOIN ev USING (g)
+          WHERE gg.doc_id % $DecontamEvalMod <> 0
+        ), cont AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_train_docs,
+            CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n_contaminated
+          FROM documents d LEFT JOIN contdocs c USING (doc_id)
+          WHERE d.doc_id % $DecontamEvalMod <> 0
+        ), card AS (
+          SELECT * FROM base, dup, cont
+        )
+        SELECT metric, value FROM (
+          SELECT 'n_docs' AS metric, n_docs AS value FROM card
+          UNION ALL SELECT 'n_sources', n_sources FROM card
+          UNION ALL SELECT 'n_langs', n_langs FROM card
+          UNION ALL SELECT 'total_words', total_words FROM card
+          UNION ALL SELECT 'mean_words_per_doc', mean_words_per_doc FROM card
+          UNION ALL SELECT 'mean_quality', mean_quality FROM card
+          UNION ALL SELECT 'quality_pass_rate', quality_pass_rate FROM card
+          UNION ALL SELECT 'exact_dup_rate',
+            round((n_fp_docs - n_distinct_fp) / n_fp_docs, 6) FROM card
+          UNION ALL SELECT 'contamination_rate',
+            round(n_contaminated / n_train_docs, 6) FROM card
+        ) ORDER BY metric"""
       })
   )
 }

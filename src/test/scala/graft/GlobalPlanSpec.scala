@@ -51,7 +51,10 @@ class GlobalPlanSpec extends SparkSpec {
       "NumQueries x #cells rows, both config-bounded, broadcast"),
     "m8_bagged_predictions" -> ("name-feature pool crossJoin over BAG " +
       "column names — O(numBags x #columns x #labels), config-bounded, " +
-      "never data-proportional"))
+      "never data-proportional"),
+    "e2_corpus_card" -> ("crossJoin of THREE single-row aggregate " +
+      "frames (base stats x dup stats x contamination stats) — 1x1x1 " +
+      "by construction at any corpus size"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
     val offenders = plans.collect { case (name, plan)
@@ -86,6 +89,7 @@ class GlobalPlanSpec extends SparkSpec {
     "d8_leakage_safe_split" -> 2,
     "d9_embedding_clusters" -> 7,
     "e1_training_pipeline" -> 6,
+    "e2_corpus_card" -> 7,
     "g1_semantic_models" -> 1,
     "g2_alignment_graph" -> 1,
     "g3_model_evaluation" -> 0,
