@@ -198,6 +198,21 @@ class AdversarialParitySpec extends SparkSpec {
     }
   }
 
+  // ---- pin 7: e2's corpus card over the pathological corpus — the
+  //      null-text doc drops out of the fingerprint base (29 of 30),
+  //      and the whitespace-only + empty docs NORMALIZE TO THE SAME
+  //      EMPTY fingerprint, joining 'word'x2 and the fox pair as the
+  //      corpus's 4 exact dups (4/29 = .137931)
+  test("e2 corpus card: null/whitespace docs fold into the right rates") {
+    val card = run("e2_corpus_card").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") === 30.0)
+    assert(card("n_sources") === 2.0 && card("n_langs") === 5.0)
+    assert(card("exact_dup_rate") === 0.137931)
+    assert(card("contamination_rate") === 0.0)
+    assert(card("total_words") === 424.0)
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {
