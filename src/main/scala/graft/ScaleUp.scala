@@ -53,6 +53,9 @@ object ScaleUp {
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val skew = args.length > 3 && args(3) == "skew"
+    // factor 1 would make "replicas factor/2.." the WHOLE corpus —
+    // 100% hot instead of the documented Zipf head
+    require(!skew || factor >= 2, "skew mode needs factor >= 2")
     require(!dst.startsWith("/root/testdata"), "testdata is read-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

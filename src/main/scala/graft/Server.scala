@@ -170,6 +170,9 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
     // type — a server-internal require()/Spark IllegalArgumentException
     // must keep surfacing as 500, not masquerade as a client error
     case e: Json.Malformed => err(ex, 400, String.valueOf(e.getMessage))
+    // resource exists but is not in a state for the request (predict
+    // before/while training): the client's conflict, not a server fault
+    case e: IllegalStateException => err(ex, 409, String.valueOf(e.getMessage))
     case e: NoSuchElementException => err(ex, 404, e.getMessage)
     case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
   }

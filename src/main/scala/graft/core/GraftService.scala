@@ -194,12 +194,15 @@ class GraftService(val rootDir: String,
         try oct.train(spark, ds.dir)
         catch { case e: Exception =>
           Octopus.Error(String.valueOf(e.getMessage)) }
-      if (st != Octopus.Busy) // Busy = a concurrent train owns the record
+      if (st != Octopus.Busy) { // Busy = a concurrent train owns the record
         writeMeta(mdDir(modelId), "description" -> model.description,
           "state" -> st.toString, "created" -> model.created.toString)
-      // train complete = end of a unit of work: drop pipeline-stage
-      // caches so a long-lived server JVM doesn't accumulate them
-      Caches.release(spark)
+        // train complete = end of a unit of work: drop pipeline-stage
+        // caches so a long-lived server JVM doesn't accumulate them.
+        // Inside the guard: a Busy-losing call must NOT sweep the
+        // winning train's live caches out from under it
+        Caches.release(spark)
+      }
     }(GraftService.dispatchEc)
     Octopus.Busy
   }

@@ -136,7 +136,12 @@ class Octopus(
     * OctopusInterface.predictOctopus:491-545). */
   def predict(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): OctopusPrediction = {
-    require(state == Complete, s"octopus not trained (state=$state)")
+    // IllegalStateException, NOT require/IllegalArgumentException: this
+    // is a CLIENT-state error (predict before/while/after-failed train)
+    // and the HTTP layer maps ISE to 409, where an IAE would surface as
+    // a 500 server fault
+    if (state != Complete)
+      throw new IllegalStateException(s"octopus not trained (state=$state)")
     val m = model.get
     val feat = FeatureMatrix.features(spark, dir, tables, cfg)
     val colPreds = SemanticTypeClassifier.predict(m, feat)

@@ -131,9 +131,8 @@ object DedupQueries {
     // ---- d1: exact dedup via normalized-text hash; canonical = min doc id
     "d1_exact_dedup" -> QueryDef(
       (s, dir) => {
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-        val d = Tables.table(s, dir, "documents").withColumn("fp", md5(norm))
+        val d = Tables.table(s, dir, "documents")
+          .withColumn("fp", md5(Text.normText(col("text"))))
         val w = Window.partitionBy(col("fp"))
         d.withColumn("canonical_id", min(col("doc_id")).over(w))
           .withColumn("cluster_size", count(lit(1)).over(w))

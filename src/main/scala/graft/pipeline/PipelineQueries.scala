@@ -50,9 +50,8 @@ object PipelineQueries {
               .as("passed_quality"))
         // stage 2: exact dedup among quality survivors only (d1's
         // normalized fingerprint; failed docs don't compete)
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-        val fp = docs.select(col("doc_id"), md5(norm).as("fp"))
+        val fp = docs.select(col("doc_id"),
+          md5(Text.normText(col("text"))).as("fp"))
         val staged = q.join(fp, "doc_id")
         val w = Window.partitionBy(col("passed_quality"), col("fp"))
         val deduped = staged.withColumn("is_canonical",
@@ -160,19 +159,23 @@ object PipelineQueries {
         import graft.dedup.DedupQueries.DecontamEvalMod
         val docs = Tables.table(s, dir, "documents")
         val isEval = col("doc_id") % DecontamEvalMod === 0
+        // floor(x*1e6+0.5)/1e6, NOT round(): the qualityFrame idiom —
+        // pure IEEE ops, bit-identical across engines at exact .5e-6
+        // boundaries where round() implementations differ
+        def r6(c: org.apache.spark.sql.Column) =
+          floor(c * 1e6 + 0.5) / 1e6
         val q = TextQueries.qualityOf(docs)
         val base = q.agg(
           count(lit(1)).cast("double").as("n_docs"),
           countDistinct(col("source")).cast("double").as("n_sources"),
           countDistinct(col("lang")).cast("double").as("n_langs"),
           sum(col("n_words")).cast("double").as("total_words"),
-          round(avg(col("n_words")), 6).as("mean_words_per_doc"),
-          round(avg(col("quality_score")), 6).as("mean_quality"),
-          round(avg((col("quality_score") >= PipelineMinQuality)
-            .cast("double")), 6).as("quality_pass_rate"))
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-        val fps = docs.select(md5(norm).as("fp")).filter(col("fp").isNotNull)
+          r6(avg(col("n_words"))).as("mean_words_per_doc"),
+          r6(avg(col("quality_score"))).as("mean_quality"),
+          r6(avg((col("quality_score") >= PipelineMinQuality)
+            .cast("double"))).as("quality_pass_rate"))
+        val fps = docs.select(md5(Text.normText(col("text"))).as("fp"))
+          .filter(col("fp").isNotNull)
         val dup = fps.agg(
           count(lit(1)).cast("double").as("n_fp_docs"),
           countDistinct(col("fp")).cast("double").as("n_distinct_fp"))
@@ -199,9 +202,10 @@ object PipelineQueries {
             'mean_quality', mean_quality,
             'quality_pass_rate', quality_pass_rate,
             'exact_dup_rate',
-              round((n_fp_docs - n_distinct_fp) / n_fp_docs, 6),
+              floor((n_fp_docs - n_distinct_fp) / n_fp_docs * 1e6 + 0.5) / 1e6,
             'contamination_rate',
-              round(n_contaminated / n_train_docs, 6)) AS (metric, value)"""))
+              floor(n_contaminated / n_train_docs * 1e6 + 0.5) / 1e6)
+            AS (metric, value)"""))
           .orderBy(col("metric"))
       },
       Some {
@@ -221,10 +225,11 @@ object PipelineQueries {
             CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
             CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
             CAST(sum(n_words) AS DOUBLE) AS total_words,
-            round(avg(CAST(n_words AS DOUBLE)), 6) AS mean_words_per_doc,
-            round(avg(quality_score), 6) AS mean_quality,
-            round(avg(CAST(quality_score >= $PipelineMinQuality AS DOUBLE)), 6)
-              AS quality_pass_rate
+            floor(avg(CAST(n_words AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              AS mean_words_per_doc,
+            floor(avg(quality_score) * 1e6 + 0.5) / 1e6 AS mean_quality,
+            floor(avg(CAST(quality_score >= $PipelineMinQuality AS DOUBLE))
+              * 1e6 + 0.5) / 1e6 AS quality_pass_rate
           FROM qd2
         ), fps AS (
           SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -260,9 +265,10 @@ object PipelineQueries {
           UNION ALL SELECT 'mean_quality', mean_quality FROM card
           UNION ALL SELECT 'quality_pass_rate', quality_pass_rate FROM card
           UNION ALL SELECT 'exact_dup_rate',
-            round((n_fp_docs - n_distinct_fp) / n_fp_docs, 6) FROM card
+            floor((n_fp_docs - n_distinct_fp) / n_fp_docs * 1e6 + 0.5) / 1e6
+            FROM card
           UNION ALL SELECT 'contamination_rate',
-            round(n_contaminated / n_train_docs, 6) FROM card
+            floor(n_contaminated / n_train_docs * 1e6 + 0.5) / 1e6 FROM card
         ) ORDER BY metric"""
       })
   )

@@ -25,9 +25,7 @@ object StreamingDedup {
     * only until the watermark passes it — bounded state, the standard
     * streaming-dedup contract. Input needs an event-time `ts` column. */
   def exactDedup(docs: DataFrame, watermark: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    docs.withColumn("fp", md5(norm))
+    docs.withColumn("fp", md5(graft.text.Text.normText(col("text"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
   }

@@ -333,14 +333,12 @@ object StreamingQueries {
     import graft.text.{Text, TextQueries}
     val isDelta = col("doc_id") % DeltaMod === 0
     val isEval = col("doc_id") % StreamEvalMod === 0
-    def norm(c: org.apache.spark.sql.Column) = trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
     // persisted corpus fingerprint index (distinct fps of non-delta
     // docs) — materialized once like d14's band index
     val fpIndex = graft.core.Materialize(s, s"st10-fps|$dir") {
       Tables.table(s, dir, "documents")
         .filter(col("doc_id") % DeltaMod =!= 0)
-        .select(md5(norm(col("text"))).as("fp"))
+        .select(md5(Text.normText(col("text"))).as("fp"))
         .filter(col("fp").isNotNull).distinct()
     }.withColumn("hit", lit(1L))
     // broadcast eval n-gram set — st5's static side (same persist
@@ -362,7 +360,7 @@ object StreamingQueries {
           .repartition(s.sparkContext.defaultParallelism))
       .withColumn("passed_quality",
         when(col("quality_score") >= PipelineMinQuality, 1L).otherwise(0L))
-      .withColumn("fp", md5(norm(col("text"))))
+      .withColumn("fp", md5(Text.normText(col("text"))))
       .withColumn("contaminated",
         (graft.functions.SetMemberCount.countIn(
           Text.wordShingles(col("w"), DecontamN), bc) > 0L).cast("long"))

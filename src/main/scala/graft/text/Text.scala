@@ -17,6 +17,14 @@ object Text {
   def words(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
+  /** THE normalized-text form every exact-dedup / admission site
+    * hashes (d1, t4, e1/e2, st10, streaming dedup): lowercase, strip
+    * non-[a-z0-9 ], collapse space runs, trim. One definition — the
+    * fingerprints only match across operators because the bytes are
+    * identical, so no site may inline its own copy. */
+  def normText(c: Column): Column = trim(regexp_replace(
+    regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
   /** GPT-style coarse token count: letter runs, single digits, or single
     * non-alphanumeric non-space chars. */
   def bpeTokenCount(c: Column): Column =

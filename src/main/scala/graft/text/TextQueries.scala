@@ -226,10 +226,8 @@ object TextQueries {
     // ---- t4: document fingerprints (normalized-text hash + min-shingle hash)
     "t4_fingerprints" -> QueryDef(
       (s, dir) => {
-        val norm = regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
         Tables.table(s, dir, "documents")
-          .withColumn("fp_exact", md5(trim(norm)))
+          .withColumn("fp_exact", md5(Text.normText(col("text"))))
           .withColumn("w", Text.words(col("text")))
           .withColumn("sh", Text.wordShingles(col("w"), 4))
           .withColumn("fp_min_shingle",

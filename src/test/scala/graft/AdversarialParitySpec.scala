@@ -200,9 +200,9 @@ class AdversarialParitySpec extends SparkSpec {
 
   // ---- pin 7: e2's corpus card over the pathological corpus — the
   //      null-text doc drops out of the fingerprint base (29 of 30),
-  //      and the whitespace-only + empty docs NORMALIZE TO THE SAME
-  //      EMPTY fingerprint, joining 'word'x2 and the fox pair as the
-  //      corpus's 4 exact dups (4/29 = .137931)
+  //      and the whitespace-only, empty, AND all-CJK docs (2, 3, 7)
+  //      NORMALIZE TO THE SAME EMPTY fingerprint, joining 'word'x2 and
+  //      the fox pair as the corpus's 4 exact dups (4/29 = .137931)
   test("e2 corpus card: null/whitespace docs fold into the right rates") {
     val card = run("e2_corpus_card").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -72,6 +72,12 @@ class ServerSpec extends SparkSpec {
       val modelId = Json.parseFlat(bm.replaceAll(""""id":(\d+)""",
         """"id":"$1"""")).apply("id")
 
+      // predict BEFORE training: a client-state conflict (409), never a
+      // 500 server fault (Octopus throws IllegalStateException)
+      val (cu, bu) = post(base,
+        s"/v1.0/model/$modelId/predict?dataset=$holdId", "")
+      assert(cu === 409 && bu.contains("not trained"), s"$cu $bu")
+
       // async train contract (reference ModelInterface.scala:219-275):
       // the POST returns 202 Busy IMMEDIATELY; a mid-train poll reads
       // Busy; a second POST while in flight is idempotent Busy; polling
