@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   * DatasetRestAPISpec.scala:167-208). Expected values below were
   * captured from a fresh Verify run oracle-compared 17/17 PASS against
   * DuckDB on 2026-08-14; they are parity pins, not aspirations.
+  *
+  * Round-9 extension: the FULL portfolio (all 109 queries) was run
+  * against this corpus end-to-end — 105/109 DuckDB hash-exact; the
+  * only four mismatches are m4/m7/m8/q21, whose oracles are pinned
+  * VALUES constants valid only at the driver's sf0.01 by documented
+  * design. Re-run the whole sweep with:
+  *   python3 tools/make_adversarial.py
+  *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
+  *   python3 tools/check_oracle.py /tmp/adversarial /tmp/v_adv
   */
 class AdversarialParitySpec extends SparkSpec {
 
