@@ -35,12 +35,23 @@ object PipelineQueries {
     * test sf (measured 0.455 at sf0.01) — drops the worst decile. */
   val PipelineMinQuality = 0.45
 
-  val defs: Map[String, QueryDef] = Map(
-    "e1_training_pipeline" -> QueryDef(
-      (s, dir) => {
-        import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN,
-          SplitTrainFrac, SplitValFrac}
-        val docs = Tables.table(s, dir, "documents")
+  /** e3 shard cut: cumulative BPE-token budget per training shard
+    * (small at test scale so the manifest has structure; production
+    * sets this to the file-size target, e.g. ~100M tokens). */
+  val ShardTokenBudget = 2048L
+
+  /** e3 macro-shard width (t8's PackShardDocs rationale): the window
+    * partition holding the prefix sum is hard-bounded at this many
+    * slim rows, so no split can collapse sharding into one task. */
+  val ShardMacroDocs = 1000000L
+
+  /** e1's per-doc ledger (unordered) — shared with e3, which shards
+    * the `final_keep = 1` survivors. */
+  def ledgerFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN,
+      SplitTrainFrac, SplitValFrac}
+    val docs = Tables.table(s, dir, "documents")
         val isEval = col("doc_id") % DecontamEvalMod === 0
         // stage 1: quality (t2's shared scorer), eval docs excluded
         val q = TextQueries.qualityFrame(s, dir)
@@ -88,55 +99,65 @@ object PipelineQueries {
           .select(col("doc_id"), col("quality_score"),
             col("passed_quality"), col("is_canonical"),
             col("contaminated"), col("split"), col("final_keep"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN,
-          SplitTrainFrac, SplitValFrac}
-        val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-        val shingles =
-          s"""CASE WHEN len($wordsSqlDuck) >= $DecontamN THEN
-            list_distinct(list_transform(range(0, len($wordsSqlDuck) - ${DecontamN - 1}),
-              j -> array_to_string(list_slice($wordsSqlDuck, j+1, j+$DecontamN), ' ')))
-          ELSE [] END"""
-        s"""WITH ${TextQueries.qualitySqlCte},
-        st AS (
-          SELECT q.doc_id, q.quality_score,
-            CAST(q.quality_score >= $PipelineMinQuality AS BIGINT)
-              AS passed_quality,
-            md5(trim(regexp_replace(regexp_replace(lower(d.text),
-              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
-          FROM q JOIN documents d USING (doc_id)
-          WHERE q.doc_id % $DecontamEvalMod <> 0
-        ), dd AS (
-          SELECT *, CAST(passed_quality = 1 AND doc_id =
-            min(doc_id) OVER (PARTITION BY passed_quality, fp)
-            AS BIGINT) AS is_canonical
-          FROM st
-        ), g AS (
-          SELECT doc_id, unnest($shingles) AS g FROM documents
-        ), e AS (
-          SELECT DISTINCT g FROM g WHERE doc_id % $DecontamEvalMod = 0
-        ), cont AS (
-          SELECT DISTINCT g.doc_id FROM g
-          JOIN (SELECT doc_id FROM dd WHERE is_canonical = 1) k
-            USING (doc_id)
-          JOIN e USING (g)
-        )
-        SELECT dd.doc_id, dd.quality_score, dd.passed_quality,
-          dd.is_canonical,
-          CAST(cont.doc_id IS NOT NULL AS BIGINT) AS contaminated,
-          CASE WHEN (CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT)
-              % 1000) / 1000.0 < $SplitTrainFrac THEN 'train'
-            WHEN (CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT)
-              % 1000) / 1000.0 < ${SplitTrainFrac + SplitValFrac}
-              THEN 'val'
-            ELSE 'test' END AS split,
-          CAST(dd.is_canonical = 1 AND cont.doc_id IS NULL AS BIGINT)
-            AS final_keep
-        FROM dd LEFT JOIN cont ON dd.doc_id = cont.doc_id
-        ORDER BY dd.doc_id"""
-      }),
+  }
+
+  /** DuckDB CTE chain reproducing [[ledgerFrame]]'s stages — shared by
+    * e1's oracle and e3's (which wraps [[ledgerSqlSelect]] as a CTE). */
+  private[pipeline] val ledgerSqlCtes: String = {
+    import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN}
+    val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val shingles =
+      s"""CASE WHEN len($wordsSqlDuck) >= $DecontamN THEN
+        list_distinct(list_transform(range(0, len($wordsSqlDuck) - ${DecontamN - 1}),
+          j -> array_to_string(list_slice($wordsSqlDuck, j+1, j+$DecontamN), ' ')))
+      ELSE [] END"""
+    s"""${TextQueries.qualitySqlCte},
+    st AS (
+      SELECT q.doc_id, q.quality_score,
+        CAST(q.quality_score >= $PipelineMinQuality AS BIGINT)
+          AS passed_quality,
+        md5(trim(regexp_replace(regexp_replace(lower(d.text),
+          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+      FROM q JOIN documents d USING (doc_id)
+      WHERE q.doc_id % $DecontamEvalMod <> 0
+    ), dd AS (
+      SELECT *, CAST(passed_quality = 1 AND doc_id =
+        min(doc_id) OVER (PARTITION BY passed_quality, fp)
+        AS BIGINT) AS is_canonical
+      FROM st
+    ), g AS (
+      SELECT doc_id, unnest($shingles) AS g FROM documents
+    ), e AS (
+      SELECT DISTINCT g FROM g WHERE doc_id % $DecontamEvalMod = 0
+    ), cont AS (
+      SELECT DISTINCT g.doc_id FROM g
+      JOIN (SELECT doc_id FROM dd WHERE is_canonical = 1) k
+        USING (doc_id)
+      JOIN e USING (g)
+    )"""
+  }
+
+  /** The ledger SELECT over [[ledgerSqlCtes]] (no ORDER BY). */
+  private[pipeline] val ledgerSqlSelect: String = {
+    import graft.dedup.DedupQueries.{SplitTrainFrac, SplitValFrac}
+    s"""SELECT dd.doc_id, dd.quality_score, dd.passed_quality,
+      dd.is_canonical,
+      CAST(cont.doc_id IS NOT NULL AS BIGINT) AS contaminated,
+      CASE WHEN (CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT)
+          % 1000) / 1000.0 < $SplitTrainFrac THEN 'train'
+        WHEN (CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT)
+          % 1000) / 1000.0 < ${SplitTrainFrac + SplitValFrac}
+          THEN 'val'
+        ELSE 'test' END AS split,
+      CAST(dd.is_canonical = 1 AND cont.doc_id IS NULL AS BIGINT)
+        AS final_keep
+    FROM dd LEFT JOIN cont ON dd.doc_id = cont.doc_id"""
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "e1_training_pipeline" -> QueryDef(
+      (s, dir) => ledgerFrame(s, dir).orderBy(col("doc_id")),
+      Some(s"WITH $ledgerSqlCtes\n$ledgerSqlSelect\nORDER BY dd.doc_id")),
 
     // ---- e2: corpus card — the DATASHEET a corpus release ships with
     //      (Gebru et al.'s "Datasheets for Datasets", reduced to the
@@ -270,6 +291,74 @@ object PipelineQueries {
           UNION ALL SELECT 'contamination_rate',
             floor(n_contaminated / n_train_docs * 1e6 + 0.5) / 1e6 FROM card
         ) ORDER BY metric"""
-      })
+      }),
+
+    // ---- e3: shard manifest — the pipeline's LAST MILE: the e1
+    //      survivors (final_keep = 1) assigned to token-budgeted
+    //      training shards per split, emitted as the manifest a
+    //      training job consumes (shard → doc count, token count, id
+    //      range). Deterministic: docs are laid out by doc_id within
+    //      (split, macro_shard) and cut every [[ShardTokenBudget]]
+    //      cumulative tokens, so any engine/partitioning produces the
+    //      identical shard map.
+    //
+    //      Scale shape (t8's lesson applied): the prefix-sum window is
+    //      partitioned by (split, doc_id div [[ShardMacroDocs]]), so
+    //      ONE window partition never holds more than ShardMacroDocs
+    //      slim (doc_id, n_tokens) rows no matter how large the
+    //      corpus — a 50-TB split shards as parallel macro tasks, and
+    //      a shard never spans a macro boundary (bounded padding waste
+    //      per 1M docs). The manifest agg is a map-side-combined
+    //      groupBy over the same keys.
+    "e3_shard_manifest" -> QueryDef(
+      (s, dir) => {
+        val admitted = ledgerFrame(s, dir)
+          .filter(col("final_keep") === 1L)
+          .select(col("doc_id"), col("split"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("split"), col("macro_shard"))
+          .orderBy(col("doc_id"))
+        Tables.table(s, dir, "documents")
+          .join(admitted, "doc_id")
+          // coalesce: an admitted null-text doc is a zero-token entry,
+          // not a NULL that poisons the prefix sum
+          .withColumn("n_tokens",
+            coalesce(Text.bpeTokenCount(col("text")).cast("long"), lit(0L)))
+          .withColumn("macro_shard", expr(s"doc_id div $ShardMacroDocs"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("shard_seq",
+            ((col("cum") - col("n_tokens")) / ShardTokenBudget).cast("long"))
+          .groupBy(col("split"), col("macro_shard"), col("shard_seq"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"))
+          .orderBy(col("split"), col("macro_shard"), col("shard_seq"))
+      },
+      Some(s"""WITH $ledgerSqlCtes,
+      ledger AS ($ledgerSqlSelect),
+      adm AS (
+        SELECT l.doc_id, l.split,
+          coalesce(CAST(len(regexp_extract_all(d.text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens,
+          l.doc_id // $ShardMacroDocs AS macro_shard
+        FROM ledger l JOIN documents d USING (doc_id)
+        WHERE l.final_keep = 1
+      ), c AS (
+        SELECT doc_id, split, macro_shard, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY split, macro_shard
+            ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM adm
+      )
+      SELECT split, CAST(macro_shard AS BIGINT) AS macro_shard,
+        CAST((cum - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard_seq,
+        count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        min(doc_id) AS min_doc_id,
+        max(doc_id) AS max_doc_id
+      FROM c
+      GROUP BY 1, 2, 3
+      ORDER BY split, macro_shard, shard_seq"""))
   )
 }

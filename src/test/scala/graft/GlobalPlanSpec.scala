@@ -90,6 +90,7 @@ class GlobalPlanSpec extends SparkSpec {
     "d9_embedding_clusters" -> 7,
     "e1_training_pipeline" -> 6,
     "e2_corpus_card" -> 7,
+    "e3_shard_manifest" -> 7,
     "g1_semantic_models" -> 1,
     "g2_alignment_graph" -> 1,
     "g3_model_evaluation" -> 0,
