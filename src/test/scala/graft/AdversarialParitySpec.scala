@@ -23,8 +23,8 @@ import org.apache.spark.sql.types._
   * captured from a fresh Verify run oracle-compared 17/17 PASS against
   * DuckDB on 2026-08-14; they are parity pins, not aspirations.
   *
-  * Round-9 extension: the FULL portfolio (all 109 queries) was run
-  * against this corpus end-to-end — 105/109 DuckDB hash-exact; the
+  * Round-9 extension: the FULL portfolio (now 110 queries with e3) was
+  * run against this corpus end-to-end — 106/110 DuckDB hash-exact; the
   * only four mismatches are m4/m7/m8/q21, whose oracles are pinned
   * VALUES constants valid only at the driver's sf0.01 by documented
   * design. Re-run the whole sweep with:
@@ -220,6 +220,24 @@ class AdversarialParitySpec extends SparkSpec {
     assert(card("exact_dup_rate") === 0.137931)
     assert(card("contamination_rate") === 0.0)
     assert(card("total_words") === 424.0)
+  }
+
+  // ---- pin 8: e3's shard manifest over the pathological corpus — the
+  //      admitted null-text doc (doc 1, split test) must become a
+  //      ZERO-token manifest entry, not a NULL that poisons the
+  //      prefix-sum window (the coalesce guard); the train survivors
+  //      pack into one under-budget shard with an exact token count
+  test("e3 shard manifest: null-text survivor is a zero-token shard entry") {
+    val shards = run("e3_shard_manifest").collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r).toMap
+    assert(shards.size === 2, "test + train, one shard each (under budget)")
+    val t = shards(("test", 0L))
+    assert(t.getLong(3) === 1L && t.getLong(4) === 0L,
+      "null-text doc 1 -> one doc, zero tokens (not NULL)")
+    assert(t.getLong(5) === 1L && t.getLong(6) === 1L)
+    val tr = shards(("train", 0L))
+    assert(tr.getLong(3) === 8L && tr.getLong(4) === 357L)
+    assert(tr.getLong(5) === 10L && tr.getLong(6) === 30L)
   }
 
   // ---- breadth: the full judge-re-run battery completes with the

@@ -46,4 +46,49 @@ class PipelineSpec extends SparkSpec {
     val kept = rows.count(_.getAs[Long]("final_keep") == 1L)
     assert(kept > 0 && kept < rows.length)
   }
+
+  test("e3 manifest matches a driver-side re-shard; overshoot is bounded") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val admitted = PipelineQueries.ledgerFrame(spark, sf)
+      .filter(col("final_keep") === 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    val toks = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), coalesce(
+        graft.text.Text.bpeTokenCount(col("text")).cast("long"),
+        lit(0L)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent model of the cut rule: within (split, macro_shard)
+    // by doc_id, a doc joins shard floor(prefix_before / budget)
+    val model = scala.collection.mutable.Map
+      .empty[(String, Long, Long), (Long, Long, Long, Long)]
+    for ((split, docs) <- admitted.groupBy(_._2);
+         (macroId, ids) <- docs.keys.toSeq
+           .groupBy(_ / PipelineQueries.ShardMacroDocs)) {
+      var cum = 0L
+      for (id <- ids.sorted) {
+        val seq = cum / PipelineQueries.ShardTokenBudget
+        cum += toks(id)
+        val k = (split, macroId, seq)
+        model(k) = model.get(k) match {
+          case None => (1L, toks(id), id, id)
+          case Some((nd, nt, lo, hi)) =>
+            (nd + 1L, nt + toks(id), math.min(lo, id), math.max(hi, id))
+        }
+      }
+    }
+    val got = graft.SparkEntry.queries("e3_shard_manifest")(spark, sf)
+      .collect().map(r => (r.getAs[String]("split"),
+        r.getAs[Long]("macro_shard"), r.getAs[Long]("shard_seq")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("min_doc_id"), r.getAs[Long]("max_doc_id"))).toMap
+    assert(got === model.toMap)
+    assert(got.size > 1, "budget small enough to produce multiple shards")
+    // bounded overshoot: a shard exceeds the budget by at most its
+    // final doc, so n_tokens < budget + the corpus's largest doc
+    val maxDoc = toks.values.max
+    got.values.foreach { case (_, nt, _, _) =>
+      assert(nt < PipelineQueries.ShardTokenBudget + maxDoc)
+    }
+  }
 }
