@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -47,58 +48,57 @@ object PipelineQueries {
 
   /** e1's per-doc ledger (unordered) — shared with e3, which shards
     * the `final_keep = 1` survivors. */
-  def ledgerFrame(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN,
+  def ledgerFrame(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.{DecontamEvalMod,
       SplitTrainFrac, SplitValFrac}
     val docs = Tables.table(s, dir, "documents")
-        val isEval = col("doc_id") % DecontamEvalMod === 0
-        // stage 1: quality (t2's shared scorer), eval docs excluded
-        val q = TextQueries.qualityFrame(s, dir)
-          .filter(!isEval)
-          .select(col("doc_id"), col("quality_score"),
-            (col("quality_score") >= PipelineMinQuality).cast("long")
-              .as("passed_quality"))
-        // stage 2: exact dedup among quality survivors only (d1's
-        // normalized fingerprint; failed docs don't compete)
-        val fp = docs.select(col("doc_id"),
-          md5(Text.normText(col("text"))).as("fp"))
-        val staged = q.join(fp, "doc_id")
-        val w = Window.partitionBy(col("passed_quality"), col("fp"))
-        val deduped = staged.withColumn("is_canonical",
-          (col("passed_quality") === 1L &&
-            col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
-        // stage 3: decontamination (d7's exact containment) off the
-        // shared materialized shingle checkpoint, computed ONLY for
-        // surviving canonicals — the stage-order optimization
-        val grams = graft.dedup.DedupQueries.decontamShingled(s, dir)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
-        val evalGrams = broadcast(
-          grams.filter(isEval).select(col("g")).distinct())
-        val contaminatedIds = grams
-          .join(deduped.filter(col("is_canonical") === 1L)
-            .select(col("doc_id")), "doc_id")
-          .join(evalGrams, "g")
-          .select(col("doc_id")).distinct()
-          .withColumn("contaminated", lit(1L))
-        // stage 4: leakage-safe split — d8's hash, keyed on the exact-
-        // cluster fingerprint so exact dups always share a split
-        val u = (conv(substring(md5(col("fp").cast("binary")), 1, 15),
-          16, 10).cast("long") % 1000L).cast("double") / 1000.0
-        deduped
-          .join(contaminatedIds, Seq("doc_id"), "left")
-          .withColumn("contaminated",
-            coalesce(col("contaminated"), lit(0L)))
-          .withColumn("split",
-            when(u < SplitTrainFrac, "train")
-              .when(u < SplitTrainFrac + SplitValFrac, "val")
-              .otherwise("test"))
-          .withColumn("final_keep",
-            (col("is_canonical") === 1L && col("contaminated") === 0L)
-              .cast("long"))
-          .select(col("doc_id"), col("quality_score"),
-            col("passed_quality"), col("is_canonical"),
-            col("contaminated"), col("split"), col("final_keep"))
+    val isEval = col("doc_id") % DecontamEvalMod === 0
+    // stage 1: quality (t2's shared scorer), eval docs excluded
+    val q = TextQueries.qualityFrame(s, dir)
+      .filter(!isEval)
+      .select(col("doc_id"), col("quality_score"),
+        (col("quality_score") >= PipelineMinQuality).cast("long")
+          .as("passed_quality"))
+    // stage 2: exact dedup among quality survivors only (d1's
+    // normalized fingerprint; failed docs don't compete)
+    val fp = docs.select(col("doc_id"),
+      md5(Text.normText(col("text"))).as("fp"))
+    val staged = q.join(fp, "doc_id")
+    val w = Window.partitionBy(col("passed_quality"), col("fp"))
+    val deduped = staged.withColumn("is_canonical",
+      (col("passed_quality") === 1L &&
+        col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
+    // stage 3: decontamination (d7's exact containment) off the
+    // shared materialized shingle checkpoint, computed ONLY for
+    // surviving canonicals — the stage-order optimization
+    val grams = graft.dedup.DedupQueries.decontamShingled(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val evalGrams = broadcast(
+      grams.filter(isEval).select(col("g")).distinct())
+    val contaminatedIds = grams
+      .join(deduped.filter(col("is_canonical") === 1L)
+        .select(col("doc_id")), "doc_id")
+      .join(evalGrams, "g")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(1L))
+    // stage 4: leakage-safe split — d8's hash, keyed on the exact-
+    // cluster fingerprint so exact dups always share a split
+    val u = (conv(substring(md5(col("fp").cast("binary")), 1, 15),
+      16, 10).cast("long") % 1000L).cast("double") / 1000.0
+    deduped
+      .join(contaminatedIds, Seq("doc_id"), "left")
+      .withColumn("contaminated",
+        coalesce(col("contaminated"), lit(0L)))
+      .withColumn("split",
+        when(u < SplitTrainFrac, "train")
+          .when(u < SplitTrainFrac + SplitValFrac, "val")
+          .otherwise("test"))
+      .withColumn("final_keep",
+        (col("is_canonical") === 1L && col("contaminated") === 0L)
+          .cast("long"))
+      .select(col("doc_id"), col("quality_score"),
+        col("passed_quality"), col("is_canonical"),
+        col("contaminated"), col("split"), col("final_keep"))
   }
 
   /** DuckDB CTE chain reproducing [[ledgerFrame]]'s stages — shared by
@@ -152,6 +152,33 @@ object PipelineQueries {
       CAST(dd.is_canonical = 1 AND cont.doc_id IS NULL AS BIGINT)
         AS final_keep
     FROM dd LEFT JOIN cont ON dd.doc_id = cont.doc_id"""
+  }
+
+  /** e3's shard layout over a frame of (doc_id, split, n_tokens):
+    * within (split, doc_id div macroDocs) ordered by doc_id, a doc
+    * joins shard floor(prefix_before / budget). Exact ROWS frame and
+    * integer `div` so the map is bit-identical to the DuckDB twin
+    * regardless of engine float semantics or (hypothetical) doc_id
+    * ties. Parameterized so the macro boundary is testable below the
+    * production [[ShardMacroDocs]] width. */
+  def shardManifest(docs: DataFrame, budget: Long,
+      macroDocs: Long): DataFrame = {
+    val w = Window
+      .partitionBy(col("split"), col("macro_shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("macro_shard", expr(s"doc_id div $macroDocs"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_seq",
+        expr(s"(cum - n_tokens) div $budget"))
+      .groupBy(col("split"), col("macro_shard"), col("shard_seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("split"), col("macro_shard"), col("shard_seq"))
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -315,26 +342,13 @@ object PipelineQueries {
         val admitted = ledgerFrame(s, dir)
           .filter(col("final_keep") === 1L)
           .select(col("doc_id"), col("split"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("split"), col("macro_shard"))
-          .orderBy(col("doc_id"))
-        Tables.table(s, dir, "documents")
+        val docs = Tables.table(s, dir, "documents")
           .join(admitted, "doc_id")
           // coalesce: an admitted null-text doc is a zero-token entry,
           // not a NULL that poisons the prefix sum
           .withColumn("n_tokens",
             coalesce(Text.bpeTokenCount(col("text")).cast("long"), lit(0L)))
-          .withColumn("macro_shard", expr(s"doc_id div $ShardMacroDocs"))
-          .withColumn("cum", sum(col("n_tokens")).over(w))
-          .withColumn("shard_seq",
-            ((col("cum") - col("n_tokens")) / ShardTokenBudget).cast("long"))
-          .groupBy(col("split"), col("macro_shard"), col("shard_seq"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("n_tokens"),
-            min(col("doc_id")).as("min_doc_id"),
-            max(col("doc_id")).as("max_doc_id"))
-          .orderBy(col("split"), col("macro_shard"), col("shard_seq"))
+        shardManifest(docs, ShardTokenBudget, ShardMacroDocs)
       },
       Some(s"""WITH $ledgerSqlCtes,
       ledger AS ($ledgerSqlSelect),

@@ -91,4 +91,35 @@ class PipelineSpec extends SparkSpec {
       assert(nt < PipelineQueries.ShardTokenBudget + maxDoc)
     }
   }
+
+  test("e3 macro-shard boundary: shards never span it, seq resets per macro") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // doc_ids straddle the (test-scoped) macro width of 10; every doc
+    // is 4 tokens with budget 10, so each full shard holds 2-3 docs
+    // and a shard would cross id 9|10 or 19|20 if the bound leaked
+    val docs = (0L to 24L).map(id => (id, "train", 4L))
+      .toDF("doc_id", "split", "n_tokens")
+    val m = PipelineQueries.shardManifest(docs, budget = 10L,
+        macroDocs = 10L)
+      .collect().map(r => (r.getAs[Long]("macro_shard"),
+        r.getAs[Long]("shard_seq")) ->
+        (r.getAs[Long]("min_doc_id"), r.getAs[Long]("max_doc_id"),
+          r.getAs[Long]("n_docs"))).toMap
+    // no shard's id range crosses a macro boundary
+    m.foreach { case ((mac, _), (lo, hi, _)) =>
+      assert(lo / 10L === mac && hi / 10L === mac)
+    }
+    // shard_seq restarts at 0 inside each macro shard (the prefix sum
+    // is per-partition, not global)
+    for (mac <- 0L to 2L)
+      assert(m.contains((mac, 0L)), s"macro $mac restarts at seq 0")
+    // 10 docs x 4 tokens per full macro: prefix-before hits seq
+    // boundaries at docs {3,5,8} -> shards of 3/2/3/2 docs; 25 docs
+    // total accounted for
+    assert(m.values.map(_._3).sum === 25L)
+    assert(m((0L, 0L)) === ((0L, 2L, 3L)))
+    assert(m((0L, 1L)) === ((3L, 4L, 2L)))
+    assert(m((0L, 3L)) === ((8L, 9L, 2L)))
+  }
 }
