@@ -49,7 +49,7 @@ object BaggedPrediction {
       .withColumn("base_col", substring_index(col("col_name"), "#", 1))
     // average the per-bag score maps class-wise, then argmax
     val classes = perBag.select(explode(map_keys(col("scores"))))
-      .distinct().collect().map(_.getString(0)).sorted
+      .distinct().collect().map(_.getString(0)).sorted.toIndexedSeq
     val avgScores = perBag.groupBy(col("base_col"))
       .agg(
         count(lit(1)).as("n_bags"),

@@ -126,8 +126,10 @@ object EvalQueries {
             col(s"inferred_type_$k")): _*)
         val joined = prof.join(types, "col_name")
         val short = (c: org.apache.spark.sql.Column) => substring_index(c, ".", -1)
-        val a = joined.select(joined.columns.map(c => col(c).as(s"a_$c")): _*)
-        val b = joined.select(joined.columns.map(c => col(c).as(s"b_$c")): _*)
+        val a = joined.select(joined.columns.toIndexedSeq
+          .map(c => col(c).as(s"a_$c")): _*)
+        val b = joined.select(joined.columns.toIndexedSeq
+          .map(c => col(c).as(s"b_$c")): _*)
         val bothTypes = TypeEqKeys.map(k =>
           (col(s"a_inferred_type_$k") * col(s"b_inferred_type_$k"))
             .cast("long").as(s"both_$k"))

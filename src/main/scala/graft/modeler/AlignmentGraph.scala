@@ -15,9 +15,9 @@ final class AlignmentGraph(val ontology: Ontology) {
   val KnownWeight = 0.01
   val SubclassWeight = 0.5
 
-  private var known = Vector.empty[SemanticModel]
+  import AlignmentGraph.Edge
 
-  final case class Edge(src: String, dst: String, label: String, weight: Double)
+  private var known = Vector.empty[SemanticModel]
 
   /** G2: incremental add of one known SSD. */
   def add(model: SemanticModel): this.type = { known :+= model; this }
@@ -56,4 +56,8 @@ final class AlignmentGraph(val ontology: Ontology) {
       .mkString("[", ",", "]")
     s"""{"nodes":$ns,"edges":$es}"""
   }
+}
+
+object AlignmentGraph {
+  final case class Edge(src: String, dst: String, label: String, weight: Double)
 }

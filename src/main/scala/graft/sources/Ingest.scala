@@ -55,7 +55,7 @@ object Ingest {
   def jsonFlat(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.json(path)
     def flatten(schema: StructType, prefix: Seq[String]): Seq[org.apache.spark.sql.Column] =
-      schema.fields.flatMap { f =>
+      schema.fields.toIndexedSeq.flatMap { f =>
         val p = prefix :+ f.name
         f.dataType match {
           case st: StructType => flatten(st, p)
