@@ -45,8 +45,9 @@ object MinHashPropSpec extends Properties("MinHashOps") {
   property("mergeability: sig(A++B) = min(sig(A), sig(B))") =
     forAll(shingleSet, shingleSet) { (a, b) =>
       val merged = sig(a ++ b)
-      val mins = sig(a).zip(sig(b)).map { case (Some(x), Some(y)) =>
-        Some(math.min(x, y)) }
+      // generator sets are non-empty, so both signatures are defined
+      val mins = sig(a).zip(sig(b)).map { case (x, y) =>
+        Some(math.min(x.get, y.get)) }
       merged == mins
     }
 

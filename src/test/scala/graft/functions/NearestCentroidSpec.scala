@@ -14,7 +14,7 @@ class NearestCentroidSpec extends SparkSpec {
   // reference: K² interpreted aggregate(zip_with(...)) folds
   private def hofAssign(cents: Array[Array[Long]]): (Column, Column) = {
     val k0 = cents.length
-    def cLit(k: Int) = array(cents(k).map(lit(_)): _*)
+    def cLit(k: Int) = array(cents(k).toIndexedSeq.map(lit(_)): _*)
     val x6 = transform(col("embedding"),
       x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
     def dist(k: Int) = aggregate(
