@@ -39,10 +39,15 @@ object Explain {
     exchangeCounts(df.queryExecution.executedPlan.toString)
 
   /** Same, from an already-rendered plan string (lets plan-invariant
-    * specs share one planning sweep across several gates). */
+    * specs share one planning sweep across several gates). Node names
+    * are matched EXACTLY via word boundaries: a bare `Exchange` node is
+    * a shuffle; `BroadcastExchange` is a broadcast; `ReusedExchange`
+    * (including one reusing a broadcast) is NEITHER — reuse means no
+    * extra exchange runs, so counting it as a shuffle would make a
+    * plan that gains exchange reuse look like a budget breach. */
   def exchangeCounts(plan: String): (Int, Int) = {
-    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
-    val shuffles = "Exchange".r.findAllIn(plan).size - broadcasts
+    val broadcasts = """\bBroadcastExchange\b""".r.findAllIn(plan).size
+    val shuffles = """\bExchange\b""".r.findAllIn(plan).size
     (shuffles, broadcasts)
   }
 }

@@ -88,6 +88,14 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
       case ("POST", "dataset" :: Nil) =>
         val b = body(ex)
         (b.get("name"), b.get("dir")) match {
+          // validate client-supplied fields HERE: an empty dir reaches
+          // Hadoop's `new Path("")` IllegalArgumentException deep in
+          // Spark, which the narrow Malformed→400 mapping would surface
+          // as a 500 — but it is the client's error, so reject it at
+          // the door
+          case (Some(name), Some(dir))
+              if name.trim.isEmpty || dir.trim.isEmpty =>
+            err(ex, 400, "name and dir must be non-empty")
           case (Some(name), Some(dir)) =>
             val tables = b.getOrElse("tables", "")
               .split("\\|").toSeq.filter(_.nonEmpty).map { part =>
@@ -155,8 +163,15 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
             // a predict is a terminal unit of work: release the
             // pipeline-stage caches (BaggedPrediction's bagged melt et
             // al) so a long-lived server doesn't accumulate persisted
-            // frames until LRU eviction churn — the Caches contract
-            graft.core.Caches.release(spark())
+            // frames until LRU eviction churn — the Caches contract.
+            // Gated on no async train being in flight: trains run on
+            // dispatchEc while this single-threaded dispatcher serves
+            // predicts, and an ungated release would sweep the running
+            // train's pipeline-stage caches out from under it (correct
+            // but silently uncached). Train starts happen ONLY on this
+            // dispatcher thread, so check-then-release cannot race a
+            // new train; the winning train releases at its own end.
+            if (!svc.trainInFlight) graft.core.Caches.release(spark())
           }
           case None => err(ex, 400, "query param dataset required")
         }

@@ -207,6 +207,15 @@ class GraftService(val rootDir: String,
     Octopus.Busy
   }
 
+  /** True while any model's async train is in flight in THIS JVM — the
+    * predict handler's gate for [[Caches.release]] (a release issued
+    * mid-train would sweep the training pipeline's stage caches; see
+    * Server's predict finally-block). In-memory state is sufficient:
+    * only trains launched by this service instance share this JVM's
+    * cache pool. */
+  def trainInFlight: Boolean =
+    octopi.values.exists(_.trainState == Octopus.Busy)
+
   /** Predict with model `modelId` over dataset `datasetId`'s registered
     * tables (ModelAPI modelPredict). */
   def predictModel(spark: SparkSession, modelId: Int,

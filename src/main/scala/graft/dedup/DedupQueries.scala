@@ -486,6 +486,21 @@ object DedupQueries {
     }
   /** d7: the held-out "benchmark" subset — every 50th doc id. */
   val DecontamEvalMod = 50
+
+  /** Materialized DISTINCT eval n-gram set `(g)` — the persisted
+    * artifact every decontamination consumer (d7, d15, e1's stage 3,
+    * e2's card) probes against. Materializing it (rather than
+    * re-deriving the explode+distinct per consumer) makes
+    * [[EvalGrams]]' size gate a parquet-metadata count and the bloom
+    * path's confirm join a parquet scan — the production posture,
+    * where the eval suite's gram set is built once beside the suite. */
+  def evalGramSet(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"decontam-evalgrams|$dir") {
+      decontamShingled(s, dir)
+        .filter(col("doc_id") % DecontamEvalMod === 0)
+        .select(explode(col("sh")).as("g"))
+        .distinct()
+    }
   /** d14: the incoming "delta batch" — every 4th doc id (~25% of the
     * corpus plays the new-ingest side, the rest is the persisted index). */
   val DeltaMod = 4
@@ -578,18 +593,17 @@ object DedupQueries {
     //      explode + key-equality join — no corpus self-join, O(corpus
     //      n-grams) work at any scale). The "benchmark" here is the
     //      deterministic every-50th-doc subset of the corpus itself.
+    //      The probe is [[EvalGrams]]-gated: below the gate the exact
+    //      gram broadcast above; past it (a rehearsal's synthetic
+    //      corpus-proportional eval subset) the same EXACT result via
+    //      d15's bloom-prefilter + confirm-join plan — no executor
+    //      ever holds a corpus-proportional exact-string set.
     "d7_decontamination" -> QueryDef(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
         val isEval = col("doc_id") % DecontamEvalMod === 0
-        val grams = decontamShingled(s, dir)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
-        val evalGrams = broadcast(
-          grams.filter(isEval).select(col("g")).distinct())
-        val shared = grams.filter(!isEval)
-          .join(evalGrams, "g")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n"))
+        val shared = EvalGrams.sharedCounts(
+          decontamShingled(s, dir).filter(!isEval), evalGramSet(s, dir))
         docs.filter(!isEval)
           .join(shared, Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -1096,24 +1110,13 @@ object DedupQueries {
     "d15_bloom_decontamination" -> QueryDef(
       (s, dir) => {
         val isEval = col("doc_id") % DecontamEvalMod === 0
-        val withSh = decontamShingled(s, dir)
-        val evalGrams = withSh.filter(isEval)
-          .select(explode(col("sh")).as("g")).distinct().pipelineCache()
-        val nEval = evalGrams.count()
-        // stat.bloomFilter over ZERO rows returns a filter with a null
-        // bit buffer (probe NPEs); an explicitly-empty filter keeps the
-        // no-eval-docs corpus on the fast no-hits path
-        val bloom = s.sparkContext.broadcast(
-          if (nEval == 0)
-            org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
-          else evalGrams.stat.bloomFilter("g", math.max(1000L, nEval), 0.01))
-        val train = withSh.filter(!isEval).withColumn("bloom_hits",
-          graft.functions.BloomMemberCount.countIn(col("sh"), bloom))
-        val confirmed = train.filter(col("bloom_hits") > 0L)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
-          .join(evalGrams, "g")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n"))
+        val train = decontamShingled(s, dir).filter(!isEval)
+        // always the bloom path (that IS d15 — d7 gates into this same
+        // plan past EvalGrams.ExactMax); the filter build is the
+        // tree-merged EvalGrams.bloomOf, and the materialized gram set
+        // makes the sizing count a parquet-metadata read
+        val evalG = evalGramSet(s, dir)
+        val confirmed = EvalGrams.bloomCounts(train, evalG, evalG.count())
         train.select(col("doc_id"))
           .join(confirmed, Seq("doc_id"), "left")
           .select(col("doc_id"),

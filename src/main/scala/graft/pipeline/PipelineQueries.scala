@@ -70,16 +70,15 @@ object PipelineQueries {
         col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
     // stage 3: decontamination (d7's exact containment) off the
     // shared materialized shingle checkpoint, computed ONLY for
-    // surviving canonicals — the stage-order optimization
-    val grams = graft.dedup.DedupQueries.decontamShingled(s, dir)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-    val evalGrams = broadcast(
-      grams.filter(isEval).select(col("g")).distinct())
-    val contaminatedIds = grams
+    // surviving canonicals — the stage-order optimization. The probe
+    // is EvalGrams-gated: exact broadcast below the gate, bloom
+    // prefilter + confirm join (same exact result) above it.
+    val canonSh = graft.dedup.DedupQueries.decontamShingled(s, dir)
       .join(deduped.filter(col("is_canonical") === 1L)
         .select(col("doc_id")), "doc_id")
-      .join(evalGrams, "g")
-      .select(col("doc_id")).distinct()
+    val contaminatedIds = graft.dedup.EvalGrams.sharedCounts(
+        canonSh, graft.dedup.DedupQueries.evalGramSet(s, dir))
+      .select(col("doc_id"))
       .withColumn("contaminated", lit(1L))
     // stage 4: leakage-safe split — d8's hash, keyed on the exact-
     // cluster fingerprint so exact dups always share a split
@@ -228,14 +227,17 @@ object PipelineQueries {
           count(lit(1)).cast("double").as("n_fp_docs"),
           countDistinct(col("fp")).cast("double").as("n_distinct_fp"))
         // d7's containment, reduced to the contaminated-doc count over
-        // the shared materialized shingle checkpoint
-        val grams = graft.dedup.DedupQueries.decontamShingled(s, dir)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
-        val evalGrams = broadcast(
-          grams.filter(isEval).select(col("g")).distinct())
+        // the shared materialized shingle checkpoint — EvalGrams-gated
+        // like d7/e1 (exact broadcast below the gate, bloom + confirm
+        // above; same exact count either way)
+        val hitIds = graft.dedup.EvalGrams.sharedCounts(
+            graft.dedup.DedupQueries.decontamShingled(s, dir)
+              .filter(!isEval),
+            graft.dedup.DedupQueries.evalGramSet(s, dir))
+          .select(col("doc_id"))
+          .withColumn("hit", lit(1))
         val cont = docs.filter(!isEval).select(col("doc_id"))
-          .join(grams.join(evalGrams, "g").select(col("doc_id")).distinct()
-            .withColumn("hit", lit(1)), Seq("doc_id"), "left")
+          .join(hitIds, Seq("doc_id"), "left")
           .agg(
             count(lit(1)).cast("double").as("n_train_docs"),
             sum(coalesce(col("hit"), lit(0)).cast("double"))
@@ -250,9 +252,11 @@ object PipelineQueries {
             'mean_quality', mean_quality,
             'quality_pass_rate', quality_pass_rate,
             'exact_dup_rate',
-              floor((n_fp_docs - n_distinct_fp) / n_fp_docs * 1e6 + 0.5) / 1e6,
+              floor((n_fp_docs - n_distinct_fp) / nullif(n_fp_docs, 0)
+                * 1e6 + 0.5) / 1e6,
             'contamination_rate',
-              floor(n_contaminated / n_train_docs * 1e6 + 0.5) / 1e6)
+              floor(n_contaminated / nullif(n_train_docs, 0)
+                * 1e6 + 0.5) / 1e6)
             AS (metric, value)"""))
           .orderBy(col("metric"))
       },
@@ -313,10 +317,12 @@ object PipelineQueries {
           UNION ALL SELECT 'mean_quality', mean_quality FROM card
           UNION ALL SELECT 'quality_pass_rate', quality_pass_rate FROM card
           UNION ALL SELECT 'exact_dup_rate',
-            floor((n_fp_docs - n_distinct_fp) / n_fp_docs * 1e6 + 0.5) / 1e6
+            floor((n_fp_docs - n_distinct_fp) / nullif(n_fp_docs, 0)
+              * 1e6 + 0.5) / 1e6
             FROM card
           UNION ALL SELECT 'contamination_rate',
-            floor(n_contaminated / n_train_docs * 1e6 + 0.5) / 1e6 FROM card
+            floor(n_contaminated / nullif(n_train_docs, 0) * 1e6 + 0.5) / 1e6
+            FROM card
         ) ORDER BY metric"""
       }),
 

@@ -153,28 +153,37 @@ object StreamingQueries {
         $"n_events", $"sum_value")
   }
 
+  /** Materialized DISTINCT stream-eval n-gram set `(g)` — the
+    * [[graft.dedup.DedupQueries.evalGramSet]] twin for the denser
+    * [[StreamEvalMod]] subset st5/st10 probe. Materialization doubles
+    * as the explode barrier the old in-stream persist provided
+    * (InferFiltersFromGenerate cannot push the Generate's size guard
+    * below the rebalance when the chain is computed once into
+    * parquet), and makes [[graft.dedup.EvalGrams.rowProbe]]'s gate
+    * count a parquet-metadata read. */
+  private[streaming] def streamEvalGramSet(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.DecontamN
+    import graft.text.Text
+    graft.core.Materialize(s, s"st-evalgrams|$dir") {
+      Tables.rebalance(
+          Tables.table(s, dir, "documents")
+            .filter(col("doc_id") % StreamEvalMod === 0))
+        .select(explode(Text.wordShingles(
+          Text.words(col("text")), DecontamN)).as("g"))
+        .distinct()
+    }
+  }
+
   private[streaming] def st5Stream(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.DedupQueries.DecontamN
     import graft.text.Text
     val isEval = col("doc_id") % StreamEvalMod === 0
-    // persist barrier before the explode: without it,
-    // InferFiltersFromGenerate rewrites the Generate's implicit
-    // `size(input) > 0` guard in terms of the INLINE shingle chain and
-    // pushes it below the rebalance — the interpreted HOF then runs
-    // twice per doc at raw-scan parallelism (the sf10 rehearsal caught
-    // a single straggler task burning 19 min on exactly this). The
-    // barrier makes both the guard and the explode read the computed
-    // column.
-    val evalSh = Tables.rebalance(
-        Tables.table(s, dir, "documents").filter(isEval))
-      .select(Text.wordShingles(
-        Text.words(col("text")), DecontamN).as("sh"))
-      .persist()
-    val evalGrams: Array[String] =
-      try evalSh.select(explode(col("sh")).as("g"))
-        .distinct().collect().map(_.getString(0))
-      finally evalSh.unpersist()
-    val bc = s.sparkContext.broadcast(evalGrams)
+    // EvalGrams-gated probe: exact collected array below the gate (a
+    // real eval suite's production shape), bloom probe above it (the
+    // rehearsal shape; stream-side counts are then fpp-bounded
+    // OVERestimates — flags stay conservative, see EvalGrams scaladoc)
+    val probe = graft.dedup.EvalGrams.rowProbe(streamEvalGramSet(s, dir))
     // a one-file source yields one input partition; spread the
     // interpreted shingle HOF across cores (the streaming analogue of
     // Tables.rebalance — a stateless shuffle, and a no-op cost at
@@ -188,8 +197,7 @@ object StreamingQueries {
     streamTable(s, dir, "documents").filter(!isEval)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        graft.functions.SetMemberCount.countIn(
-          Text.wordShingles(Text.words(col("text")), DecontamN), bc)
+        probe(Text.wordShingles(Text.words(col("text")), DecontamN))
           .as("n_shared_ngrams"))
   }
 
@@ -317,9 +325,9 @@ object StreamingQueries {
     *    admission shape (the index is the persisted artifact a
     *    production job probes; it cannot broadcast at 100 TB, the
     *    join shuffles 16-byte fps only);
-    *  - decontamination: st5's row-local native SetMemberCount probe
-    *    against the broadcast eval n-gram set (benchmark-sized by
-    *    construction; st's denser [[StreamEvalMod]] eval subset);
+    *  - decontamination: st5's row-local [[graft.dedup.EvalGrams]]-gated
+    *    probe (exact collected set below the gate, bloom above) against
+    *    the materialized [[StreamEvalMod]] eval gram set;
     *  - split + admit: e1's row-local hash split and keep rule.
     *
     * No watermark, no state store, no stream-side aggregation: append
@@ -341,18 +349,12 @@ object StreamingQueries {
         .select(md5(Text.normText(col("text"))).as("fp"))
         .filter(col("fp").isNotNull).distinct()
     }.withColumn("hit", lit(1L))
-    // broadcast eval n-gram set — st5's static side (same persist
-    // barrier rationale; see st5Stream)
-    val evalSh = Tables.rebalance(
-        Tables.table(s, dir, "documents").filter(isEval))
-      .select(Text.wordShingles(
-        Text.words(col("text")), DecontamN).as("sh"))
-      .persist()
-    val evalGrams: Array[String] =
-      try evalSh.select(explode(col("sh")).as("g"))
-        .distinct().collect().map(_.getString(0))
-      finally evalSh.unpersist()
-    val bc = s.sparkContext.broadcast(evalGrams)
+    // eval n-gram probe — st5's gated static side: exact collected
+    // array below EvalGrams.ExactMax, bloom probe above it, off the
+    // shared materialized stream-eval gram set (so the sf100 rehearsal
+    // measures the production shape instead of collecting a synthetic
+    // corpus-proportional eval set into the driver)
+    val probe = graft.dedup.EvalGrams.rowProbe(streamEvalGramSet(s, dir))
     val u = (conv(substring(md5(col("fp").cast("binary")), 1, 15),
       16, 10).cast("long") % 1000L).cast("double") / 1000.0
     TextQueries.qualityOf(
@@ -362,8 +364,7 @@ object StreamingQueries {
         when(col("quality_score") >= PipelineMinQuality, 1L).otherwise(0L))
       .withColumn("fp", md5(Text.normText(col("text"))))
       .withColumn("contaminated",
-        (graft.functions.SetMemberCount.countIn(
-          Text.wordShingles(col("w"), DecontamN), bc) > 0L).cast("long"))
+        (probe(Text.wordShingles(col("w"), DecontamN)) > 0L).cast("long"))
       .withColumn("split",
         when(u < SplitTrainFrac, "train")
           .when(u < SplitTrainFrac + SplitValFrac, "val")

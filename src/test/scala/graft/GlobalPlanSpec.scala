@@ -77,7 +77,7 @@ class GlobalPlanSpec extends SparkSpec {
     "d12_fuzzy_decontamination" -> 3,
     "d13_cluster_canonical" -> 3,
     "d14_incremental_dedup" -> 6,
-    "d15_bloom_decontamination" -> 5,
+    "d15_bloom_decontamination" -> 3,
     "d16_corpus_diff" -> 3,
     "d1_exact_dedup" -> 2,
     "d2_minhash_lsh" -> 1,
@@ -88,9 +88,9 @@ class GlobalPlanSpec extends SparkSpec {
     "d7_decontamination" -> 3,
     "d8_leakage_safe_split" -> 2,
     "d9_embedding_clusters" -> 7,
-    "e1_training_pipeline" -> 6,
+    "e1_training_pipeline" -> 5,
     "e2_corpus_card" -> 7,
-    "e3_shard_manifest" -> 7,
+    "e3_shard_manifest" -> 6,
     "g1_semantic_models" -> 1,
     "g2_alignment_graph" -> 1,
     "g3_model_evaluation" -> 0,
