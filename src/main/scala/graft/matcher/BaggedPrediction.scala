@@ -24,14 +24,19 @@ object BaggedPrediction {
   def predict(model: PipelineModel, melted: DataFrame,
       numBags: Int = Resampler.DefaultNumBags,
       bagSize: Int = Resampler.DefaultBagSize): DataFrame = {
-    // persisted: the profiler + type shares make 5 aggregation passes
-    // over the bagged melt; without a cache each pass re-runs the
-    // bag-explode window
+    // eagerly local-checkpointed, not persist()ed: the profiler + type
+    // shares + name features make ~9 passes over the bagged melt, and a
+    // persist leaves the full bag-explode-window LINEAGE inlined into
+    // every consumer's plan — 9 copies of the subtree to optimize and,
+    // pre-materialization, 9× its shuffles in the physical plan (the
+    // old pinned budget of 51). The checkpoint cuts lineage so each
+    // pass plans as a scan of the config-bounded bag table
+    // (#cols × numBags × bagSize rows — KB-to-MB at any corpus scale)
     val bagged = Resampler.assignBags(melted, numBags, bagSize)
       .withColumn("col_name",
         concat(col("col_name"), lit("#"), col("bag_id")))
       .drop("bag_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val spark = melted.sparkSession
     import spark.implicits._
     val pool = Labels.train
@@ -47,9 +52,15 @@ object BaggedPrediction {
         coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)
     val perBag = SemanticTypeClassifier.predict(model, feat)
       .withColumn("base_col", substring_index(col("col_name"), "#", 1))
-    // average the per-bag score maps class-wise, then argmax
-    val classes = perBag.select(explode(map_keys(col("scores"))))
-      .distinct().collect().map(_.getString(0)).sorted.toIndexedSeq
+    // average the per-bag score maps class-wise, then argmax. The class
+    // set comes from the MODEL's StringIndexer labels — exactly the keys
+    // predict() builds each score map from — NOT from a
+    // map_keys-explode-distinct over perBag, which would execute the
+    // entire bagged feature pipeline a second time just to learn names
+    // the model already knows (measured as ~half of m8's wall-clock)
+    val classes = model.stages(0)
+      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel]
+      .labelsArray.head.sorted.toIndexedSeq
     val avgScores = perBag.groupBy(col("base_col"))
       .agg(
         count(lit(1)).as("n_bags"),

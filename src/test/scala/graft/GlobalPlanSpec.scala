@@ -102,7 +102,7 @@ class GlobalPlanSpec extends SparkSpec {
     "m5_resample_counts" -> 6,
     "m6_matcher_eval" -> 3,
     "m7_pairwise_features" -> 5,
-    "m8_bagged_predictions" -> 51,
+    "m8_bagged_predictions" -> 15,
     "m9_word_tf" -> 4,
     "mm1_media_features" -> 1,
     "mm2_frame_samples" -> 1,
