@@ -63,4 +63,17 @@ object Materialize {
 
   /** Drop all materialized intermediates (test isolation). */
   def reset(): Unit = paths.clear()
+
+  /** On-disk bytes per materialized key (dev: artifact-size audits —
+    * `runMain graft.ArtifactSize`). */
+  def sizes: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    paths.asScala.toMap.map { case (key, dir) =>
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try key -> files.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+      finally files.close()
+    }
+  }
 }

@@ -286,8 +286,13 @@ object DedupQueries {
       hashed.groupBy(col("doc_id"))
         .agg(minExprs.head, minExprs.tail: _*)
         .select(col("doc_id"),
-          array((1 to MinhashK).map(i => col(s"m$i")): _*).as("mh"))
-    }
+          // persist as int32: every value is mod P = 2^31 - 1, so the
+          // 64-entry signature stores in half the bytes; read side
+          // casts back to bigint so consumers (band keys, est compare)
+          // see the exact same longs
+          array((1 to MinhashK).map(i => col(s"m$i")): _*)
+            .cast("array<int>").as("mh"))
+    }.withColumn("mh", col("mh").cast("array<bigint>"))
 
   /** Verified MinHash near-dup pairs (doc1 < doc2, exact Jaccard >=
     * [[JaccardThreshold]]) — the shared core of d2 and d6, materialized
@@ -304,9 +309,17 @@ object DedupQueries {
     * anti-joins the tiny over-cap key set away. */
   def cappedBanded(s: SparkSession, dir: String): DataFrame =
     graft.core.Materialize(s, s"d2-banded|$dir") {
+      // band keys persist as BINARY(16) — the md5 digest bytes, not its
+      // 32-char hex rendering. unhex is bijective on md5 hex, so bucket
+      // membership (and the hot-bucket cap) is bit-identical to the
+      // string form the DuckDB twin computes; the index — the artifact
+      // d14/st8 probe per ingest — just stores and shuffles half the
+      // key bytes. Probe sides that compute fresh keys unhex after
+      // their explode (st8Stream).
       val banded = signatures(s, dir)
         .select(col("doc_id"),
-          explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk"))
+          explode(Text.bandKeys(col("mh"), Bands, Rows)).as("bk0"))
+        .select(col("doc_id"), unhex(col("bk0")).as("bk"))
       val hot = banded.groupBy(col("bk"))
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > MaxBucket)

@@ -306,7 +306,13 @@ object StreamingQueries {
             Text.minhash(Text.wordShingles(col("w"), 2), MinhashK),
             Bands, Rows))
           .otherwise(array().cast("array<string>")).as("bks"))
-      .select(col("doc_id"), explode_outer(col("bks")).as("bk"))
+      // the persisted index stores band keys as binary(16) md5 digests;
+      // unhex AFTER the explode (row-local scalar, codegen'd — a
+      // transform() over the array would fall out of codegen). NULL
+      // from explode_outer stays NULL: <2-word docs keep their null
+      // match row
+      .select(col("doc_id"), explode_outer(col("bks")).as("bk0"))
+      .select(col("doc_id"), unhex(col("bk0")).as("bk"))
       .join(index, Seq("bk"), "left_outer")
       .select(col("doc_id"), col("old_doc"))
   }

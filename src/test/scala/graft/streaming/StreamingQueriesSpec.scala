@@ -222,7 +222,10 @@ class StreamingQueriesSpec extends SparkSpec {
     val capped = DedupQueries.cappedBanded(spark, sf)
     val index = capped.filter(col("doc_id") % mod =!= 0)
       .select(col("bk"), col("doc_id").as("old_doc"))
+    // the persisted index stores binary(16) band keys — unhex the
+    // fresh delta keys exactly as st8Stream does
     val deltaBanded = graph8DeltaBanded(mod)
+      .select(col("doc_id"), unhex(col("bk")).as("bk"))
     val cand = deltaBanded.join(index, "bk")
       .select(col("doc_id"), col("old_doc")).distinct()
     val ag = cand.groupBy(col("doc_id"))
