@@ -1057,27 +1057,46 @@ object DedupQueries {
     "d10_substring_windows" -> QueryDef(
       (s, dir) => {
         val W = SubstringWindow
+        // per-doc DISTINCT window hash arrays, kept in ARRAY form (16B
+        // binary md5 digests — half the hex string's shuffle bytes;
+        // bijective, so the hex-keyed DuckDB twin groups identically).
+        // Cached pre-explode: the array frame is ~half the exploded
+        // row set that used to be pipelineCache'd — the measured sf100
+        // single-disk spill term — and both consumers re-explode it
+        // for free
         val d = Tables.rebalance(Tables.table(s, dir, "documents"))
           .select(col("doc_id"), Text.words(col("text")).as("w"))
           .filter(size(col("w")) >= W)
-        val wins = d.select(col("doc_id"), explode(
+          .select(col("doc_id"),
             array_distinct(transform(sequence(lit(0), size(col("w")) - W),
-              j => md5(concat_ws(" ", slice(col("w"), j + 1, lit(W)))
-                .cast("binary"))))).as("h"))
+              j => unhex(md5(concat_ws(" ", slice(col("w"), j + 1, lit(W)))
+                .cast("binary"))))).as("hs"))
           .pipelineCache()
-        val counts = wins.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("n_docs"))
-        // wins stays persisted across its two consumers (counts + join);
-        // the bench's group-boundary cache release frees it
-        wins.join(counts, "h")
+        val wins = d.select(col("doc_id"), explode(col("hs")).as("h"))
+        // (h, doc_id) is UNIQUE by construction (per-doc distinct), so
+        // count(*) IS count(distinct doc_id) — no two-phase distinct
+        // machinery — and only the REPEATED windows (typically a tiny
+        // fraction) survive into the join-back, instead of the full
+        // one-row-per-distinct-window count table
+        val shared = wins.groupBy(col("h"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select(col("h"))
+        val nShared = wins.join(shared, "h")
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_windows"),
-            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .agg(count(lit(1)).as("n_shared"))
+        // n_windows is ROW-LOCAL (array size) — the per-doc report
+        // never rides the window shuffle at all
+        d.select(col("doc_id"), size(col("hs")).cast("long").as("n_windows"))
+          .join(nShared, Seq("doc_id"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
           .withColumn("shared_frac",
             floor(col("n_shared").cast("double") / col("n_windows") * 1e6
               + 0.5) / 1e6)
           .withColumn("is_substring_dup",
             (col("n_shared") > 0).cast("long"))
+          .select(col("doc_id"), col("n_windows"), col("n_shared"),
+            col("shared_frac"), col("is_substring_dup"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (
