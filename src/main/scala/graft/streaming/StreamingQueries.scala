@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -354,28 +354,50 @@ object StreamingQueries {
         .filter(col("doc_id") % DeltaMod =!= 0)
         .select(md5(Text.normText(col("text"))).as("fp"))
         .filter(col("fp").isNotNull).distinct()
-    }.withColumn("hit", lit(1L))
+    }
     // eval n-gram probe — st5's gated static side: exact collected
     // array below EvalGrams.ExactMax, bloom probe above it, off the
     // shared materialized stream-eval gram set (so the sf100 rehearsal
     // measures the production shape instead of collecting a synthetic
     // corpus-proportional eval set into the driver)
     val probe = graft.dedup.EvalGrams.rowProbe(streamEvalGramSet(s, dir))
+    admissionFrame(
+      streamTable(s, dir, "documents").filter(isDelta && !isEval)
+        .repartition(s.sparkContext.defaultParallelism),
+      fpIndex, probe)
+  }
+
+  /** The admission RULE of st10, factored over any (stream or batch)
+    * docs frame: quality gate → exact-dup probe against the supplied
+    * fingerprint index → contamination probe → leakage-safe split →
+    * admit. Extracted so AdmissionPropSpec can drive it with random
+    * batch corpora and synthetic indexes (idempotence: re-admitting an
+    * admitted batch against the grown index is a no-op), while
+    * st10Stream applies the IDENTICAL rule to the live stream. */
+  private[streaming] def admissionFrame(docs: DataFrame,
+      fpIndex: DataFrame, probe: Column => Column): DataFrame = {
+    import graft.dedup.DedupQueries.{DecontamN,
+      SplitTrainFrac, SplitValFrac}
+    import graft.pipeline.PipelineQueries.PipelineMinQuality
+    import graft.text.{Text, TextQueries}
     val u = (conv(substring(md5(col("fp").cast("binary")), 1, 15),
       16, 10).cast("long") % 1000L).cast("double") / 1000.0
-    TextQueries.qualityOf(
-        streamTable(s, dir, "documents").filter(isDelta && !isEval)
-          .repartition(s.sparkContext.defaultParallelism))
+    TextQueries.qualityOf(docs)
       .withColumn("passed_quality",
         when(col("quality_score") >= PipelineMinQuality, 1L).otherwise(0L))
       .withColumn("fp", md5(Text.normText(col("text"))))
+      // coalesce: a null-text doc has NO grams (probe yields NULL, the
+      // SetMemberCount/BloomMemberCount null-array contract) — it is
+      // uncontaminated, matching the oracle's join shape (cont.doc_id
+      // IS NOT NULL can never be NULL) and keeping `admit` two-valued
       .withColumn("contaminated",
-        (probe(Text.wordShingles(col("w"), DecontamN)) > 0L).cast("long"))
+        (coalesce(probe(Text.wordShingles(col("w"), DecontamN)), lit(0L))
+          > 0L).cast("long"))
       .withColumn("split",
         when(u < SplitTrainFrac, "train")
           .when(u < SplitTrainFrac + SplitValFrac, "val")
           .otherwise("test"))
-      .join(fpIndex, Seq("fp"), "left_outer")
+      .join(fpIndex.withColumn("hit", lit(1L)), Seq("fp"), "left_outer")
       .withColumn("is_exact_dup", coalesce(col("hit"), lit(0L)))
       .withColumn("admit",
         (col("passed_quality") === 1L && col("is_exact_dup") === 0L &&

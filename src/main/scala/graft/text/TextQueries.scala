@@ -43,6 +43,29 @@ object TextQueries {
     * window per shard). */
   val PackShardDocs = 1000000L
 
+  /** t8's packing rule over any `(doc_id, source, shard, n_tokens)`
+    * frame: within (source, shard) ordered by doc_id, each doc starts
+    * at cumulative offset `prefix_before`, landing in context window
+    * `prefix_before div context` at offset `prefix_before mod context`.
+    * A NULL n_tokens doc contributes nothing to the prefix and packs
+    * as NULL (both engines' window-sum null semantics). Extracted so
+    * SequencePackPropSpec can drive it with random corpora against a
+    * driver-side fold; t8 applies it to the documents table. */
+  private[graft] def sequencePack(tok: DataFrame,
+      context: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+    tok
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("shard"),
+        col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / context)
+          .cast("long").as("pack_id"),
+        (col("cum") - col("n_tokens") -
+          ((col("cum") - col("n_tokens")) / context)
+            .cast("long") * context).as("pack_offset"))
+  }
+
   private val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** t11 hashed-feature space size. 512 buckets keeps the bucket model
@@ -443,20 +466,12 @@ object TextQueries {
     //      unsharded semantics.
     "t8_sequence_pack" -> QueryDef(
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-        Tables.table(s, dir, "documents")
-          .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
-          .withColumn("n_tokens",
-            Text.bpeTokenCount(col("text")).cast("long"))
-          .withColumn("cum", sum(col("n_tokens")).over(w))
-          .select(col("doc_id"), col("source"), col("shard"),
-            col("n_tokens"),
-            ((col("cum") - col("n_tokens")) / PackContextTokens)
-              .cast("long").as("pack_id"),
-            (col("cum") - col("n_tokens") -
-              ((col("cum") - col("n_tokens")) / PackContextTokens)
-                .cast("long") * PackContextTokens).as("pack_offset"))
+        sequencePack(
+          Tables.table(s, dir, "documents")
+            .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
+            .withColumn("n_tokens",
+              Text.bpeTokenCount(col("text")).cast("long")),
+          PackContextTokens)
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (

@@ -27,7 +27,12 @@ import org.apache.spark.sql.types._
   * run against this corpus end-to-end — 106/110 DuckDB hash-exact; the
   * only four mismatches are m4/m7/m8/q21, whose oracles are pinned
   * VALUES constants valid only at the driver's sf0.01 by documented
-  * design. Re-run the whole sweep with:
+  * design. The round-9 queries are each pinned as committed rows
+  * below, not just swept: st10 (pin 6 — pathological delta admission),
+  * e2 (pin 7 — dup/contamination rates over null/whitespace/CJK
+  * fingerprint folds), e3 (pin 8 — the null-text survivor's
+  * coalesce-to-zero-token manifest entry). Re-run the whole sweep
+  * with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
   *   python3 tools/check_oracle.py /tmp/adversarial /tmp/v_adv
