@@ -40,6 +40,16 @@ class GraftService(val rootDir: String,
   private def mdDir(id: Int): Path = Paths.get(rootDir, "models", id.toString)
   private val octopi = collection.concurrent.TrieMap.empty[Int, Octopus]
 
+  /** Async trains currently owned by this service instance. Incremented
+    * SYNCHRONOUSLY in [[trainModelAsync]] before the training Future is
+    * submitted (the Octopus's own Busy state only flips once the Future
+    * RUNS on dispatchEc, so polling octopi alone has a submit-to-run
+    * window in which a concurrent predict's cache release would sweep
+    * the just-started train's stage caches) and decremented in the
+    * Future's finally — it also survives a DELETE of the model, which
+    * removes the Busy octopus from the map mid-train. */
+  private val asyncTrains = new java.util.concurrent.atomic.AtomicInteger
+
   // ---- tiny JSON helpers (flat string-field objects only) -------------
   private def writeMeta(p: Path, fields: (String, String)*): Unit = {
     Files.createDirectories(p)
@@ -189,20 +199,23 @@ class GraftService(val rootDir: String,
     if (oct.trainState == Octopus.Busy) return Octopus.Busy
     writeMeta(mdDir(modelId), "description" -> model.description,
       "state" -> Octopus.Busy.toString, "created" -> model.created.toString)
+    asyncTrains.incrementAndGet() // before submit — see field scaladoc
     scala.concurrent.Future {
-      val st =
-        try oct.train(spark, ds.dir)
-        catch { case e: Exception =>
-          Octopus.Error(String.valueOf(e.getMessage)) }
-      if (st != Octopus.Busy) { // Busy = a concurrent train owns the record
-        writeMeta(mdDir(modelId), "description" -> model.description,
-          "state" -> st.toString, "created" -> model.created.toString)
-        // train complete = end of a unit of work: drop pipeline-stage
-        // caches so a long-lived server JVM doesn't accumulate them.
-        // Inside the guard: a Busy-losing call must NOT sweep the
-        // winning train's live caches out from under it
-        Caches.release(spark)
-      }
+      try {
+        val st =
+          try oct.train(spark, ds.dir)
+          catch { case e: Exception =>
+            Octopus.Error(String.valueOf(e.getMessage)) }
+        if (st != Octopus.Busy) { // Busy = a concurrent train owns the record
+          writeMeta(mdDir(modelId), "description" -> model.description,
+            "state" -> st.toString, "created" -> model.created.toString)
+          // train complete = end of a unit of work: drop pipeline-stage
+          // caches so a long-lived server JVM doesn't accumulate them.
+          // Inside the guard: a Busy-losing call must NOT sweep the
+          // winning train's live caches out from under it
+          Caches.release(spark)
+        }
+      } finally asyncTrains.decrementAndGet()
     }(GraftService.dispatchEc)
     Octopus.Busy
   }
@@ -210,11 +223,14 @@ class GraftService(val rootDir: String,
   /** True while any model's async train is in flight in THIS JVM — the
     * predict handler's gate for [[Caches.release]] (a release issued
     * mid-train would sweep the training pipeline's stage caches; see
-    * Server's predict finally-block). In-memory state is sufficient:
-    * only trains launched by this service instance share this JVM's
-    * cache pool. */
-  def trainInFlight: Boolean =
-    octopi.values.exists(_.trainState == Octopus.Busy)
+    * Server's predict finally-block). Backed by the synchronous
+    * [[asyncTrains]] counter, NOT by polling octopus Busy states: the
+    * counter is already up before trainModelAsync returns its 202, so
+    * there is no submit-to-run window, and it keeps counting a train
+    * whose model record was deleted mid-flight. In-memory state is
+    * sufficient: only trains launched by this service instance share
+    * this JVM's cache pool. */
+  def trainInFlight: Boolean = asyncTrains.get() > 0
 
   /** Predict with model `modelId` over dataset `datasetId`'s registered
     * tables (ModelAPI modelPredict). */

@@ -24,19 +24,29 @@ object BaggedPrediction {
   def predict(model: PipelineModel, melted: DataFrame,
       numBags: Int = Resampler.DefaultNumBags,
       bagSize: Int = Resampler.DefaultBagSize): DataFrame = {
-    // eagerly local-checkpointed, not persist()ed: the profiler + type
-    // shares + name features make ~9 passes over the bagged melt, and a
-    // persist leaves the full bag-explode-window LINEAGE inlined into
-    // every consumer's plan — 9 copies of the subtree to optimize and,
-    // pre-materialization, 9× its shuffles in the physical plan (the
-    // old pinned budget of 51). The checkpoint cuts lineage so each
-    // pass plans as a scan of the config-bounded bag table
-    // (#cols × numBags × bagSize rows — KB-to-MB at any corpus scale)
-    val bagged = Resampler.assignBags(melted, numBags, bagSize)
+    // parquet-checkpointed, not persist()ed or localCheckpoint()ed:
+    // the profiler + type shares + name features make ~9 passes over
+    // the bagged melt, and a persist leaves the full bag-explode-window
+    // LINEAGE inlined into every consumer's plan — 9 copies of the
+    // subtree to optimize and, pre-materialization, 9× its shuffles in
+    // the physical plan (the old pinned budget of 51). A storage-backed
+    // checkpoint cuts lineage so each pass plans as a scan of the
+    // config-bounded bag table (#cols × numBags × bagSize rows —
+    // KB-to-MB at any corpus scale) — and unlike localCheckpoint it
+    // SURVIVES Caches.release (unpersisting a local checkpoint deletes
+    // its only copy with the lineage already gone; the async train-end
+    // release could land mid-collection of this frame and crash it —
+    // the Materialize rationale, applied per call because predict has
+    // no stable cache key across arbitrary datasets)
+    val spark0 = melted.sparkSession
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-bagged").toString
+    Resampler.assignBags(melted, numBags, bagSize)
       .withColumn("col_name",
         concat(col("col_name"), lit("#"), col("bag_id")))
       .drop("bag_id")
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(scratch)
+    val bagged = spark0.read.parquet(scratch)
     val spark = melted.sparkSession
     import spark.implicits._
     val pool = Labels.train
