@@ -153,6 +153,82 @@ object PipelineQueries {
     FROM dd LEFT JOIN cont ON dd.doc_id = cont.doc_id"""
   }
 
+  /** e4: take this 1/denom of the admitted train pool's tokens as the
+    * mixture budget (scale-free — a constant token budget would make
+    * the plan degenerate at small sf and trivial at large sf). */
+  val MixtureBudgetDenom = 5L
+
+  /** e4's plan math over a slim frame of `(source, n_tokens, h)` where
+    * `h` is the doc's deterministic selection hash in [0, 1e6).
+    * Parameterized (e3's pattern) so the property battery can drive it
+    * with random frames against a BigInt model.
+    *
+    * Semantics — temperature-smoothed source mixture (τ=2, i.e.
+    * weight ∝ √tokens, the multilingual-LM sampling practice of
+    * XLM-R/mT5): per source s with T_s admitted tokens,
+    * w_s = isqrt(T_s), target_s = floor(B·w_s / Σw),
+    * frac_s = min(1, target_s / T_s) in micro-units, and a doc is
+    * selected iff h < frac_micro — deterministic, row-local,
+    * re-runnable on any engine.
+    *
+    * Exactness: isqrt via floor(sqrt(double)) with a ±1 integer
+    * adjustment (sqrt is correctly rounded and the double conversion
+    * error of T ≤ 4e18 keeps the raw root within 1 of exact, and the
+    * adjustment squares stay inside Long for T ≤ 4e18 — ~160× the
+    * token count of a 100-TB corpus; t10's documented-bound idiom).
+    * target and frac use DECIMAL(38,0) multiplies with integral `div`
+    * so no intermediate can overflow and no engine float semantics
+    * leak in. τ and the budget are the only knobs.
+    *
+    * Scale shape: takes the (source, h) HISTOGRAM `(source, h, c, t)`
+    * — at most 1e6 rows per source no matter the corpus size (the
+    * QueryDef materializes it off ONE corpus pass) — and every step
+    * (per-source totals, the single-partition totals window, the
+    * broadcast frac join and the selection re-aggregation) runs on
+    * that bounded frame. The corpus is never rescanned to realize the
+    * selection counts, and the two hist consumers scan the persisted
+    * histogram, not the ledger lineage.
+    */
+  def mixtureManifest(hist: DataFrame, denom: Long): DataFrame = {
+    val src = hist.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val planned = src
+      .withColumn("s0",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("weight",
+        when(col("n_tokens") <= 0L, lit(0L))
+          .when(col("s0") * col("s0") > col("n_tokens"), col("s0") - 1L)
+          .when((col("s0") + 1L) * (col("s0") + 1L) <= col("n_tokens"),
+            col("s0") + 1L)
+          .otherwise(col("s0")))
+      // both totals in ONE single-partition window over the bounded
+      // per-source frame (S rows) — no driver collect
+      .withColumn("sum_w", expr("sum(weight) OVER ()"))
+      .withColumn("budget", expr(s"(sum(n_tokens) OVER ()) div $denom"))
+      .withColumn("target_tokens",
+        when(col("sum_w") <= 0L, lit(0L)).otherwise(expr(
+          """CAST(CAST(budget AS DECIMAL(38,0)) *
+            CAST(weight AS DECIMAL(38,0)) div
+            CAST(sum_w AS DECIMAL(38,0)) AS BIGINT)""")))
+      .withColumn("frac_micro",
+        when(col("n_tokens") <= 0L, lit(0L)).otherwise(
+          least(lit(1000000L), expr(
+            """CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000 div
+              CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)"""))))
+    val sel = hist
+      .join(broadcast(planned.select(col("source"), col("frac_micro"))),
+        "source")
+      .filter(col("h") < col("frac_micro"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("sel_docs"), sum(col("t")).as("sel_tokens"))
+    planned.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("target_tokens"), col("frac_micro"),
+        coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** e3's shard layout over a frame of (doc_id, split, n_tokens):
     * within (split, doc_id div macroDocs) ordered by doc_id, a doc
     * joins shard floor(prefix_before / budget). Exact ROWS frame and
@@ -379,6 +455,108 @@ object PipelineQueries {
         max(doc_id) AS max_doc_id
       FROM c
       GROUP BY 1, 2, 3
-      ORDER BY split, macro_shard, shard_seq"""))
+      ORDER BY split, macro_shard, shard_seq""")),
+
+    // ---- e4: mixture manifest — the SAMPLING PLAN a training run
+    //      consumes: the admitted train pool (e1's final_keep = 1,
+    //      split = 'train') re-balanced across sources by
+    //      temperature-smoothed sampling (τ=2 → weight ∝ √tokens, the
+    //      published multilingual-LM practice: heads damped, tails
+    //      boosted) under a scale-free token budget
+    //      (pool div [[MixtureBudgetDenom]]). Output: one row per
+    //      source with the pool stats, the integer-exact plan
+    //      (weight, target_tokens, frac_micro) and the REALIZED
+    //      selection (sel_docs, sel_tokens) under the deterministic
+    //      per-doc hash threshold — any engine reproduces the same
+    //      selected set from (doc_id, frac_micro) alone, so the plan
+    //      row is the artifact a fleet ships, not a doc list.
+    //
+    //      Scale shape: ledger + one slim projection; then everything
+    //      runs on the bounded (source, h) histogram — see
+    //      [[mixtureManifest]]. No second corpus scan, no collect.
+    //      Complement of t7_mixture_sample: t7 APPLIES fixed config
+    //      rates per language; e4 DERIVES the per-source plan from the
+    //      corpus itself (its salted hash is independent of t7's, so
+    //      composing them never correlates the two samples).
+    "e4_mixture_manifest" -> QueryDef(
+      (s, dir) => {
+        // the bounded (source, h) histogram, materialized off ONE
+        // corpus pass — the artifact both the plan and the selection
+        // re-aggregation scan (and the frame a streaming admission
+        // front would probe)
+        val hist = graft.core.Materialize(s, s"e4-hist|$dir") {
+          val train = ledgerFrame(s, dir)
+            .filter(col("final_keep") === 1L && col("split") === "train")
+            .select(col("doc_id"))
+          Tables.table(s, dir, "documents")
+            .join(train, "doc_id")
+            .select(
+              coalesce(col("source"), lit("")).as("source"),
+              coalesce(Text.bpeTokenCount(col("text")).cast("long"),
+                lit(0L)).as("n_tokens"),
+              // selection hash: d8's cross-engine md5 idiom, salted so
+              // it is independent of the split hash (which keys on fp)
+              (conv(substring(md5(concat(lit("mix|"),
+                col("doc_id").cast("string")).cast("binary")), 1, 15),
+                16, 10).cast("long") % 1000000L).as("h"))
+            .groupBy(col("source"), col("h"))
+            .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
+        }
+        mixtureManifest(hist, MixtureBudgetDenom)
+      },
+      Some(s"""WITH $ledgerSqlCtes,
+      ledger AS ($ledgerSqlSelect),
+      slim AS (
+        SELECT coalesce(d.source, '') AS source,
+          coalesce(CAST(len(regexp_extract_all(d.text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens,
+          CAST(('0x' || substr(md5('mix|' || CAST(l.doc_id AS VARCHAR)),
+            1, 15)) AS BIGINT) % 1000000 AS h
+        FROM ledger l JOIN documents d USING (doc_id)
+        WHERE l.final_keep = 1 AND l.split = 'train'
+      ), hist AS (
+        SELECT source, h, count(*) AS c,
+          CAST(sum(n_tokens) AS BIGINT) AS t
+        FROM slim GROUP BY 1, 2
+      ), src AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+          CAST(sum(t) AS BIGINT) AS n_tokens
+        FROM hist GROUP BY 1
+      ), wtd AS (
+        SELECT source, n_docs, n_tokens,
+          CASE WHEN n_tokens <= 0 THEN 0
+            WHEN s0*s0 > n_tokens THEN s0 - 1
+            WHEN (s0+1)*(s0+1) <= n_tokens THEN s0 + 1
+            ELSE s0 END AS weight
+        FROM (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+          AS BIGINT) AS s0 FROM src)
+      ), tot AS (
+        SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS sum_w,
+          CAST(CAST(sum(n_tokens) OVER () AS BIGINT)
+            // $MixtureBudgetDenom AS BIGINT) AS budget
+        FROM wtd
+      ), plan2 AS (
+        SELECT *,
+          CASE WHEN n_tokens <= 0 THEN 0
+            ELSE least(1000000, CAST(CAST(target_tokens AS HUGEINT)
+              * 1000000 // n_tokens AS BIGINT)) END AS frac_micro
+        FROM (
+          SELECT *, CASE WHEN sum_w <= 0 THEN 0
+            ELSE CAST(CAST(budget AS HUGEINT) * weight // sum_w
+              AS BIGINT) END AS target_tokens
+          FROM tot)
+      ), sel AS (
+        SELECT hist.source, CAST(sum(c) AS BIGINT) AS sel_docs,
+          CAST(sum(t) AS BIGINT) AS sel_tokens
+        FROM hist JOIN plan2 USING (source)
+        WHERE h < frac_micro
+        GROUP BY 1
+      )
+      SELECT p.source, p.n_docs, p.n_tokens, p.weight, p.target_tokens,
+        p.frac_micro,
+        coalesce(s.sel_docs, 0) AS sel_docs,
+        coalesce(s.sel_tokens, 0) AS sel_tokens
+      FROM plan2 p LEFT JOIN sel s USING (source)
+      ORDER BY p.source"""))
   )
 }

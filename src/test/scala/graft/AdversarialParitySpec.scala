@@ -31,8 +31,10 @@ import org.apache.spark.sql.types._
   * below, not just swept: st10 (pin 6 — pathological delta admission),
   * e2 (pin 7 — dup/contamination rates over null/whitespace/CJK
   * fingerprint folds), e3 (pin 8 — the null-text survivor's
-  * coalesce-to-zero-token manifest entry). Re-run the whole sweep
-  * with:
+  * coalesce-to-zero-token manifest entry). Round-10: e4 pinned as
+  * pin 9 (τ-smoothing saturates the 10-token source, damps the big
+  * one; DuckDB parity re-verified on this corpus 2026-08-15).
+  * Re-run the whole sweep with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
   *   python3 tools/check_oracle.py /tmp/adversarial /tmp/v_adv
@@ -243,6 +245,30 @@ class AdversarialParitySpec extends SparkSpec {
     val tr = shards(("train", 0L))
     assert(tr.getLong(3) === 8L && tr.getLong(4) === 357L)
     assert(tr.getLong(5) === 10L && tr.getLong(6) === 30L)
+  }
+
+  // ---- pin 9: e4's mixture manifest over the pathological corpus —
+  //      the train pool is pin 8's 8 survivors (347 webA + 10 webB
+  //      tokens); τ=2 smoothing must SATURATE the tiny source (webB
+  //      target 10 ≥ its 10-token pool → frac_micro = 1e6, both docs
+  //      selected) while damping the big one (webA frac ≈ 17.3%,
+  //      and deterministically 0 of its 6 doc hashes fall under it)
+  test("e4 mixture manifest: tiny source saturates, big source damps") {
+    val rows = run("e4_mixture_manifest").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("webA", "webB"))
+    val a = rows("webA")
+    assert(a.getLong(1) === 6L && a.getLong(2) === 347L)
+    assert(a.getLong(3) === 18L && a.getLong(4) === 60L)
+    assert(a.getLong(5) === 172910L)
+    assert(a.getLong(6) === 0L && a.getLong(7) === 0L,
+      "no webA doc hash < 172910 — deterministic small-n outcome")
+    val b = rows("webB")
+    assert(b.getLong(1) === 2L && b.getLong(2) === 10L)
+    assert(b.getLong(3) === 3L && b.getLong(4) === 10L)
+    assert(b.getLong(5) === 1000000L, "target covers the pool -> saturated")
+    assert(b.getLong(6) === 2L && b.getLong(7) === 10L,
+      "saturated frac selects every doc")
   }
 
   // ---- breadth: the full judge-re-run battery completes with the

@@ -91,6 +91,7 @@ class GlobalPlanSpec extends SparkSpec {
     "e1_training_pipeline" -> 5,
     "e2_corpus_card" -> 7,
     "e3_shard_manifest" -> 6,
+    "e4_mixture_manifest" -> 5,
     "g1_semantic_models" -> 1,
     "g2_alignment_graph" -> 1,
     "g3_model_evaluation" -> 0,
@@ -205,7 +206,8 @@ class GlobalPlanSpec extends SparkSpec {
     "d11_semantic_dedup",  // broadcast k-means centroids
     "s3_ann_ivf",          // broadcast centroid table
     "t10_word_rarity",     // broadcast corpus-rarity vocabulary head
-    "e1_training_pipeline") // broadcast eval set inside the ledger
+    "e1_training_pipeline", // broadcast eval set inside the ledger
+    "e4_mixture_manifest") // broadcast per-source frac_micro plan
 
   test("small-side joins stay broadcast") {
     val byName = plans.toMap
