@@ -57,7 +57,8 @@ object Bench {
       "d7_decontamination", "d8_leakage_safe_split",
       "d9_embedding_clusters", "d10_substring_windows",
       "d11_semantic_dedup", "d14_incremental_dedup",
-      "d15_bloom_decontamination", "d16_corpus_diff"),
+      "d15_bloom_decontamination", "d16_corpus_diff",
+      "d17_contamination_report"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
@@ -83,7 +84,8 @@ object Bench {
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",
       "st5_stream_decontaminate", "st6_stream_semantic_flag",
       "st7_stream_fuzzy_flag", "st8_stream_incremental_dedup",
-      "st9_stream_drift_monitor", "st10_stream_pipeline_admission"))
+      "st9_stream_drift_monitor", "st10_stream_pipeline_admission",
+      "st11_stream_mixture_sampler"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

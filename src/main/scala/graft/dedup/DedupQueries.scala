@@ -1231,7 +1231,86 @@ object DedupQueries {
              WHEN old_fp <> new_fp THEN 'changed'
              ELSE 'unchanged' END AS status
       FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- d17: per-EVAL-doc contamination severity report — the
+    //      inverse direction of d7. d7 answers "which TRAIN docs carry
+    //      eval n-grams" (the docs to drop); d17 answers "how
+    //      compromised is each EVAL item" (the report a model card
+    //      publishes before trusting a benchmark number — the GPT-3
+    //      appendix-C posture): per eval doc, its distinct
+    //      [[DecontamN]]-gram count, how many of those grams occur
+    //      anywhere in the train split, and the integer-exact overlap
+    //      fraction in micro-units (NULL for gram-less docs — too
+    //      short to measure, not "clean").
+    //
+    //      Scale shape: the train corpus is touched by ONE pass that
+    //      never aggregates it — each doc row-locally probes the
+    //      eval-gram bloom ([[EvalGrams.bloomOf]]'s tree-merged
+    //      filter) and only bloom-HIT docs explode into the exact
+    //      confirm join (d15's plan, deliberately not
+    //      broadcast-hinted: the eval side is what's too big to ship
+    //      above the gate). Everything after the confirm — the
+    //      distinct shared-gram set, the per-eval-doc counts — is
+    //      bounded by the EVAL SUITE's gram count, independent of
+    //      corpus size.
+    "d17_contamination_report" -> QueryDef(
+      (s, dir) => {
+        val isEval = col("doc_id") % DecontamEvalMod === 0
+        val evalG = evalGramSet(s, dir)
+        val nEval = evalG.count()
+        val bloom = EvalGrams.bloomOf(evalG, nEval)
+        // distinct eval grams that occur anywhere in train (≤ |evalG|)
+        val sharedG = decontamShingled(s, dir).filter(!isEval)
+          .withColumn("bh",
+            graft.functions.BloomMemberCount.countIn(col("sh"), bloom))
+          .filter(col("bh") > 0L)
+          .select(explode(col("sh")).as("g"))
+          .join(evalG, "g")
+          .distinct()
+        val perDoc = decontamShingled(s, dir).filter(isEval)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(sharedG, Seq("g"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+        decontamShingled(s, dir).filter(isEval)
+          .select(col("doc_id"),
+            when(col("sh").isNull, lit(0L))
+              .otherwise(size(col("sh")).cast("long")).as("n_grams"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n"), lit(0L)).as("n_shared"),
+            expr("""CAST(coalesce(n, 0) * 1000000
+              div nullif(n_grams, 0) AS BIGINT)""").as("overlap_micro"),
+            (coalesce(col("n"), lit(0L)) > 0L).cast("long")
+              .as("contaminated_eval"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH g AS (
+        SELECT doc_id, unnest(${shinglesSqlDuck(DecontamN)}) AS g
+        FROM documents
+      ), e AS (
+        SELECT DISTINCT g FROM g WHERE doc_id % $DecontamEvalMod = 0
+      ), t AS (
+        SELECT DISTINCT g FROM g WHERE doc_id % $DecontamEvalMod <> 0
+      ), shared AS (
+        SELECT e.g FROM e JOIN t USING (g)
+      ), per AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM g JOIN shared USING (g)
+        WHERE doc_id % $DecontamEvalMod = 0 GROUP BY 1
+      ), base AS (
+        SELECT doc_id, CAST(coalesce(len(${shinglesSqlDuck(DecontamN)}), 0)
+          AS BIGINT) AS n_grams
+        FROM documents WHERE doc_id % $DecontamEvalMod = 0
+      )
+      SELECT b.doc_id, b.n_grams,
+        coalesce(p.n_shared, 0) AS n_shared,
+        CAST(coalesce(p.n_shared, 0) * 1000000
+          // nullif(b.n_grams, 0) AS BIGINT) AS overlap_micro,
+        CAST(coalesce(p.n_shared, 0) > 0 AS BIGINT) AS contaminated_eval
+      FROM base b LEFT JOIN per p USING (doc_id)
+      ORDER BY b.doc_id"""))
   )
 
   /** Embedding near-dup pair table (vec1 < vec2, exact cosine) — the

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -102,7 +102,7 @@ object PipelineQueries {
 
   /** DuckDB CTE chain reproducing [[ledgerFrame]]'s stages — shared by
     * e1's oracle and e3's (which wraps [[ledgerSqlSelect]] as a CTE). */
-  private[pipeline] val ledgerSqlCtes: String = {
+  private[graft] val ledgerSqlCtes: String = {
     import graft.dedup.DedupQueries.{DecontamEvalMod, DecontamN}
     val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     val shingles =
@@ -137,7 +137,7 @@ object PipelineQueries {
   }
 
   /** The ledger SELECT over [[ledgerSqlCtes]] (no ORDER BY). */
-  private[pipeline] val ledgerSqlSelect: String = {
+  private[graft] val ledgerSqlSelect: String = {
     import graft.dedup.DedupQueries.{SplitTrainFrac, SplitValFrac}
     s"""SELECT dd.doc_id, dd.quality_score, dd.passed_quality,
       dd.is_canonical,
@@ -157,6 +157,91 @@ object PipelineQueries {
     * mixture budget (scale-free — a constant token budget would make
     * the plan degenerate at small sf and trivial at large sf). */
   val MixtureBudgetDenom = 5L
+
+  /** e4's deterministic per-doc selection hash in [0, 1e6): d8's
+    * cross-engine md5 idiom, salted with "mix|" so it is independent
+    * of the ledger's split hash (which keys on the content fp) and of
+    * t7's language-sample hash — composing the samplers never
+    * correlates them. Shared by e4 (plan + realized counts) and st11
+    * (the streaming sampler front), which MUST agree bit-for-bit on
+    * which docs a frac_micro admits. */
+  def mixHash(docId: Column): Column =
+    conv(substring(md5(concat(lit("mix|"), docId.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long") % 1000000L
+
+  /** DuckDB twin of [[mixHash]] over a doc_id SQL expression. */
+  private[graft] def mixHashSqlDuck(docIdExpr: String): String =
+    s"""CAST(('0x' || substr(md5('mix|' || CAST($docIdExpr AS VARCHAR)),
+      1, 15)) AS BIGINT) % 1000000"""
+
+  /** DuckDB CTE chain computing e4's plan (`slim` → `hist` → `src` →
+    * `wtd` → `tot` → `plan2`) from the `ledger` + `documents` CTEs —
+    * the exact SQL twin of [[e4Hist]] piped through
+    * [[mixtureManifest]]'s math (HUGEINT where Spark uses
+    * DECIMAL(38,0)). Shared by e4's oracle and st11's (the streaming
+    * sampler must sample under the SAME plan the batch manifest
+    * publishes). */
+  private[graft] val mixturePlanSqlCtes: String =
+    s"""slim AS (
+        SELECT coalesce(d.source, '') AS source,
+          coalesce(CAST(len(regexp_extract_all(d.text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens,
+          ${mixHashSqlDuck("l.doc_id")} AS h
+        FROM ledger l JOIN documents d USING (doc_id)
+        WHERE l.final_keep = 1 AND l.split = 'train'
+      ), hist AS (
+        SELECT source, h, count(*) AS c,
+          CAST(sum(n_tokens) AS BIGINT) AS t
+        FROM slim GROUP BY 1, 2
+      ), src AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+          CAST(sum(t) AS BIGINT) AS n_tokens
+        FROM hist GROUP BY 1
+      ), wtd AS (
+        SELECT source, n_docs, n_tokens,
+          CASE WHEN n_tokens <= 0 THEN 0
+            WHEN s0*s0 > n_tokens THEN s0 - 1
+            WHEN (s0+1)*(s0+1) <= n_tokens THEN s0 + 1
+            ELSE s0 END AS weight
+        FROM (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+          AS BIGINT) AS s0 FROM src)
+      ), tot AS (
+        SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS sum_w,
+          CAST(CAST(sum(n_tokens) OVER () AS BIGINT)
+            // $MixtureBudgetDenom AS BIGINT) AS budget
+        FROM wtd
+      ), plan2 AS (
+        SELECT *,
+          CASE WHEN n_tokens <= 0 THEN 0
+            ELSE least(1000000, CAST(CAST(target_tokens AS HUGEINT)
+              * 1000000 // n_tokens AS BIGINT)) END AS frac_micro
+        FROM (
+          SELECT *, CASE WHEN sum_w <= 0 THEN 0
+            ELSE CAST(CAST(budget AS HUGEINT) * weight // sum_w
+              AS BIGINT) END AS target_tokens
+          FROM tot)
+      )"""
+
+  /** The bounded `(source, h, c, t)` histogram of the admitted train
+    * pool (e1's final_keep = 1, split = 'train'), materialized off ONE
+    * corpus pass — the shared artifact e4's plan, e4's selection
+    * re-aggregation, and st11's streaming sampler all scan. At most
+    * 1e6 rows per source regardless of corpus size. */
+  def e4Hist(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"e4-hist|$dir") {
+      val train = ledgerFrame(s, dir)
+        .filter(col("final_keep") === 1L && col("split") === "train")
+        .select(col("doc_id"))
+      Tables.table(s, dir, "documents")
+        .join(train, "doc_id")
+        .select(
+          coalesce(col("source"), lit("")).as("source"),
+          coalesce(Text.bpeTokenCount(col("text")).cast("long"),
+            lit(0L)).as("n_tokens"),
+          mixHash(col("doc_id")).as("h"))
+        .groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
+    }
 
   /** e4's plan math over a slim frame of `(source, n_tokens, h)` where
     * `h` is the doc's deterministic selection hash in [0, 1e6).
@@ -479,73 +564,11 @@ object PipelineQueries {
     //      corpus itself (its salted hash is independent of t7's, so
     //      composing them never correlates the two samples).
     "e4_mixture_manifest" -> QueryDef(
-      (s, dir) => {
-        // the bounded (source, h) histogram, materialized off ONE
-        // corpus pass — the artifact both the plan and the selection
-        // re-aggregation scan (and the frame a streaming admission
-        // front would probe)
-        val hist = graft.core.Materialize(s, s"e4-hist|$dir") {
-          val train = ledgerFrame(s, dir)
-            .filter(col("final_keep") === 1L && col("split") === "train")
-            .select(col("doc_id"))
-          Tables.table(s, dir, "documents")
-            .join(train, "doc_id")
-            .select(
-              coalesce(col("source"), lit("")).as("source"),
-              coalesce(Text.bpeTokenCount(col("text")).cast("long"),
-                lit(0L)).as("n_tokens"),
-              // selection hash: d8's cross-engine md5 idiom, salted so
-              // it is independent of the split hash (which keys on fp)
-              (conv(substring(md5(concat(lit("mix|"),
-                col("doc_id").cast("string")).cast("binary")), 1, 15),
-                16, 10).cast("long") % 1000000L).as("h"))
-            .groupBy(col("source"), col("h"))
-            .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
-        }
-        mixtureManifest(hist, MixtureBudgetDenom)
-      },
+      (s, dir) => mixtureManifest(e4Hist(s, dir), MixtureBudgetDenom),
       Some(s"""WITH $ledgerSqlCtes,
       ledger AS ($ledgerSqlSelect),
-      slim AS (
-        SELECT coalesce(d.source, '') AS source,
-          coalesce(CAST(len(regexp_extract_all(d.text,
-            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens,
-          CAST(('0x' || substr(md5('mix|' || CAST(l.doc_id AS VARCHAR)),
-            1, 15)) AS BIGINT) % 1000000 AS h
-        FROM ledger l JOIN documents d USING (doc_id)
-        WHERE l.final_keep = 1 AND l.split = 'train'
-      ), hist AS (
-        SELECT source, h, count(*) AS c,
-          CAST(sum(n_tokens) AS BIGINT) AS t
-        FROM slim GROUP BY 1, 2
-      ), src AS (
-        SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
-          CAST(sum(t) AS BIGINT) AS n_tokens
-        FROM hist GROUP BY 1
-      ), wtd AS (
-        SELECT source, n_docs, n_tokens,
-          CASE WHEN n_tokens <= 0 THEN 0
-            WHEN s0*s0 > n_tokens THEN s0 - 1
-            WHEN (s0+1)*(s0+1) <= n_tokens THEN s0 + 1
-            ELSE s0 END AS weight
-        FROM (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
-          AS BIGINT) AS s0 FROM src)
-      ), tot AS (
-        SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS sum_w,
-          CAST(CAST(sum(n_tokens) OVER () AS BIGINT)
-            // $MixtureBudgetDenom AS BIGINT) AS budget
-        FROM wtd
-      ), plan2 AS (
-        SELECT *,
-          CASE WHEN n_tokens <= 0 THEN 0
-            ELSE least(1000000, CAST(CAST(target_tokens AS HUGEINT)
-              * 1000000 // n_tokens AS BIGINT)) END AS frac_micro
-        FROM (
-          SELECT *, CASE WHEN sum_w <= 0 THEN 0
-            ELSE CAST(CAST(budget AS HUGEINT) * weight // sum_w
-              AS BIGINT) END AS target_tokens
-          FROM tot)
-      ), sel AS (
+      $mixturePlanSqlCtes,
+      sel AS (
         SELECT hist.source, CAST(sum(c) AS BIGINT) AS sel_docs,
           CAST(sum(t) AS BIGINT) AS sel_tokens
         FROM hist JOIN plan2 USING (source)

@@ -775,6 +775,71 @@ object StreamingQueries {
         LEFT JOIN cont ON q.doc_id = cont.doc_id
         WHERE q.doc_id % $DeltaMod = 0 AND q.doc_id % $StreamEvalMod <> 0
         ORDER BY q.doc_id"""
+      }),
+
+    // ---- st11: streaming MIXTURE SAMPLER — e4's front. e4 publishes
+    //      the per-source sampling plan (frac_micro) off the last
+    //      corpus snapshot; st11 applies that plan to continuously
+    //      arriving delta docs: each doc computes its source, token
+    //      count and salted selection hash ROW-LOCALLY, joins the
+    //      broadcast plan (a handful of rows — one per source), and is
+    //      sampled iff h < frac_micro. Plan refresh cadence is
+    //      deliberately decoupled from arrival cadence (production
+    //      samplers re-plan per snapshot, not per micro-batch), so the
+    //      static side is the SAME materialized e4 histogram the batch
+    //      manifest scans — the stream and the manifest cannot
+    //      disagree on a sampling decision. A source absent from the
+    //      plan (no admitted train docs in the snapshot) coalesces to
+    //      frac 0: reported, never sampled, until the next re-plan.
+    //      Stateless append — no watermark, no state store, O(doc)
+    //      work per arrival at any stream lifetime.
+    "st11_stream_mixture_sampler" -> QueryDef(
+      (s, dir) => {
+        runStream(st11Stream(s, dir), "append").orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.dedup.DedupQueries.DeltaMod
+        import graft.pipeline.PipelineQueries
+        s"""WITH ${PipelineQueries.ledgerSqlCtes},
+        ledger AS (${PipelineQueries.ledgerSqlSelect}),
+        ${PipelineQueries.mixturePlanSqlCtes}
+        SELECT d.doc_id, coalesce(d.source, '') AS source,
+          coalesce(CAST(len(regexp_extract_all(d.text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens,
+          ${PipelineQueries.mixHashSqlDuck("d.doc_id")} AS h,
+          coalesce(p.frac_micro, 0) AS frac_micro,
+          CAST(${PipelineQueries.mixHashSqlDuck("d.doc_id")}
+            < coalesce(p.frac_micro, 0) AS BIGINT) AS sampled
+        FROM documents d
+        LEFT JOIN plan2 p ON coalesce(d.source, '') = p.source
+        WHERE d.doc_id % $DeltaMod = 0
+        ORDER BY d.doc_id"""
       })
   )
+
+  /** st11 stream side (exposed for the state-contract spec): delta
+    * docs sampled under the broadcast e4 plan — see the QueryDef
+    * comment for the full design rationale. */
+  private[streaming] def st11Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.DeltaMod
+    import graft.pipeline.PipelineQueries
+    import graft.text.Text
+    val plan = PipelineQueries
+      .mixtureManifest(PipelineQueries.e4Hist(s, dir),
+        PipelineQueries.MixtureBudgetDenom)
+      .select(col("source"), col("frac_micro"))
+    streamTable(s, dir, "documents")
+      .filter(col("doc_id") % DeltaMod === 0)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        coalesce(Text.bpeTokenCount(col("text")).cast("long"), lit(0L))
+          .as("n_tokens"),
+        PipelineQueries.mixHash(col("doc_id")).as("h"))
+      .join(broadcast(plan), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("h"),
+        coalesce(col("frac_micro"), lit(0L)).as("frac_micro"),
+        (col("h") < coalesce(col("frac_micro"), lit(0L))).cast("long")
+          .as("sampled"))
+  }
 }

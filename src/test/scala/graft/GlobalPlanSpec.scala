@@ -79,6 +79,7 @@ class GlobalPlanSpec extends SparkSpec {
     "d14_incremental_dedup" -> 6,
     "d15_bloom_decontamination" -> 3,
     "d16_corpus_diff" -> 3,
+    "d17_contamination_report" -> 4,
     "d1_exact_dedup" -> 2,
     "d2_minhash_lsh" -> 1,
     "d3_simhash" -> 2,
