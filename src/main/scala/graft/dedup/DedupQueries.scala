@@ -518,6 +518,47 @@ object DedupQueries {
     * corpus plays the new-ingest side, the rest is the persisted index). */
   val DeltaMod = 4
 
+  /** d17's report over any `(doc_id, sh)` shingled frame plus the
+    * distinct eval-gram set — parameterized (e3/st10's pattern) so the
+    * property battery can drive it with random corpora against a
+    * brute-force Set model, while the QueryDef applies it to the
+    * shared materialized artifacts. Eval docs are the
+    * [[DecontamEvalMod]] subset of `shingled` itself. */
+  private[graft] def contaminationReport(shingled: DataFrame,
+      evalG: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % DecontamEvalMod === 0
+    val nEval = evalG.count()
+    val bloom = EvalGrams.bloomOf(evalG, nEval)
+    // distinct eval grams that occur anywhere in train (≤ |evalG|):
+    // row-local bloom prefilter, only hit docs explode, exact confirm
+    // (deliberately not broadcast-hinted — EvalGrams.bloomCounts'
+    // rationale), distinct bounded by the eval suite's gram count
+    val sharedG = shingled.filter(!isEval)
+      .withColumn("bh",
+        graft.functions.BloomMemberCount.countIn(col("sh"), bloom))
+      .filter(col("bh") > 0L)
+      .select(explode(col("sh")).as("g"))
+      .join(evalG, "g")
+      .distinct()
+    val perDoc = shingled.filter(isEval)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(sharedG, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    shingled.filter(isEval)
+      .select(col("doc_id"),
+        when(col("sh").isNull, lit(0L))
+          .otherwise(size(col("sh")).cast("long")).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n"), lit(0L)).as("n_shared"),
+        expr("""CAST(coalesce(n, 0) * 1000000
+          div nullif(n_grams, 0) AS BIGINT)""").as("overlap_micro"),
+        (coalesce(col("n"), lit(0L)) > 0L).cast("long")
+          .as("contaminated_eval"))
+      .orderBy(col("doc_id"))
+  }
+
   private val otherDefs: Map[String, QueryDef] = Map(
 
     // ---- d11: semantic dedup (SemDeDup, Abbas et al. 2023,
@@ -1255,37 +1296,9 @@ object DedupQueries {
     //      bounded by the EVAL SUITE's gram count, independent of
     //      corpus size.
     "d17_contamination_report" -> QueryDef(
-      (s, dir) => {
-        val isEval = col("doc_id") % DecontamEvalMod === 0
-        val evalG = evalGramSet(s, dir)
-        val nEval = evalG.count()
-        val bloom = EvalGrams.bloomOf(evalG, nEval)
-        // distinct eval grams that occur anywhere in train (≤ |evalG|)
-        val sharedG = decontamShingled(s, dir).filter(!isEval)
-          .withColumn("bh",
-            graft.functions.BloomMemberCount.countIn(col("sh"), bloom))
-          .filter(col("bh") > 0L)
-          .select(explode(col("sh")).as("g"))
-          .join(evalG, "g")
-          .distinct()
-        val perDoc = decontamShingled(s, dir).filter(isEval)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
-          .join(sharedG, Seq("g"), "left_semi")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n"))
-        decontamShingled(s, dir).filter(isEval)
-          .select(col("doc_id"),
-            when(col("sh").isNull, lit(0L))
-              .otherwise(size(col("sh")).cast("long")).as("n_grams"))
-          .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n"), lit(0L)).as("n_shared"),
-            expr("""CAST(coalesce(n, 0) * 1000000
-              div nullif(n_grams, 0) AS BIGINT)""").as("overlap_micro"),
-            (coalesce(col("n"), lit(0L)) > 0L).cast("long")
-              .as("contaminated_eval"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) =>
+        contaminationReport(decontamShingled(s, dir),
+          evalGramSet(s, dir)),
       Some(s"""WITH g AS (
         SELECT doc_id, unnest(${shinglesSqlDuck(DecontamN)}) AS g
         FROM documents

@@ -214,6 +214,14 @@ object ProfileQueries {
     ("part", "p_brand", "p_type"),
     ("part", "p_partkey", "p_brand"))
 
+  /** p13: date pivot splitting orders into old/new vintages (mid-range
+    * of the synthetic corpus' 1992-1998 span). */
+  val DriftPivot = "1995-06-01"
+
+  /** p13: |relative delta| in micro-units at or above which a metric
+    * is flagged as drifted (50000 = 5%). */
+  val DriftFlagMicro = 50000L
+
   val defs: Map[String, QueryDef] = Map(
     "p1_profile_customer" -> prof("customer",
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
@@ -700,5 +708,114 @@ object ProfileQueries {
         SELECT * FROM (
           ${(singles ++ pairs).mkString("\n          UNION ALL ")}
         ) ORDER BY combo"""
-      }))
+      }),
+
+    // ---- p13: PROFILE DRIFT between two vintages of a table — the
+    //      data-freshness QA every recurring 100-TB ingest runs before
+    //      promoting a snapshot ("did this month's load change the
+    //      distribution, or just add rows?"). Batch complement of
+    //      st9's streaming drift monitor and of d16's row-level diff:
+    //      d16 says WHICH docs changed, p13 says whether the SHAPE
+    //      changed. Orders split at a fixed date pivot play the
+    //      old/new vintages; per metric one row with both values, the
+    //      integer-exact relative delta in micro-units (NULL when the
+    //      old side is empty/zero — undefined, not "no drift") and a
+    //      [[DriftFlagMicro]] flag.
+    //
+    //      Scale shape: ONE pass over two pruned columns + the
+    //      distinct-custkey count (conditional aggregates, map-side
+    //      combined; the Expand for the distinct is over (custkey,
+    //      side) pairs only), melted to 4 rows by a row-local stack —
+    //      no second scan, no driver math, no shuffle beyond the agg.
+    //      Money is decimal-cast before summing (double sums are
+    //      order-dependent across engines; q1's proven idiom).
+    "p13_profile_drift" -> QueryDef(
+      (s, dir) => {
+        val pivotTs = java.sql.Timestamp.valueOf(s"$DriftPivot 00:00:00")
+        val o = Tables.table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"),
+            (col("o_orderdate") < lit(pivotTs)).as("old_side"))
+        val cents = col("o_totalprice").cast(DecimalType(25, 2))
+        def side(old: Boolean, c: org.apache.spark.sql.Column) =
+          when(col("old_side") === old, c)
+        val agg = o.agg(
+          count(side(true, lit(1))).as("old_n"),
+          count(side(false, lit(1))).as("new_n"),
+          countDistinct(side(true, col("o_custkey"))).as("old_cust"),
+          countDistinct(side(false, col("o_custkey"))).as("new_cust"),
+          sum(side(true, cents)).as("old_sum"),
+          sum(side(false, cents)).as("new_sum"),
+          count(side(true,
+            when(col("o_orderpriority") === "1-URGENT", lit(1))))
+            .as("old_urg"),
+          count(side(false,
+            when(col("o_orderpriority") === "1-URGENT", lit(1))))
+            .as("new_urg"))
+        val melted = agg.selectExpr(
+          """stack(4,
+            'n_orders', old_n, new_n,
+            'n_customers', old_cust, new_cust,
+            'mean_price_cents',
+              CAST(old_sum * 100 AS BIGINT) div nullif(old_n, 0),
+              CAST(new_sum * 100 AS BIGINT) div nullif(new_n, 0),
+            'urgent_share_micro',
+              old_urg * 1000000 div nullif(old_n, 0),
+              new_urg * 1000000 div nullif(new_n, 0)
+          ) AS (metric, old_value, new_value)""")
+        melted.selectExpr("metric", "old_value", "new_value",
+          """CAST((new_value - old_value) * 1000000
+            div nullif(abs(old_value), 0) AS BIGINT) AS rel_delta_micro""",
+          s"""CASE WHEN old_value IS NULL OR new_value IS NULL
+              OR nullif(old_value, 0) IS NULL THEN CAST(NULL AS BIGINT)
+            ELSE CAST(abs((new_value - old_value) * 1000000
+              div abs(old_value)) >= $DriftFlagMicro AS BIGINT)
+            END AS drifted""")
+          .orderBy(col("metric"))
+      },
+      Some(s"""WITH agg AS (
+        SELECT
+          count(*) FILTER (WHERE o_orderdate < TIMESTAMP '$DriftPivot 00:00:00')
+            AS old_n,
+          count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '$DriftPivot 00:00:00')
+            AS new_n,
+          count(DISTINCT o_custkey)
+            FILTER (WHERE o_orderdate < TIMESTAMP '$DriftPivot 00:00:00')
+            AS old_cust,
+          count(DISTINCT o_custkey)
+            FILTER (WHERE o_orderdate >= TIMESTAMP '$DriftPivot 00:00:00')
+            AS new_cust,
+          sum(CAST(o_totalprice AS DECIMAL(25,2)))
+            FILTER (WHERE o_orderdate < TIMESTAMP '$DriftPivot 00:00:00')
+            AS old_sum,
+          sum(CAST(o_totalprice AS DECIMAL(25,2)))
+            FILTER (WHERE o_orderdate >= TIMESTAMP '$DriftPivot 00:00:00')
+            AS new_sum,
+          count(*) FILTER (WHERE o_orderdate < TIMESTAMP '$DriftPivot 00:00:00'
+            AND o_orderpriority = '1-URGENT') AS old_urg,
+          count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '$DriftPivot 00:00:00'
+            AND o_orderpriority = '1-URGENT') AS new_urg
+        FROM orders
+      ), melted AS (
+        SELECT 'n_orders' AS metric, old_n AS old_value,
+          new_n AS new_value FROM agg
+        UNION ALL SELECT 'n_customers', old_cust, new_cust FROM agg
+        UNION ALL SELECT 'mean_price_cents',
+          CAST(old_sum * 100 AS BIGINT) // nullif(old_n, 0),
+          CAST(new_sum * 100 AS BIGINT) // nullif(new_n, 0) FROM agg
+        UNION ALL SELECT 'urgent_share_micro',
+          old_urg * 1000000 // nullif(old_n, 0),
+          new_urg * 1000000 // nullif(new_n, 0) FROM agg
+      )
+      SELECT metric, CAST(old_value AS BIGINT) AS old_value,
+        CAST(new_value AS BIGINT) AS new_value,
+        CAST((new_value - old_value) * 1000000
+          // nullif(abs(old_value), 0) AS BIGINT) AS rel_delta_micro,
+        CASE WHEN old_value IS NULL OR new_value IS NULL
+            OR nullif(old_value, 0) IS NULL THEN CAST(NULL AS BIGINT)
+          ELSE CAST(abs((new_value - old_value) * 1000000
+            // abs(old_value)) >= $DriftFlagMicro AS BIGINT)
+          END AS drifted
+      FROM melted ORDER BY metric"""))
+  )
 }

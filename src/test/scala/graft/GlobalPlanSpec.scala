@@ -113,6 +113,7 @@ class GlobalPlanSpec extends SparkSpec {
     "p10_column_correlation" -> 1,
     "p11_quantile_profile" -> 8,
     "p12_key_discovery" -> 2,
+    "p13_profile_drift" -> 2,
     "p1_profile_customer" -> 9,
     "p2_profile_documents" -> 9,
     "p3_profile_orders" -> 9,
