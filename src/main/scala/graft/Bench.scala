@@ -78,7 +78,7 @@ object Bench {
     // composed end-to-end pipeline (quality -> dedup -> decontam -> split)
     // + the corpus-card datasheet and shard manifest off the same kernels
     Seq("e1_training_pipeline", "e2_corpus_card", "e3_shard_manifest",
-      "e4_mixture_manifest"),
+      "e4_mixture_manifest", "e5_epoch_plan"),
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",

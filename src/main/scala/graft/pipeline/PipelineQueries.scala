@@ -174,6 +174,36 @@ object PipelineQueries {
     s"""CAST(('0x' || substr(md5('mix|' || CAST($docIdExpr AS VARCHAR)),
       1, 15)) AS BIGINT) % 1000000"""
 
+  /** e5: repetition cap — a source is repeated at most this many
+    * epochs to fill its mixture target (the data-constrained-scaling
+    * practice: repeating data is near-free up to ~4 epochs and
+    * rapidly decays after — Muennighoff et al. 2023,
+    * arXiv:2305.16264). */
+  val EpochCap = 4L
+
+  /** e5's plan math over e4's manifest (any frame carrying `source`,
+    * `n_tokens`, `target_tokens`) — parameterized so the property
+    * battery can drive it against a BigInt model. Row-local and
+    * integer-exact: epochs_micro = min(cap·1e6, target·1e6 / pool)
+    * (DECIMAL(38,0) intermediates — target·1e6 overflows BIGINT at
+    * real corpus scale), planned = min(target, pool·cap), shortfall =
+    * target − planned, capped = shortfall > 0. */
+  def epochPlan(plan: DataFrame, cap: Long = EpochCap): DataFrame =
+    plan.select(col("source"), col("n_tokens"), col("target_tokens"))
+      .withColumn("epochs_micro",
+        when(col("n_tokens") <= 0L, lit(0L)).otherwise(expr(
+          s"""CAST(least(CAST(${cap * 1000000L} AS DECIMAL(38,0)),
+            CAST(target_tokens AS DECIMAL(38,0)) * 1000000 div
+            CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)""")))
+      .withColumn("planned_tokens", expr(
+        s"""CAST(least(CAST(target_tokens AS DECIMAL(38,0)),
+          CAST(n_tokens AS DECIMAL(38,0)) * $cap) AS BIGINT)"""))
+      .withColumn("shortfall_tokens",
+        col("target_tokens") - col("planned_tokens"))
+      .withColumn("capped",
+        (col("shortfall_tokens") > 0L).cast("long"))
+      .orderBy(col("source"))
+
   /** DuckDB CTE chain computing e4's plan (`slim` → `hist` → `src` →
     * `wtd` → `tot` → `plan2`) from the `ledger` + `documents` CTEs —
     * the exact SQL twin of [[e4Hist]] piped through
@@ -580,6 +610,39 @@ object PipelineQueries {
         coalesce(s.sel_docs, 0) AS sel_docs,
         coalesce(s.sel_tokens, 0) AS sel_tokens
       FROM plan2 p LEFT JOIN sel s USING (source)
-      ORDER BY p.source"""))
+      ORDER BY p.source""")),
+
+    // ---- e5: epoch / repetition plan — e4 fixed WHAT share of each
+    //      source to sample; e5 fixes HOW MANY TIMES the source must
+    //      be traversed to fill that target when the pool is smaller
+    //      than the target (sampling WITH repetition — e4's frac
+    //      saturates at 1e6 and cannot oversample). Repetition is
+    //      capped at [[EpochCap]] epochs (the data-constrained-scaling
+    //      practice); the un-fillable remainder is reported as an
+    //      explicit per-source shortfall, not silently dropped — the
+    //      number a data team uses to decide whether to go find more
+    //      of that source. Row-local math over the plan's S rows; the
+    //      corpus is never touched beyond e4's shared histogram.
+    "e5_epoch_plan" -> QueryDef(
+      (s, dir) => epochPlan(
+        mixtureManifest(e4Hist(s, dir), MixtureBudgetDenom)),
+      Some(s"""WITH $ledgerSqlCtes,
+      ledger AS ($ledgerSqlSelect),
+      $mixturePlanSqlCtes
+      SELECT source, n_tokens, target_tokens,
+        CASE WHEN n_tokens <= 0 THEN 0
+          ELSE least(${EpochCap * 1000000L},
+            CAST(CAST(target_tokens AS HUGEINT) * 1000000
+              // n_tokens AS BIGINT)) END AS epochs_micro,
+        CAST(least(CAST(target_tokens AS HUGEINT),
+          CAST(n_tokens AS HUGEINT) * $EpochCap) AS BIGINT)
+          AS planned_tokens,
+        target_tokens - CAST(least(CAST(target_tokens AS HUGEINT),
+          CAST(n_tokens AS HUGEINT) * $EpochCap) AS BIGINT)
+          AS shortfall_tokens,
+        CAST(target_tokens > CAST(least(CAST(target_tokens AS HUGEINT),
+          CAST(n_tokens AS HUGEINT) * $EpochCap) AS BIGINT) AS BIGINT)
+          AS capped
+      FROM plan2 ORDER BY source"""))
   )
 }

@@ -93,6 +93,7 @@ class GlobalPlanSpec extends SparkSpec {
     "e2_corpus_card" -> 7,
     "e3_shard_manifest" -> 6,
     "e4_mixture_manifest" -> 5,
+    "e5_epoch_plan" -> 2,
     "g1_semantic_models" -> 1,
     "g2_alignment_graph" -> 1,
     "g3_model_evaluation" -> 0,

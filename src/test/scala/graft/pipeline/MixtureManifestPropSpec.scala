@@ -110,4 +110,39 @@ class MixtureManifestPropSpec extends SparkSpec {
       .toDF("source", "h", "c", "t")
     assert(PipelineQueries.mixtureManifest(empty, 5L).count() === 0L)
   }
+
+  /** e5 over random (pool, target) rows vs the BigInt model of
+    * min-cap epochs / planned / shortfall — including a near-Long
+    * pool×cap and a target·1e6 that only DECIMAL(38,0) survives. */
+  test("epoch plan equals the BigInt model, never over-plans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val cap = PipelineQueries.EpochCap
+    val rows = (0 until 60).map { i =>
+      val t = rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => rnd.nextInt(50).toLong
+        case _ => math.abs(rnd.nextLong()) % 1000000000000L
+      }
+      val target = rnd.nextInt(3) match {
+        case 0 => 0L
+        case _ => math.abs(rnd.nextLong()) % 4000000000000L
+      }
+      (s"s$i", t, target)
+    } :+ (("xxl", 4000000000000000000L, 4100000000000000000L))
+    val got = PipelineQueries.epochPlan(
+        rows.toDF("source", "n_tokens", "target_tokens")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    for ((s, t, g) <- rows) {
+      val epochs =
+        if (t <= 0L) 0L
+        else (BigInt(g) * 1000000 / t).min(BigInt(cap) * 1000000).toLong
+      val planned = BigInt(g).min(BigInt(t) * cap).toLong
+      val exp = (epochs, planned, g - planned,
+        if (g - planned > 0L) 1L else 0L)
+      assert(got(s) === exp, s"source $s (pool=$t target=$g)")
+      assert(planned <= g, "never over-plans the target")
+    }
+  }
 }
