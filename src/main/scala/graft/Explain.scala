@@ -46,8 +46,15 @@ object Explain {
     * extra exchange runs, so counting it as a shuffle would make a
     * plan that gains exchange reuse look like a budget breach. */
   def exchangeCounts(plan: String): (Int, Int) = {
-    val broadcasts = """\bBroadcastExchange\b""".r.findAllIn(plan).size
-    val shuffles = """\bExchange\b""".r.findAllIn(plan).size
+    // Spark renders a reuse node WITH the description of the exchange
+    // it reuses on the same line ("ReusedExchange [...], Exchange
+    // hashpartitioning(...)" / "..., BroadcastExchange HashedRelation
+    // ..."), so the embedded name would be counted as if the exchange
+    // ran again. Drop ReusedExchange lines wholesale before counting.
+    val own = plan.linesIterator
+      .filterNot(_.contains("ReusedExchange")).mkString("\n")
+    val broadcasts = """\bBroadcastExchange\b""".r.findAllIn(own).size
+    val shuffles = """\bExchange\b""".r.findAllIn(own).size
     (shuffles, broadcasts)
   }
 }

@@ -161,9 +161,14 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
             respond(ex, 200, s"""{"predictions":$cols,"suggestions":$sugs}""")
           } finally {
             // a predict is a terminal unit of work: release the
-            // pipeline-stage caches (BaggedPrediction's bagged melt et
+            // pipeline-stage caches (matcher melt, eval gram sets et
             // al) so a long-lived server doesn't accumulate persisted
             // frames until LRU eviction churn — the Caches contract.
+            // BaggedPrediction's bag melt is a DISK checkpoint, not a
+            // cache — reclaimed here explicitly (this dispatcher
+            // serializes predicts and the response JSON above is fully
+            // built, so no bagged frame can still be mid-read) and by
+            // a JVM-exit hook for every other harness.
             // Gated on no async train being in flight: trains run on
             // dispatchEc while this single-threaded dispatcher serves
             // predicts, and an ungated release would sweep the running
@@ -171,7 +176,10 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
             // but silently uncached). Train starts happen ONLY on this
             // dispatcher thread, so check-then-release cannot race a
             // new train; the winning train releases at its own end.
-            if (!svc.trainInFlight) graft.core.Caches.release(spark())
+            if (!svc.trainInFlight) {
+              graft.core.Caches.release(spark())
+              graft.matcher.BaggedPrediction.reclaimScratch()
+            }
           }
           case None => err(ex, 400, "query param dataset required")
         }

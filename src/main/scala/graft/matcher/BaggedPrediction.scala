@@ -20,6 +20,38 @@ import graft.profile.ColumnProfiler
   * for short columns — the whole path is partition-order independent. */
 object BaggedPrediction {
 
+  /** Scratch dirs written by predict() calls. Each call parquets its
+    * bag melt to a fresh temp dir (see the checkpoint rationale in
+    * [[predict]]); a dir must outlive the call's own LAZY consumers —
+    * which neither Caches.release nor a sibling predict can know about
+    * (test suites run predicts concurrently), so nothing reclaims
+    * eagerly. Instead: a caller that knows its unit of work is over
+    * calls [[reclaimScratch]] (the server's terminal predict handler —
+    * its dispatcher serializes predicts, so no other frame can be
+    * mid-read), and a shutdown hook sweeps whatever is left, bounding
+    * any other harness's footprint to its JVM lifetime (KB-to-MB per
+    * call — the bag table is config-bounded). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete(): Unit
+  }
+
+  /** Delete every bag-melt scratch dir written so far. Call ONLY at a
+    * boundary where no frame returned by [[predict]] can still be
+    * consumed (the Caches.release contract, for disk). */
+  def reclaimScratch(): Unit = {
+    var d = scratchDirs.poll()
+    while (d != null) { rm(new java.io.File(d)); d = scratchDirs.poll() }
+  }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => reclaimScratch()))
+  }
+
   /** Predict per-column labels by averaging per-bag score vectors. */
   def predict(model: PipelineModel, melted: DataFrame,
       numBags: Int = Resampler.DefaultNumBags,
@@ -38,16 +70,16 @@ object BaggedPrediction {
     // release could land mid-collection of this frame and crash it —
     // the Materialize rationale, applied per call because predict has
     // no stable cache key across arbitrary datasets)
-    val spark0 = melted.sparkSession
+    val spark = melted.sparkSession
     val scratch = java.nio.file.Files
       .createTempDirectory("graft-bagged").toString
+    scratchDirs.add(scratch)
     Resampler.assignBags(melted, numBags, bagSize)
       .withColumn("col_name",
         concat(col("col_name"), lit("#"), col("bag_id")))
       .drop("bag_id")
       .write.mode("overwrite").parquet(scratch)
-    val bagged = spark0.read.parquet(scratch)
-    val spark = melted.sparkSession
+    val bagged = spark.read.parquet(scratch)
     import spark.implicits._
     val pool = Labels.train
       .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "label")
