@@ -142,15 +142,16 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.values.exists(_._3 == 1L), "no core flagged at this sf")
   }
 
-  test("st5/st6/st7/st8/st10 state contract: the flag/admission queries " +
-      "run with ZERO stateful operators (append mode, no state store)") {
+  test("st5/st6/st7/st8/st10/st11 state contract: the flag/admission/" +
+      "sampler queries run with ZERO stateful operators (append mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val frames = Seq(
       "st5" -> StreamingQueries.st5Stream(spark, sf),
       "st6" -> StreamingQueries.st6Stream(spark, sf),
       "st7" -> StreamingQueries.st7Stream(spark, sf),
       "st8" -> StreamingQueries.st8Stream(spark, sf),
-      "st10" -> StreamingQueries.st10Stream(spark, sf))
+      "st10" -> StreamingQueries.st10Stream(spark, sf),
+      "st11" -> StreamingQueries.st11Stream(spark, sf))
     for ((nm, df) <- frames) {
       val q = df.writeStream.format("memory")
         .queryName(s"${nm}_state_contract").outputMode("append")
