@@ -164,11 +164,13 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
             // pipeline-stage caches (matcher melt, eval gram sets et
             // al) so a long-lived server doesn't accumulate persisted
             // frames until LRU eviction churn — the Caches contract.
-            // BaggedPrediction's bag melt is a DISK checkpoint, not a
-            // cache — reclaimed here explicitly (this dispatcher
-            // serializes predicts and the response JSON above is fully
-            // built, so no bagged frame can still be mid-read) and by
-            // a JVM-exit hook for every other harness.
+            // (BaggedPrediction's bag-melt DISK scratch is not this
+            // handler's to reclaim: the server's predict path uses the
+            // unbagged classifier — bag melts exist only in the m8
+            // harness path, bounded per JVM and swept by
+            // BaggedPrediction's exit hook. A drain here could race a
+            // concurrently-running harness's lazy frame in shared-JVM
+            // test runs.)
             // Gated on no async train being in flight: trains run on
             // dispatchEc while this single-threaded dispatcher serves
             // predicts, and an ungated release would sweep the running
@@ -176,10 +178,7 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
             // but silently uncached). Train starts happen ONLY on this
             // dispatcher thread, so check-then-release cannot race a
             // new train; the winning train releases at its own end.
-            if (!svc.trainInFlight) {
-              graft.core.Caches.release(spark())
-              graft.matcher.BaggedPrediction.reclaimScratch()
-            }
+            if (!svc.trainInFlight) graft.core.Caches.release(spark())
           }
           case None => err(ex, 400, "query param dataset required")
         }

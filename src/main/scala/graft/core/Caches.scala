@@ -35,6 +35,20 @@ object Caches {
     def pipelineCache(): Dataset[T] = ds.persist()
   }
 
+  /** Best-effort recursive delete for SCRATCH dirs (per-call disk
+    * checkpoints, temp sinks): failures are swallowed because scratch
+    * reclamation must never fail the work that produced the result —
+    * unlike GraftService's storage-layer delete, which throws because
+    * a half-deleted model directory IS a correctness problem. */
+  def deleteScratch(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir != null) rm(new java.io.File(dir))
+  }
+
   /** Release every Spark-level cache, blocking until gone, so the next
     * unit of work isn't taxed by cache memory or async unpersist churn. */
   def release(spark: SparkSession): Unit = {

@@ -23,29 +23,24 @@ object BaggedPrediction {
   /** Scratch dirs written by predict() calls. Each call parquets its
     * bag melt to a fresh temp dir (see the checkpoint rationale in
     * [[predict]]); a dir must outlive the call's own LAZY consumers —
-    * which neither Caches.release nor a sibling predict can know about
-    * (test suites run predicts concurrently), so nothing reclaims
-    * eagerly. Instead: a caller that knows its unit of work is over
-    * calls [[reclaimScratch]] (the server's terminal predict handler —
-    * its dispatcher serializes predicts, so no other frame can be
-    * mid-read), and a shutdown hook sweeps whatever is left, bounding
-    * any other harness's footprint to its JVM lifetime (KB-to-MB per
-    * call — the bag table is config-bounded). */
+    * which neither Caches.release nor a sibling predict nor any other
+    * in-JVM caller can know about (test suites run predicts
+    * concurrently, and an eager or caller-triggered drain was measured
+    * deleting a dir another suite's frame was still reading). So
+    * reclamation is JVM-exit ONLY: the registry is swept by the
+    * shutdown hook, bounding a harness's footprint to its JVM
+    * lifetime — KB-to-MB per call (the bag table is config-bounded:
+    * #cols × numBags × bagSize rows), and the bagged path exists only
+    * in harness/bench JVMs (the server's predict uses the unbagged
+    * classifier). */
   private val scratchDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  private def rm(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rm)
-    f.delete(): Unit
-  }
-
-  /** Delete every bag-melt scratch dir written so far. Call ONLY at a
-    * boundary where no frame returned by [[predict]] can still be
-    * consumed (the Caches.release contract, for disk). */
-  def reclaimScratch(): Unit = {
+  private def reclaimScratch(): Unit = {
     var d = scratchDirs.poll()
-    while (d != null) { rm(new java.io.File(d)); d = scratchDirs.poll() }
+    while (d != null) {
+      graft.core.Caches.deleteScratch(d); d = scratchDirs.poll()
+    }
   }
 
   locally {

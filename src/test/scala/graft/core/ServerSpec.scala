@@ -113,6 +113,10 @@ class ServerSpec extends SparkSpec {
       assert(spark.sparkContext.getPersistentRDDs.isEmpty,
         s"predict leaked persisted RDDs: ${spark.sparkContext
           .getPersistentRDDs.values.map(_.name).mkString(", ")}")
+      // (bag-melt DISK scratch needs no assertion here: the server's
+      // predict path uses the unbagged classifier — BaggedPrediction
+      // is the m8 harness path, whose scratch registry is swept by its
+      // JVM-exit hook; see BaggedPrediction.scratchDirs)
 
       // error contract
       assert(get(base, "/v1.0/dataset/999")._1 === 404)
