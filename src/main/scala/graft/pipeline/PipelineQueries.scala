@@ -252,22 +252,39 @@ object PipelineQueries {
           FROM tot)
       )"""
 
+  /** Materialized slim frame of the ADMITTED corpus —
+    * `(doc_id, split, source, n_tokens)` for every final_keep = 1 doc.
+    * The ONE tokenize pass of the export family: e3's shard layout and
+    * e4's histogram both consumed (ledger ⨝ documents → bpeTokenCount)
+    * frames that re-ran the token regex over the full admitted corpus
+    * independently; at sf100 that regex scan dominates both (e3 629 s,
+    * e4 1244 s measured paying it twice). Now the first consumer
+    * builds this artifact and the rest read four narrow columns.
+    * null-text docs are zero-token entries, not NULLs that poison
+    * prefix sums (e3's documented coalesce). */
+  def admittedSlim(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"pipe-admitted-slim|$dir") {
+      val admitted = ledgerFrame(s, dir)
+        .filter(col("final_keep") === 1L)
+        .select(col("doc_id"), col("split"))
+      Tables.table(s, dir, "documents")
+        .join(admitted, "doc_id")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("source"), lit("")).as("source"),
+          coalesce(Text.bpeTokenCount(col("text")).cast("long"),
+            lit(0L)).as("n_tokens"))
+    }
+
   /** The bounded `(source, h, c, t)` histogram of the admitted train
-    * pool (e1's final_keep = 1, split = 'train'), materialized off ONE
-    * corpus pass — the shared artifact e4's plan, e4's selection
-    * re-aggregation, and st11's streaming sampler all scan. At most
+    * pool (e1's final_keep = 1, split = 'train'), materialized off the
+    * shared [[admittedSlim]] artifact — e4's plan, e4's selection
+    * re-aggregation, and st11's streaming sampler all scan it. At most
     * 1e6 rows per source regardless of corpus size. */
   def e4Hist(s: SparkSession, dir: String): DataFrame =
     graft.core.Materialize(s, s"e4-hist|$dir") {
-      val train = ledgerFrame(s, dir)
-        .filter(col("final_keep") === 1L && col("split") === "train")
-        .select(col("doc_id"))
-      Tables.table(s, dir, "documents")
-        .join(train, "doc_id")
-        .select(
-          coalesce(col("source"), lit("")).as("source"),
-          coalesce(Text.bpeTokenCount(col("text")).cast("long"),
-            lit(0L)).as("n_tokens"),
+      admittedSlim(s, dir)
+        .filter(col("split") === "train")
+        .select(col("source"), col("n_tokens"),
           mixHash(col("doc_id")).as("h"))
         .groupBy(col("source"), col("h"))
         .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
@@ -535,18 +552,10 @@ object PipelineQueries {
     //      per 1M docs). The manifest agg is a map-side-combined
     //      groupBy over the same keys.
     "e3_shard_manifest" -> QueryDef(
-      (s, dir) => {
-        val admitted = ledgerFrame(s, dir)
-          .filter(col("final_keep") === 1L)
-          .select(col("doc_id"), col("split"))
-        val docs = Tables.table(s, dir, "documents")
-          .join(admitted, "doc_id")
-          // coalesce: an admitted null-text doc is a zero-token entry,
-          // not a NULL that poisons the prefix sum
-          .withColumn("n_tokens",
-            coalesce(Text.bpeTokenCount(col("text")).cast("long"), lit(0L)))
-        shardManifest(docs, ShardTokenBudget, ShardMacroDocs)
-      },
+      (s, dir) => shardManifest(
+        admittedSlim(s, dir)
+          .select(col("doc_id"), col("split"), col("n_tokens")),
+        ShardTokenBudget, ShardMacroDocs),
       Some(s"""WITH $ledgerSqlCtes,
       ledger AS ($ledgerSqlSelect),
       adm AS (

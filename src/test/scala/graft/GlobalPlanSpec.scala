@@ -91,7 +91,7 @@ class GlobalPlanSpec extends SparkSpec {
     "d9_embedding_clusters" -> 7,
     "e1_training_pipeline" -> 5,
     "e2_corpus_card" -> 7,
-    "e3_shard_manifest" -> 6,
+    "e3_shard_manifest" -> 2,
     "e4_mixture_manifest" -> 5,
     "e5_epoch_plan" -> 2,
     "g1_semantic_models" -> 1,
