@@ -36,6 +36,9 @@ import org.apache.spark.sql.types._
   * one; DuckDB parity re-verified on this corpus 2026-08-15), st11 as
   * pin 10 (the streaming sampler applies pin 9's exact plan to the 7
   * delta docs) and d17 as pin 11 (the no-eval-docs empty-report edge).
+  * Round-10 full-portfolio sweep on the round-end binary
+  * (2026-08-15): 111/115 DuckDB hash-exact, the 4 mismatches the same
+  * documented sf0.01-pinned VALUES oracles (m4/m7/m8/q21).
   * Re-run the whole sweep with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
