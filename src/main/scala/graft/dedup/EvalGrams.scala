@@ -46,9 +46,23 @@ object EvalGrams {
   /** Max distinct eval grams shipped executor-wide as exact strings.
     * ~4M grams ≈ a few hundred MB broadcast at typical shingle
     * lengths — the top of what a real benchmark suite produces and of
-    * what an executor should hold per probe set. */
-  val ExactMax: Long = sys.env.get("SPARK_GRAFT_EVAL_EXACT_MAX")
-    .map(_.toLong).getOrElse(4L * 1000 * 1000)
+    * what an executor should hold per probe set. A malformed
+    * `SPARK_GRAFT_EVAL_EXACT_MAX` must not surface as an
+    * ExceptionInInitializerError three frames away from the typo, so
+    * the parse is defensive: warn (naming the variable) and keep the
+    * default. */
+  val ExactMax: Long = {
+    val default = 4L * 1000 * 1000
+    sys.env.get("SPARK_GRAFT_EVAL_EXACT_MAX").map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException =>
+        System.err.println(
+          s"[graft] SPARK_GRAFT_EVAL_EXACT_MAX='$s' is not a long; " +
+            s"using default $default")
+        default
+      }
+    }.getOrElse(default)
+  }
 
   /** False-positive rate of the bloom path's filter. */
   val BloomFpp: Double = 0.01
@@ -64,6 +78,24 @@ object EvalGrams {
   /** Gate decision, exposed for specs. */
   def useExact(nEval: Long, exactMax: Long = ExactMax): Boolean =
     nEval <= exactMax
+
+  /** The most recent gate decision taken by [[sharedCounts]] /
+    * [[rowProbe]] in this JVM, for rehearsal diagnosis: above the gate
+    * a STREAM probe's counts are deliberate fpp-bounded overestimates,
+    * so a parity mismatch there is expected divergence, not a
+    * regression — but only if the run can tell which path it took.
+    * Every decision is also logged to stderr (`[graft] EvalGrams …`).
+    * Last-write-wins under concurrency; the log has the full record. */
+  @volatile var lastDecision: Option[(String, String, Long)] = None
+
+  private def decide(site: String, nEval: Long, exactMax: Long): Boolean = {
+    val exact = useExact(nEval, exactMax)
+    val path = if (exact) "exact" else "bloom"
+    lastDecision = Some((site, path, nEval))
+    System.err.println(
+      s"[graft] EvalGrams $site: path=$path nEval=$nEval gate=$exactMax")
+    exact
+  }
 
   /** Build the eval-gram Bloom filter with a PARALLEL two-level merge.
     *
@@ -114,7 +146,7 @@ object EvalGrams {
   def sharedCounts(trainSh: DataFrame, evalG: DataFrame,
       exactMax: Long = ExactMax): DataFrame = {
     val nEval = evalG.count()
-    if (useExact(nEval, exactMax)) {
+    if (decide("sharedCounts", nEval, exactMax)) {
       trainSh.select(col("doc_id"), explode(col("sh")).as("g"))
         .join(broadcast(evalG), "g")
         .groupBy(col("doc_id"))
@@ -153,7 +185,7 @@ object EvalGrams {
       exactMax: Long = ExactMax): Column => Column = {
     val sc = evalG.sparkSession.sparkContext
     val nEval = evalG.count()
-    if (useExact(nEval, exactMax)) {
+    if (decide("rowProbe", nEval, exactMax)) {
       val bc = sc.broadcast(
         evalG.select(col("g")).collect().map(_.getString(0)))
       (sh: Column) => graft.functions.SetMemberCount.countIn(sh, bc)

@@ -43,6 +43,17 @@ object BaggedPrediction {
     }
   }
 
+  /** Opt-in reclamation point for a caller that OWNS a work boundary:
+    * every predict() result fully materialized (collected / counted /
+    * written), no lazy frame from any call still alive, and no other
+    * thread mid-predict — e.g. a single-threaded bench loop between
+    * query groups, or a long-lived serving harness between batches.
+    * Under sbt's parallel test suites no single suite can promise
+    * that, which is why the default stays exit-hook-only; this caps
+    * the footprint of the long-lived single-owner JVMs the hook alone
+    * doesn't bound (dirs are KB-to-MB each, but calls are unbounded). */
+  def drainScratch(): Unit = reclaimScratch()
+
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => reclaimScratch()))
   }

@@ -91,6 +91,20 @@ class EvalGateSpec extends SparkSpec {
         "the merged bit array drifted from the sequential build")
   }
 
+  test("gate decisions are observable (rehearsal-divergence diagnosis)") {
+    EvalGrams.lastDecision = None
+    EvalGrams.rowProbe(evalG, exactMax = Long.MaxValue)
+    assert(EvalGrams.lastDecision.exists {
+      case (site, path, n) => site == "rowProbe" && path == "exact" && n > 0
+    })
+    EvalGrams.rowProbe(evalG, exactMax = -1L)
+    assert(EvalGrams.lastDecision.exists(_._2 == "bloom"))
+    EvalGrams.sharedCounts(trainSh, evalG, exactMax = Long.MaxValue)
+    assert(EvalGrams.lastDecision.exists {
+      case (site, path, _) => site == "sharedCounts" && path == "exact"
+    })
+  }
+
   test("empty eval set: bloom path yields no hits, no NPE") {
     val empty = evalG.filter(lit(false))
     val out = EvalGrams.sharedCounts(trainSh, empty, exactMax = -1L)
