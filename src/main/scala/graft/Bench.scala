@@ -48,7 +48,8 @@ object Bench {
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
       "t7_mixture_sample", "t8_sequence_pack", "t9_gopher_rules",
       "t10_word_rarity", "t11_importance_weights",
-      "t12_lm_perplexity", "t13_boilerplate"),
+      "t12_lm_perplexity", "t13_boilerplate", "t14_bpe_pairs",
+      "t15_context_fit", "t16_oov_rate"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
@@ -58,7 +59,8 @@ object Bench {
       "d9_embedding_clusters", "d10_substring_windows",
       "d11_semantic_dedup", "d14_incremental_dedup",
       "d15_bloom_decontamination", "d16_corpus_diff",
-      "d17_contamination_report"),
+      "d17_contamination_report", "d18_containment",
+      "d19_source_overlap"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
@@ -78,7 +80,7 @@ object Bench {
     // composed end-to-end pipeline (quality -> dedup -> decontam -> split)
     // + the corpus-card datasheet and shard manifest off the same kernels
     Seq("e1_training_pipeline", "e2_corpus_card", "e3_shard_manifest",
-      "e4_mixture_manifest", "e5_epoch_plan"),
+      "e4_mixture_manifest", "e5_epoch_plan", "e6_training_order"),
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",
@@ -115,7 +117,15 @@ object Bench {
     * SPARK_GRAFT_BENCH_RUNS=1 turns the median off for one-shot scale
     * rehearsals (sf100) where a triple pass would triple a multi-hour
     * run for no extra signal. */
-  val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+  val Runs = {
+    val s = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3")
+    try s.trim.toInt
+    catch { case _: NumberFormatException =>
+      System.err.println(
+        s"[graft] SPARK_GRAFT_BENCH_RUNS='$s' is not an int; using 3")
+      3
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     // optional args: query names to run (in the fixed group order);
@@ -162,6 +172,10 @@ object Bench {
           if (times.contains(-1.0)) -1.0 else times.sorted.apply(Runs / 2)
       }
       releaseCaches(spark)
+      // this loop is the canonical single-owner work boundary: every
+      // query in the group was materialized via count(), so no lazy
+      // consumer of a bagged-predict scratch dir survives the group
+      matcher.BaggedPrediction.drainScratch()
     }
     def jmap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

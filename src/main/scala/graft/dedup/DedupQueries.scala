@@ -95,6 +95,13 @@ object DedupQueries {
     * is deduplicated away at any test scale. */
   val SemDedupTau = 0.3
 
+  /** d18 containment threshold as an exact rational (inter/min >=
+    * ContainNum/ContainDenom = 0.6): the verify compares
+    * inter·Denom >= Num·min(n1,n2) in integers, so the keep/drop
+    * decision is bit-identical on any engine. */
+  val ContainNum = 6L
+  val ContainDenom = 10L
+
   val MinhashK = 64
   val Bands = 32
   val Rows = 2
@@ -1323,8 +1330,150 @@ object DedupQueries {
           // nullif(b.n_grams, 0) AS BIGINT) AS overlap_micro,
         CAST(coalesce(p.n_shared, 0) > 0 AS BIGINT) AS contaminated_eval
       FROM base b LEFT JOIN per p USING (doc_id)
-      ORDER BY b.doc_id"""))
+      ORDER BY b.doc_id""")),
+
+    // ---- d18: containment dedup — the ASYMMETRIC relation Jaccard
+    //      misses: a short doc embedded whole inside a longer one
+    //      (quote farms, doc+boilerplate re-publications, partial
+    //      scrapes) has containment |A∩B|/|A| near 1 while its Jaccard
+    //      |A∩B|/|A∪B| shrinks with the size gap, so d2's verify
+    //      discards exactly the pairs this operator exists to flag
+    //      (Broder 1997 separates the two resemblance measures for
+    //      this reason). Candidates come from the SAME persisted d2
+    //      band index (zero extra build; the operator's contract is
+    //      containment over the index's candidate pairs — at a large
+    //      size gap band-collision recall decays, the documented
+    //      approximation, same class as d5's LSH recall), then one
+    //      exact shingle-intersect verify with an INTEGER threshold
+    //      test (inter·10 >= 6·min(n1,n2) — no float compare can
+    //      disagree between engines). Skew/scale: rides d2's
+    //      hot-bucket cap; the verify join ships shingle arrays only
+    //      for candidate pairs.
+    "d18_containment" -> QueryDef(
+      (s, dir) => containmentPairs(cappedBanded(s, dir), shingled(s, dir)),
+      Some(s"""WITH $d2CoreSql
+      SELECT doc1, doc2,
+        CAST(len(a.sh) AS BIGINT) AS n1,
+        CAST(len(b.sh) AS BIGINT) AS n2,
+        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(a.sh), 6) AS c12,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(b.sh), 6) AS c21,
+        CASE WHEN len(a.sh) <= len(b.sh) THEN doc1 ELSE doc2 END
+          AS contained_doc
+      FROM pairs JOIN base a ON pairs.doc1 = a.doc_id
+                 JOIN base b ON pairs.doc2 = b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * $ContainDenom >=
+        $ContainNum * least(len(a.sh), len(b.sh))
+      ORDER BY doc1, doc2""")),
+
+    // ---- d19: source overlap matrix — the venn diagram a data team
+    //      draws before combining dumps (how much of C4 is already in
+    //      CC?): per source pair, the CONTENT they share, measured as
+    //      shared distinct [[DecontamN]]-word shingle fingerprints
+    //      (d7/t13's kernel — Broder's resemblance unit), each side's
+    //      distinct-shingle count, and the integer-micro Jaccard of
+    //      the two shingle sets. Whole-doc fingerprints would only
+    //      catch verbatim re-publications; dump overlap in practice is
+    //      partial (same articles inside different boilerplate), which
+    //      is exactly what shingle-set Jaccard measures. Scale shape:
+    //      ONE corpus-proportional shuffle — groupBy(fp) with a
+    //      map-side-combined collect_set(source) whose per-key state
+    //      is bounded by #sources (a catalog constant, not corpus
+    //      size); the source-pair explode (≤ #sources² per shared fp)
+    //      and the per-source totals both ride that grouped frame, so
+    //      the corpus-sized data is never self-joined or re-shuffled;
+    //      16-byte fps — not shingle strings — cross the shuffle
+    //      (d16's idiom); totals are a #sources-row broadcast.
+    //      Null/short texts shingle to empty arrays and drop out of
+    //      the explode in both engines identically.
+    "d19_source_overlap" -> QueryDef(
+      (s, dir) => {
+        val perFp = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            explode(Text.wordShingles(Text.words(col("text")), DecontamN))
+              .as("sh"))
+          .select(md5(col("sh")).as("fp"), col("source"))
+          .groupBy(col("fp"))
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+        val tot = perFp.select(explode(col("ss")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_fps"))
+        val ov = perFp.filter(size(col("ss")) > 1)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(ss) - 1),
+                 i -> transform(slice(ss, i + 1, size(ss) - i),
+                   x -> struct(element_at(ss, i) AS a, x AS b))))"""))
+            .as("p"))
+          .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+          .agg(count(lit(1)).as("n_shared_fps"))
+        ov
+          .join(broadcast(tot.select(col("source").as("source_a"),
+            col("n_fps").as("n_fps_a"))), "source_a")
+          .join(broadcast(tot.select(col("source").as("source_b"),
+            col("n_fps").as("n_fps_b"))), "source_b")
+          .withColumn("overlap_micro", expr(
+            """n_shared_fps * 1000000 div
+              (n_fps_a + n_fps_b - n_shared_fps)"""))
+          .select(col("source_a"), col("source_b"), col("n_shared_fps"),
+            col("n_fps_a"), col("n_fps_b"), col("overlap_micro"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH fs AS (
+        SELECT DISTINCT source, md5(sh) AS fp
+        FROM (SELECT source, unnest(${shinglesSqlDuck(DecontamN)}) AS sh
+              FROM documents)
+      ), tot AS (
+        SELECT source, count(*) AS n_fps FROM fs GROUP BY 1
+      ), ov AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS n_shared_fps
+        FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+      )
+      SELECT source_a, source_b, n_shared_fps,
+        ta.n_fps AS n_fps_a, tb.n_fps AS n_fps_b,
+        CAST(n_shared_fps * 1000000 //
+          (ta.n_fps + tb.n_fps - n_shared_fps) AS BIGINT) AS overlap_micro
+      FROM ov JOIN tot ta ON ov.source_a = ta.source
+              JOIN tot tb ON ov.source_b = tb.source
+      ORDER BY source_a, source_b"""))
   )
+
+  /** d18's verify core over ANY `(doc_id, bk)` band index and
+    * `(doc_id, sh)` shingle frame — candidates by band-key equality,
+    * one exact shingle-intersect pass, the integer threshold test
+    * (inter·[[ContainDenom]] >= min(n1,n2)·[[ContainNum]]).
+    * Parameterized so the spec can drive it with a PLANTED asymmetric
+    * pair (subset doc inside a much longer doc — high containment,
+    * sub-threshold Jaccard) that the uniform synthetic corpus never
+    * produces. */
+  def containmentPairs(capped: DataFrame, docs: DataFrame): DataFrame = {
+    val pairs = capped.as("x")
+      .join(capped.as("y"),
+        col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("doc1"),
+        col("sh").as("sh1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"),
+        col("sh").as("sh2")), "doc2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("n1", size(col("sh1")).cast("long"))
+      .withColumn("n2", size(col("sh2")).cast("long"))
+      .filter(col("inter") * ContainDenom >=
+        least(col("n1"), col("n2")) * ContainNum)
+      .select(col("doc1"), col("doc2"), col("n1"), col("n2"),
+        col("inter"),
+        round(col("inter").cast("double") / col("n1"), 6).as("c12"),
+        round(col("inter").cast("double") / col("n2"), 6).as("c21"),
+        when(col("n1") <= col("n2"), col("doc1")).otherwise(col("doc2"))
+          .as("contained_doc"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
 
   /** Embedding near-dup pair table (vec1 < vec2, exact cosine) — the
     * shared core of d5 and d9, materialized like d2's pair table

@@ -361,6 +361,71 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** e6: hash-range buckets for the two-pass global rank. PHYSICAL
+    * knob only — [[orderPositions]]' output is invariant to it (the
+    * spec proves B=4 ≡ B=64), because position is the rank in the
+    * total order (h, doc_id) and buckets are contiguous h-ranges.
+    * Production sets B ≈ n/1M so each intra-bucket sort fits a task;
+    * the order hash is uniform by construction, so buckets are
+    * BALANCED at any corpus size — no value-range skew is possible,
+    * which is exactly what a range-partitioned sort on a data column
+    * cannot promise. Must be a power of two (divides 16^15 = 2^60). */
+  val OrderBuckets = 64
+
+  /** e6: docs per output chunk — the unit a training loader streams
+    * (production: one shuffled output file per chunk). */
+  val OrderChunkDocs = 100L
+
+  /** e6's deterministic order hash in [0, 2^60): d8/e4's cross-engine
+    * md5 idiom under its own salt ("ord|"), so the training order is
+    * independent of the split hash (content fp) and the mixture hash
+    * — shuffling never correlates with admission or sampling. */
+  def ordHash(docId: Column): Column =
+    conv(substring(md5(concat(lit("ord|"), docId.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** e6: deterministic GLOBAL shuffle order without a global sort.
+    *
+    * A training run wants every epoch's document order pseudo-random,
+    * reproducible from a seed, and computable at 100 TB — but
+    * `row_number() OVER (ORDER BY h)` funnels the whole corpus through
+    * one reducer's window. Two passes over bucketed hash ranges give
+    * the identical ranks with no single-task bottleneck:
+    *
+    *  1. bucket = h div (2^60/B) — contiguous hash ranges, balanced
+    *     by hash uniformity; per-bucket COUNTS roll up map-side and
+    *     an exclusive prefix sum over the ≤B-row count frame (one
+    *     bounded single-partition window, e4's totals idiom) yields
+    *     each bucket's global offset;
+    *  2. rank within bucket ordered by (h, doc_id) — B independent
+    *     window partitions — plus the broadcast offset.
+    *
+    * position = offset + intra_rank − 1 equals the global rank in the
+    * (h, doc_id) total order for ANY B, so the bucket count is purely
+    * physical tuning (doc_id breaks the h total order's ties, so the
+    * result is deterministic even under a 60-bit hash collision). */
+  def orderPositions(docs: DataFrame, buckets: Int = OrderBuckets,
+      chunkDocs: Long = OrderChunkDocs): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"OrderBuckets must be a power of two, got $buckets")
+    val width = (1L << 60) / buckets
+    val hashed = docs.withColumn("h", ordHash(col("doc_id")))
+      .withColumn("bucket", expr(s"h div $width"))
+    val offsets = hashed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("offset", coalesce(
+        sum(col("bc")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wIntra = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    hashed.join(broadcast(offsets), "bucket")
+      .withColumn("position",
+        col("offset") + row_number().over(wIntra) - 1L)
+      .withColumn("chunk", expr(s"position div $chunkDocs"))
+      .drop("bucket", "offset")
+  }
+
   /** e3's shard layout over a frame of (doc_id, split, n_tokens):
     * within (split, doc_id div macroDocs) ordered by doc_id, a doc
     * joins shard floor(prefix_before / budget). Exact ROWS frame and
@@ -652,6 +717,41 @@ object PipelineQueries {
         CAST(target_tokens > CAST(least(CAST(target_tokens AS HUGEINT),
           CAST(n_tokens AS HUGEINT) * $EpochCap) AS BIGINT) AS BIGINT)
           AS capped
-      FROM plan2 ORDER BY source"""))
+      FROM plan2 ORDER BY source""")),
+
+    // ---- e6: training order — the deterministic GLOBAL shuffle of
+    //      the admitted train pool. Epoch-order randomization is the
+    //      one export step that naively needs a total sort (a single
+    //      reducer at 100 TB); [[orderPositions]] computes the exact
+    //      global rank in the salted-hash order with two bounded
+    //      passes instead (hash-range buckets + offset prefix sum) —
+    //      the bucket count is physical-only, the (position, chunk)
+    //      output is bit-identical at any B and on any engine. Chunks
+    //      are the loader's streaming unit: within a chunk docs are
+    //      already in hash order, so any prefix of chunks is itself an
+    //      unbiased sample of the corpus — a property sequential
+    //      doc_id sharding (e3's layout, optimized for locality, not
+    //      randomness) deliberately does not have.
+    "e6_training_order" -> QueryDef(
+      (s, dir) => orderPositions(
+        admittedSlim(s, dir).filter(col("split") === "train")
+          .select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"), col("h"),
+          col("position"), col("chunk"))
+        .orderBy(col("position")),
+      Some(s"""WITH $ledgerSqlCtes,
+      ledger AS ($ledgerSqlSelect),
+      adm AS (
+        SELECT l.doc_id, coalesce(d.source, '') AS source,
+          CAST(('0x' || substr(md5('ord|' || CAST(l.doc_id AS VARCHAR)),
+            1, 15)) AS BIGINT) AS h
+        FROM ledger l JOIN documents d USING (doc_id)
+        WHERE l.final_keep = 1 AND l.split = 'train'
+      )
+      SELECT doc_id, source, h,
+        row_number() OVER (ORDER BY h, doc_id) - 1 AS position,
+        (row_number() OVER (ORDER BY h, doc_id) - 1) // $OrderChunkDocs
+          AS chunk
+      FROM adm ORDER BY position"""))
   )
 }

@@ -86,6 +86,21 @@ object TextQueries {
     * scores everything). */
   val LmTrainLang = "en"
 
+  /** t14: merge candidates reported (BPE vocab builders take the top
+    * pair per iteration; the top-K table is the inspectable artifact). */
+  val BpeTopPairs = 200
+
+  /** t15: candidate context lengths a training run would choose
+    * between (the max_seq_len sweep). */
+  val ContextFitLens: Seq[Long] = Seq(128L, 512L, 2048L, 8192L)
+
+  /** t16 vocabulary head size. 16 of this corpus's 31-word synthetic
+    * vocabulary so the OOV tail is non-trivial at every test sf;
+    * production sets the tokenizer's real vocab budget (32k-256k) —
+    * a knob, not a shape change: the vocab frame stays O(V) and
+    * broadcast regardless of corpus size. */
+  val OovVocabSize = 16
+
   /** t13 boilerplate word-shingle width and the distinct-doc threshold
     * above which a shingle counts as boilerplate within its source. */
   val BoilerN = 5
@@ -935,6 +950,167 @@ object TextQueries {
           CAST(p.n_grams AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
           >= $BoilerFracFlag AS BIGINT) AS boiler_heavy
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- t14: vocab induction — the BPE merge-candidate table (the
+    //      kernel of tokenizer training: Sennrich et al. 2016). The
+    //      counting trick IS the scale design: adjacent-pair counts
+    //      aggregate over distinct word SHAPES weighted by word
+    //      frequency, never over raw tokens — so the only
+    //      corpus-proportional work is the one tokenize+word-count
+    //      pass (map-side combined on the word key; hot words like
+    //      "the" are exactly what partial aggregation flattens), and
+    //      the pair explode runs on the VOCABULARY, which grows
+    //      sub-linearly (Heaps' law) in corpus size. Top-K with a
+    //      deterministic (count desc, pair) tiebreak so the table is
+    //      reproducible across engines; iterating merge->recount is
+    //      the same job shape with merged symbols in place of chars.
+    "t14_bpe_pairs" -> QueryDef(
+      (s, dir) => {
+        val wordFreq = Tables.table(s, dir, "documents")
+          .select(explode(Text.words(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        val pairs = wordFreq
+          .filter(length(col("w")) >= 2)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, length(w) - 1),
+              i -> struct(substring(w, i, 1) AS a,
+                substring(w, i + 1, 1) AS b))""")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("n_pairs"))
+        pairs
+          .orderBy(col("n_pairs").desc, col("a"), col("b"))
+          .limit(BpeTopPairs)
+          .withColumn("pair_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n_pairs").desc, col("a"), col("b"))))
+      },
+      Some(s"""WITH wf AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest($wordsSqlDuck) AS w FROM documents)
+        GROUP BY 1
+      ), p AS (
+        SELECT substring(w, CAST(i AS INTEGER), 1) AS a,
+          substring(w, CAST(i AS INTEGER) + 1, 1) AS b,
+          CAST(sum(freq) AS BIGINT) AS n_pairs
+        FROM wf, unnest(range(1, length(w))) AS t(i)
+        WHERE length(w) >= 2
+        GROUP BY 1, 2
+      )
+      SELECT a, b, n_pairs,
+        CAST(row_number() OVER (ORDER BY n_pairs DESC, a, b) AS INTEGER)
+          AS pair_rank
+      FROM p ORDER BY n_pairs DESC, a, b LIMIT $BpeTopPairs""")),
+
+    // ---- t15: context-length fit — the max_seq_len sweep a training
+    //      run does before packing: for each candidate context length,
+    //      how many docs fit whole, how many truncate, how many tokens
+    //      the truncation loses, and what padding one-doc-per-sequence
+    //      would waste. One corpus pass builds the exact token-count
+    //      histogram (cardinality <= max doc length — an e4Hist-class
+    //      bounded frame at any corpus size); every per-length stat
+    //      then reduces over histogram rows x |ContextFitLens|, all
+    //      integer arithmetic, never rescanning the corpus. Null-text
+    //      docs count as zero-token (they fit trivially) — e3's
+    //      coalesce posture.
+    "t15_context_fit" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val hist = Tables.table(s, dir, "documents")
+          .select(coalesce(Text.bpeTokenCount(col("text")).cast("long"),
+            lit(0L)).as("n_tokens"))
+          .groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+        hist
+          .crossJoin(broadcast(ContextFitLens.toDF("seq_len")))
+          .groupBy(col("seq_len"))
+          .agg(
+            sum(when(col("n_tokens") <= col("seq_len"), col("c"))
+              .otherwise(0L)).as("n_docs_fit"),
+            sum(when(col("n_tokens") > col("seq_len"), col("c"))
+              .otherwise(0L)).as("n_docs_truncated"),
+            sum(least(col("n_tokens"), col("seq_len")) * col("c"))
+              .as("tokens_kept"),
+            sum(when(col("n_tokens") > col("seq_len"),
+              (col("n_tokens") - col("seq_len")) * col("c"))
+              .otherwise(0L)).as("tokens_truncated"),
+            sum(when(col("n_tokens") <= col("seq_len"),
+              (col("seq_len") - col("n_tokens")) * col("c"))
+              .otherwise(0L)).as("padding_tokens"))
+          .orderBy(col("seq_len"))
+      },
+      Some {
+        val lens = ContextFitLens.map(l => s"($l)").mkString(", ")
+        s"""WITH hist AS (
+        SELECT coalesce(CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0)
+            AS n_tokens,
+          count(*) AS c
+        FROM documents GROUP BY 1
+      )
+      SELECT seq_len,
+        CAST(sum(CASE WHEN n_tokens <= seq_len THEN c ELSE 0 END)
+          AS BIGINT) AS n_docs_fit,
+        CAST(sum(CASE WHEN n_tokens > seq_len THEN c ELSE 0 END)
+          AS BIGINT) AS n_docs_truncated,
+        CAST(sum(least(n_tokens, seq_len) * c) AS BIGINT) AS tokens_kept,
+        CAST(sum(CASE WHEN n_tokens > seq_len
+          THEN (n_tokens - seq_len) * c ELSE 0 END) AS BIGINT)
+          AS tokens_truncated,
+        CAST(sum(CASE WHEN n_tokens <= seq_len
+          THEN (seq_len - n_tokens) * c ELSE 0 END) AS BIGINT)
+          AS padding_tokens
+      FROM hist CROSS JOIN (VALUES $lens) lens(seq_len)
+      GROUP BY seq_len ORDER BY seq_len"""
+      }),
+
+    // ---- t16: vocabulary coverage / OOV rate — the tokenizer-fit
+    //      report: fix the vocab to the corpus's top-[[OovVocabSize]]
+    //      words (count desc, word asc — a total order, so the cut is
+    //      engine-exact) and report per source its token volume, the
+    //      tokens falling outside the vocab, and the integer-micro OOV
+    //      share. The per-(source, word) pre-aggregation is the ONLY
+    //      corpus-proportional pass; the global counts, the top-V cut
+    //      (distributed TakeOrdered, no global sort) and the
+    //      per-source rollup all run on vocabulary-sized frames
+    //      (sub-linear, Heaps' law), with the vocab joined back
+    //      broadcast.
+    "t16_oov_rate" -> QueryDef(
+      (s, dir) => {
+        val sw = Tables.table(s, dir, "documents")
+          .select(col("source"), explode(Text.words(col("text"))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("n"))
+        val vocab = sw.groupBy(col("w"))
+          .agg(sum(col("n")).as("gn"))
+          .orderBy(col("gn").desc, col("w"))
+          .limit(OovVocabSize)
+          .select(col("w"), lit(1L).as("in_vocab"))
+        sw.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("n")).as("n_words"),
+            sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+              .as("n_oov"))
+          .withColumn("oov_micro",
+            expr("n_oov * 1000000 div n_words"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH sw AS (
+        SELECT source, w, count(*) AS n
+        FROM (SELECT source, unnest($wordsSqlDuck) AS w FROM documents)
+        GROUP BY 1, 2
+      ), g AS (
+        SELECT w, CAST(sum(n) AS BIGINT) AS gn FROM sw GROUP BY 1
+      ), v AS (
+        SELECT w FROM g ORDER BY gn DESC, w LIMIT $OovVocabSize
+      )
+      SELECT source,
+        CAST(sum(n) AS BIGINT) AS n_words,
+        CAST(sum(CASE WHEN v.w IS NULL THEN n ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(sum(CASE WHEN v.w IS NULL THEN n ELSE 0 END) * 1000000 //
+          sum(n) AS BIGINT) AS oov_micro
+      FROM sw LEFT JOIN v USING (w)
+      GROUP BY source ORDER BY source"""))
   )
 }

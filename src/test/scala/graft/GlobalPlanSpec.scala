@@ -54,7 +54,10 @@ class GlobalPlanSpec extends SparkSpec {
       "never data-proportional"),
     "e2_corpus_card" -> ("crossJoin of THREE single-row aggregate " +
       "frames (base stats x dup stats x contamination stats) — 1x1x1 " +
-      "by construction at any corpus size"))
+      "by construction at any corpus size"),
+    "t15_context_fit" -> ("token-count HISTOGRAM x |ContextFitLens| " +
+      "literal rows — bounded by max doc tokens x 4 at any corpus " +
+      "size; the corpus itself is scanned exactly once"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
     val offenders = plans.collect { case (name, plan)
@@ -80,6 +83,11 @@ class GlobalPlanSpec extends SparkSpec {
     "d15_bloom_decontamination" -> 3,
     "d16_corpus_diff" -> 3,
     "d17_contamination_report" -> 4,
+    "d18_containment" -> 2,
+    // 7 static = the perFp subtree planned once per consumer (ov +
+    // two broadcast totals); at runtime AQE stage reuse collapses the
+    // duplicates (verified: 2 ReusedQueryStages, one corpus scan)
+    "d19_source_overlap" -> 7,
     "d1_exact_dedup" -> 2,
     "d2_minhash_lsh" -> 1,
     "d3_simhash" -> 2,
@@ -94,6 +102,7 @@ class GlobalPlanSpec extends SparkSpec {
     "e3_shard_manifest" -> 2,
     "e4_mixture_manifest" -> 5,
     "e5_epoch_plan" -> 2,
+    "e6_training_order" -> 4,
     "g1_semantic_models" -> 1,
     "g2_alignment_graph" -> 1,
     "g3_model_evaluation" -> 0,
@@ -174,6 +183,9 @@ class GlobalPlanSpec extends SparkSpec {
     "t5_pii_scrub" -> 1,
     "t6_repetition" -> 5,
     "t7_mixture_sample" -> 2,
+    "t14_bpe_pairs" -> 2,
+    "t15_context_fit" -> 3,
+    "t16_oov_rate" -> 5,
     "t8_sequence_pack" -> 2,
     "t9_gopher_rules" -> 1)
 
@@ -210,7 +222,10 @@ class GlobalPlanSpec extends SparkSpec {
     "s3_ann_ivf",          // broadcast centroid table
     "t10_word_rarity",     // broadcast corpus-rarity vocabulary head
     "e1_training_pipeline", // broadcast eval set inside the ledger
-    "e4_mixture_manifest") // broadcast per-source frac_micro plan
+    "e4_mixture_manifest", // broadcast per-source frac_micro plan
+    "e6_training_order",   // broadcast <=B-row bucket-offset frame
+    "t15_context_fit",     // broadcast |ContextFitLens| seq-len frame
+    "t16_oov_rate")        // broadcast top-V vocabulary head
 
   test("small-side joins stay broadcast") {
     val byName = plans.toMap

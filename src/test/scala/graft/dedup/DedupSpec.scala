@@ -377,4 +377,81 @@ class DedupSpec extends SparkSpec {
     assert(out.values.toSet ===
       Set("added", "removed", "changed", "unchanged"))
   }
+
+  test("d18 containment: threshold honored, bounds exact, direction correct") {
+    val rows = DedupQueries.defs("d18_containment").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "expected containment pairs at sf0.001")
+    rows.foreach { r =>
+      val (n1, n2, inter) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("inter"))
+      assert(inter <= math.min(n1, n2), "intersection exceeds a set size")
+      assert(inter * DedupQueries.ContainDenom >=
+        DedupQueries.ContainNum * math.min(n1, n2), "below threshold")
+      assert(r.getAs[Double]("c12") <= 1.0 && r.getAs[Double]("c21") <= 1.0)
+      val expected = if (n1 <= n2) r.getAs[Long]("doc1")
+        else r.getAs[Long]("doc2")
+      assert(r.getAs[Long]("contained_doc") === expected)
+    }
+  }
+
+  test("d19 source overlap: bounds, ordering, and real shared content") {
+    val rows = DedupQueries.defs("d19_source_overlap").fn(spark, sf).collect()
+    // template-generated sources share 5-gram shingles (verified:
+    // every source pair shares ~85-91 at sf0.001) — an empty matrix
+    // means the shingle kernel or the distinct pass broke
+    assert(rows.nonEmpty, "no source pair shares any shingle content")
+    rows.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(sa < sb, "matrix must be upper-triangular")
+      val (sh, na, nb) = (r.getAs[Long]("n_shared_fps"),
+        r.getAs[Long]("n_fps_a"), r.getAs[Long]("n_fps_b"))
+      assert(sh >= 1L && sh <= math.min(na, nb))
+      val micro = r.getAs[Long]("overlap_micro")
+      assert(micro >= 0L && micro <= 1000000L)
+      assert(micro === sh * 1000000L / (na + nb - sh))
+    }
+  }
+
+  test("d18 flags a planted subset pair d2's Jaccard verify discards") {
+    // The reason d18 exists: doc A embedded whole in a much longer
+    // doc B has containment(A->B) = 1 but Jaccard << threshold. The
+    // uniform synthetic corpus plants only similar-length dups, so
+    // the pair is PLANTED here: base text + an extended doc sharing
+    // every base shingle. Band collision under the Jaccard-tuned LSH
+    // is probabilistic at low Jaccard (the documented recall decay),
+    // so the filler suffix is searched deterministically until one
+    // band collides — md5 is fixed, the same seed wins every run.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.Text
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    def frame(filler: String) =
+      Seq((1L, base), (2L, s"$base $filler")).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          Text.wordShingles(Text.words(col("text")), 2).as("sh"))
+        .withColumn("mh", Text.minhash(col("sh"), DedupQueries.MinhashK))
+    val seed = (1 to 200).find { s =>
+      val bks = frame((1 to 40).map(i => s"filler$s$i").mkString(" "))
+        .select(explode(Text.bandKeys(col("mh"),
+          DedupQueries.Bands, DedupQueries.Rows)).as("bk"))
+        .groupBy("bk").count().filter(col("count") === 2).count()
+      bks > 0
+    }.getOrElse(fail("no colliding filler found in 200 seeds"))
+    val f = frame((1 to 40).map(i => s"filler$seed$i").mkString(" "))
+    val banded = f.select(col("doc_id"),
+      explode(Text.bandKeys(col("mh"),
+        DedupQueries.Bands, DedupQueries.Rows)).as("bk0"))
+      .select(col("doc_id"), unhex(col("bk0")).as("bk"))
+    val out = DedupQueries.containmentPairs(banded, f.select("doc_id", "sh"))
+      .collect()
+    assert(out.length === 1, "planted subset pair must be flagged")
+    val r = out.head
+    assert(r.getAs[Long]("contained_doc") === 1L)
+    assert(r.getAs[Double]("c12") === 1.0, "base doc is fully contained")
+    // and d2's Jaccard verify would discard it
+    val jac = r.getAs[Long]("inter").toDouble /
+      (r.getAs[Long]("n1") + r.getAs[Long]("n2") - r.getAs[Long]("inter"))
+    assert(jac < DedupQueries.JaccardThreshold,
+      s"fixture drifted: jaccard $jac not below the d2 threshold")
+  }
 }

@@ -317,4 +317,72 @@ class TextSpec extends SparkSpec {
       Text.minhash(array(lit("a b"), lit("b c")), 8))
     assert(skipNull === noNull, "null shingles are skipped, not poisoning")
   }
+
+  test("t14 bpe pairs equal a driver-side brute count; rank order is total") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TextQueries.defs("t14_bpe_pairs").fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Int]("pair_rank")))
+    // brute force: every adjacent char pair of every word OCCURRENCE
+    // (the counting trick aggregates word shapes; the answer must be
+    // the raw-token count regardless)
+    val brute = collection.mutable.Map.empty[(String, String), Long]
+    graft.sources.Tables.table(spark, sf, "documents")
+      .select("text").collect().foreach { r =>
+      val t = r.getString(0)
+      if (t != null)
+        "[a-z0-9]+".r.findAllIn(t.toLowerCase).foreach { w =>
+          w.sliding(2).filter(_.length == 2).foreach { p =>
+            val k = (p.substring(0, 1), p.substring(1, 2))
+            brute(k) = brute.getOrElse(k, 0L) + 1L
+          }
+        }
+    }
+    val topBrute = brute.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(TextQueries.BpeTopPairs)
+    assert(got.length === topBrute.length)
+    got.sortBy(_._2._2).zip(topBrute).zipWithIndex.foreach {
+      case (((gk, (gn, rank)), (bk, bn)), i) =>
+        assert(gk === bk && gn === bn && rank === i + 1,
+          s"rank ${i + 1}: got $gk=$gn, brute $bk=$bn")
+    }
+  }
+
+  test("t16 oov rate: bounds, the vocab cut bites, and coverage is real") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextQueries.defs("t16_oov_rate").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("oov_micro") ===
+        r.getAs[Long]("n_oov") * 1000000L / r.getAs[Long]("n_words"))
+    }
+    val (oov, words) = (rows.map(_.getAs[Long]("n_oov")).sum,
+      rows.map(_.getAs[Long]("n_words")).sum)
+    assert(oov > 0L, "vocab knob must leave a non-trivial OOV tail")
+    assert(oov < words, "the top-V head must cover most tokens")
+  }
+
+  test("t15 context fit: conservation and monotonicity over seq lens") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextQueries.defs("t15_context_fit").fn(spark, sf).collect()
+    assert(rows.length === TextQueries.ContextFitLens.length)
+    val totalDocs = graft.sources.Tables.table(spark, sf, "documents").count()
+    val totals = rows.map(r =>
+      r.getAs[Long]("tokens_kept") + r.getAs[Long]("tokens_truncated"))
+    assert(totals.distinct.length === 1,
+      "kept + truncated must equal the corpus token count at every len")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_fit") +
+        r.getAs[Long]("n_docs_truncated") === totalDocs)
+    }
+    val byLen = rows.sortBy(_.getAs[Long]("seq_len"))
+    assert(byLen.map(_.getAs[Long]("n_docs_fit")).toSeq ==
+      byLen.map(_.getAs[Long]("n_docs_fit")).sortBy(identity).toSeq,
+      "docs that fit must be non-decreasing in seq_len")
+    assert(byLen.map(_.getAs[Long]("tokens_truncated")).toSeq ==
+      byLen.map(_.getAs[Long]("tokens_truncated"))
+        .sortBy(identity).reverse.toSeq,
+      "truncation loss must be non-increasing in seq_len")
+  }
 }
