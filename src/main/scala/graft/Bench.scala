@@ -42,7 +42,8 @@ object Bench {
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part",
       "p7_inclusion_deps", "p8_inclusion_deps_approx",
       "p9_functional_deps", "p10_column_correlation",
-      "p11_quantile_profile", "p12_key_discovery", "p13_profile_drift"),
+      "p11_quantile_profile", "p12_key_discovery", "p13_profile_drift",
+      "p14_embedding_profile"),
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
@@ -60,11 +61,11 @@ object Bench {
       "d11_semantic_dedup", "d14_incremental_dedup",
       "d15_bloom_decontamination", "d16_corpus_diff",
       "d17_contamination_report", "d18_containment",
-      "d19_source_overlap"),
+      "d19_source_overlap", "d20_threshold_sweep"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
-      "s7_ann_ivfadc", "s8_knn_graph"),
+      "s7_ann_ivfadc", "s8_knn_graph", "s9_ann_recall"),
     // matcher: m4 is charged the sample + feature matrix + model train;
     // the rest consume the materialized stages / cached model
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",

@@ -102,6 +102,13 @@ object DedupQueries {
   val ContainNum = 6L
   val ContainDenom = 10L
 
+  /** d20 sweep grid, Jaccard-micro units. Floor = [[JaccardThreshold]]
+    * (the shared pair table only holds verified pairs at or above
+    * d2's verify threshold — sweeping below it would need a looser
+    * candidate build, a different operator). */
+  val SweepThresholdsMicro: Seq[Long] =
+    Seq(300000L, 400000L, 500000L, 600000L, 700000L, 800000L, 900000L)
+
   val MinhashK = 64
   val Bands = 32
   val Rows = 2
@@ -501,8 +508,12 @@ object DedupQueries {
   def decontamShingled(s: SparkSession, dir: String): DataFrame =
     graft.core.Materialize(s, s"decontam-shingles|$dir") {
       Tables.rebalance(Tables.table(s, dir, "documents"))
+        // words aliased BEFORE the shingle HOF: an inline words(text)
+        // referenced by the transform lambda re-runs the regexp per
+        // element (the LshBandKeys lesson; measured 3.3x on d19)
+        .select(col("doc_id"), Text.words(col("text")).as("w"))
         .select(col("doc_id"),
-          Text.wordShingles(Text.words(col("text")), DecontamN).as("sh"))
+          Text.wordShingles(col("w"), DecontamN).as("sh"))
     }
   /** d7: the held-out "benchmark" subset — every 50th doc id. */
   val DecontamEvalMod = 50
@@ -1391,9 +1402,13 @@ object DedupQueries {
     "d19_source_overlap" -> QueryDef(
       (s, dir) => {
         val perFp = Tables.table(s, dir, "documents")
+          // words aliased BEFORE the shingle HOF: an inline
+          // words(text) referenced by the transform lambda re-runs
+          // the regexp per element (the LshBandKeys lesson; aliasing
+          // measured 61 s -> 18.6 s on this query at sf1)
+          .select(col("source"), Text.words(col("text")).as("w"))
           .select(col("source"),
-            explode(Text.wordShingles(Text.words(col("text")), DecontamN))
-              .as("sh"))
+            explode(Text.wordShingles(col("w"), DecontamN)).as("sh"))
           .select(md5(col("sh")).as("fp"), col("source"))
           .groupBy(col("fp"))
           .agg(sort_array(collect_set(col("source"))).as("ss"))
@@ -1437,7 +1452,64 @@ object DedupQueries {
           (ta.n_fps + tb.n_fps - n_shared_fps) AS BIGINT) AS overlap_micro
       FROM ov JOIN tot ta ON ov.source_a = ta.source
               JOIN tot tb ON ov.source_b = tb.source
-      ORDER BY source_a, source_b"""))
+      ORDER BY source_a, source_b""")),
+
+    // ---- d20: threshold calibration sweep — the report a data team
+    //      reads before CHOOSING the dedup threshold: for each
+    //      candidate Jaccard cut, how many verified pairs qualify, how
+    //      many docs a keep-lowest-id rule would drop, and what share
+    //      of the corpus that is. Rides the SAME persisted d2 pair
+    //      table (zero extra candidate work; the grid's floor is d2's
+    //      verify threshold by construction — documented on
+    //      [[SweepThresholdsMicro]]). Scale shape: pair-table × 7
+    //      literal grid rows + a 1-row corpus total, all broadcast —
+    //      never corpus-proportional beyond the shared checkpoint.
+    //      Thresholds compare in exact micro integers (round(jac·1e6)
+    //      is bit-identical on both engines; a float >= 0.3 compare
+    //      would not be). n_docs_droppable counts docs appearing as
+    //      the GREATER id of a qualifying pair (d1's min-id-canonical
+    //      convention); the transitive-closure removal count is d6's
+    //      job, not a sweep's.
+    "d20_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val pairs = minhashPairs(s, dir)
+          .withColumn("jm", round(col("jaccard") * 1e6).cast("long"))
+        val grid = SweepThresholdsMicro.toDF("threshold_micro")
+        val tot = Tables.table(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        pairs.crossJoin(broadcast(grid)).crossJoin(broadcast(tot))
+          .groupBy(col("threshold_micro"), col("n_docs"))
+          .agg(
+            sum(when(col("jm") >= col("threshold_micro"), 1L)
+              .otherwise(0L)).as("n_pairs"),
+            countDistinct(when(col("jm") >= col("threshold_micro"),
+              col("doc2"))).as("n_docs_droppable"))
+          .withColumn("drop_share_micro",
+            expr("n_docs_droppable * 1000000 div n_docs"))
+          .select(col("threshold_micro"), col("n_pairs"),
+            col("n_docs_droppable"), col("n_docs"),
+            col("drop_share_micro"))
+          .orderBy(col("threshold_micro"))
+      },
+      Some(s"""WITH $d2CoreSql,
+        grid(threshold_micro) AS (VALUES ${
+          SweepThresholdsMicro.map(t => s"($t)").mkString(", ")}),
+        tot AS (SELECT count(*) AS n_docs FROM documents),
+        v AS (SELECT CAST(round(jaccard * 1e6) AS BIGINT) AS jm,
+          doc2 FROM verified)
+      SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,
+        CAST(sum(CASE WHEN jm >= threshold_micro THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_pairs,
+        CAST(count(DISTINCT CASE WHEN jm >= threshold_micro
+          THEN doc2 END) AS BIGINT) AS n_docs_droppable,
+        n_docs,
+        CAST(count(DISTINCT CASE WHEN jm >= threshold_micro
+          THEN doc2 END) * 1000000 // n_docs AS BIGINT)
+          AS drop_share_micro
+      FROM v CROSS JOIN grid CROSS JOIN tot
+      GROUP BY threshold_micro, n_docs
+      ORDER BY threshold_micro"""))
   )
 
   /** d18's verify core over ANY `(doc_id, bk)` band index and

@@ -817,5 +817,69 @@ object ProfileQueries {
             // abs(old_value)) >= $DriftFlagMicro AS BIGINT)
           END AS drifted
       FROM melted ORDER BY metric"""))
+  ,
+
+    // ---- p14: embedding-space profile — the vector-modality
+    //      extension of the column profiler (the QC a team runs before
+    //      trusting ANN/clustering over an embedding column): per
+    //      dimension the count, mean, population variance and exact
+    //      micro min/max. A dead dimension (var 0), a scale-skewed
+    //      dimension, or a clipped range shows up here before it
+    //      poisons a cosine index. Arithmetic: components are
+    //      micro-quantized up front (round(x·1e6), bit-identical on
+    //      both engines), sums and sums-of-squares accumulate as exact
+    //      DECIMAL(38,0) integers (no float summation-order
+    //      nondeterminism — s4's k-means posture), and the two
+    //      double divisions at the end are textually identical in both
+    //      engines. Scale shape: ONE corpus melt (posexplode) into a
+    //      map-side-combined aggregate over Dims groups — never more
+    //      than a Dims-row frame after the single shuffle.
+    "p14_embedding_profile" -> QueryDef(
+      (s, dir) => {
+        val m = Tables.table(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
+          .select(posexplode(
+            graft.text.Text.asDouble(col("embedding"))).as(Seq("pos", "x")))
+          .select(col("pos").cast("long").as("pos"),
+            round(col("x") * 1e6).cast("long").as("xq"))
+        m.groupBy(col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xq").cast(DecimalType(38, 0))).as("sq"),
+            sum((col("xq") * col("xq")).cast(DecimalType(38, 0)))
+              .as("sqq"),
+            min(col("xq")).as("min_micro"),
+            max(col("xq")).as("max_micro"))
+          .select(col("pos"), col("n"),
+            (col("sq").cast("double") / col("n") / lit(1e6)).as("mean_d"),
+            (col("sqq").cast("double") / col("n") / lit(1e12)).as("msq"),
+            col("min_micro"), col("max_micro"))
+          .select(col("pos"), col("n"),
+            round(col("mean_d"), 6).as("mean"),
+            round(col("msq") - col("mean_d") * col("mean_d"), 6)
+              .as("var_pop"),
+            col("min_micro"), col("max_micro"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH m AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+            AS BIGINT) AS xq
+        FROM embeddings WHERE embedding IS NOT NULL
+      ), a AS (
+        SELECT pos, count(*) AS n,
+          sum(CAST(xq AS DECIMAL(38,0))) AS sq,
+          sum(CAST(xq * xq AS DECIMAL(38,0))) AS sqq,
+          min(xq) AS min_micro, max(xq) AS max_micro
+        FROM m GROUP BY 1
+      ), s AS (
+        SELECT pos, n, CAST(sq AS DOUBLE) / n / 1e6 AS mean_d,
+          CAST(sqq AS DOUBLE) / n / 1e12 AS msq, min_micro, max_micro
+        FROM a
+      )
+      SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+        round(mean_d, 6) AS mean,
+        round(msq - mean_d * mean_d, 6) AS var_pop,
+        min_micro, max_micro
+      FROM s ORDER BY pos"""))
   )
 }

@@ -55,7 +55,7 @@ object SimilarityQueries {
   /** LSH signature column: sign bits of v . plane_p packed into an int. */
   private def sigCol(v: Column): Column = Text.hyperplaneSig(v, Planes, Dims)
 
-  val defs: Map[String, QueryDef] = Map(
+  private val baseDefs: Map[String, QueryDef] = Map(
 
     // ---- s1: exact brute-force cosine top-k for a query set
     "s1_ann_bruteforce" -> QueryDef(
@@ -490,6 +490,62 @@ object SimilarityQueries {
         FROM sym) WHERE rank <= $KnnGraphK
       ORDER BY vec_id, rank"""))
   )
+
+  // ---- s9: ANN index quality report — the recall eval a team runs
+  //      before trusting an approximate index: s2 (LSH) and s3 (IVF)
+  //      graded against s1's exact brute-force ground truth. The three
+  //      result sets are NumQueries×TopK-bounded at ANY corpus size
+  //      (the corpus-proportional work is the indexes themselves,
+  //      already built by the graded queries), so every join here is a
+  //      broadcast over config-bounded frames. recall_micro is exact
+  //      integer arithmetic; n_returned < n_truth shows candidate
+  //      starvation (a bucket too small to fill top-k) separately from
+  //      ranking misses. The oracle twin is COMPOSED from the three
+  //      queries' own oracle strings, so the report can never drift
+  //      from the queries it grades.
+  private def s9Recall(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val m = baseDefs("s2_ann_lsh").fn(s, dir)
+        .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
+      .unionByName(baseDefs("s3_ann_ivf").fn(s, dir)
+        .select(lit("ivf").as("method"), col("query_id"),
+          col("neighbor_id")))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    m.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(tot))
+      .withColumn("recall_micro", expr("n_hits * 1000000 div n_truth"))
+      .select(col("method"), col("n_truth"), col("n_returned"),
+        col("n_hits"), col("recall_micro"))
+      .orderBy(col("method"))
+  }
+
+  private def s9Sql: String = {
+    val s1 = baseDefs("s1_ann_bruteforce").oracle.get
+    val s2 = baseDefs("s2_ann_lsh").oracle.get
+    val s3 = baseDefs("s3_ann_ivf").oracle.get
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($s1) t1),
+      lsh AS (SELECT query_id, neighbor_id FROM ($s2) t2),
+      ivf AS (SELECT query_id, neighbor_id FROM ($s3) t3),
+      m AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+            UNION ALL
+            SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+      tot AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT method, n_truth,
+      CAST(count(*) AS BIGINT) AS n_returned,
+      CAST(count(t.x) AS BIGINT) AS n_hits,
+      CAST(count(t.x) * 1000000 // n_truth AS BIGINT) AS recall_micro
+    FROM m LEFT JOIN (SELECT query_id, neighbor_id, 1 AS x FROM truth) t
+      USING (query_id, neighbor_id) CROSS JOIN tot
+    GROUP BY method, n_truth ORDER BY method"""
+  }
+
+  val defs: Map[String, QueryDef] =
+    baseDefs + ("s9_ann_recall" -> QueryDef(s9Recall, Some(s9Sql)))
 
   /** Subspaced melt for PQ: (vec_id, sub, d, x6), sub = d div subDim. */
   private def pqMelt(s: org.apache.spark.sql.SparkSession,

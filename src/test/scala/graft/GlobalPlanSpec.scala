@@ -57,7 +57,13 @@ class GlobalPlanSpec extends SparkSpec {
       "by construction at any corpus size"),
     "t15_context_fit" -> ("token-count HISTOGRAM x |ContextFitLens| " +
       "literal rows — bounded by max doc tokens x 4 at any corpus " +
-      "size; the corpus itself is scanned exactly once"))
+      "size; the corpus itself is scanned exactly once"),
+    "s9_ann_recall" -> ("composes s1's whitelisted brute-force truth " +
+      "(NumQueries-row broadcast by contract) plus joins over " +
+      "NumQueries x TopK bounded result frames and a 1-row total"),
+    "d20_threshold_sweep" -> ("shared d2 pair table x 7 literal grid " +
+      "rows x 1-row corpus total — the grid and total are literal/" +
+      "aggregate broadcasts, never data-proportional"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
     val offenders = plans.collect { case (name, plan)
@@ -89,6 +95,7 @@ class GlobalPlanSpec extends SparkSpec {
     // duplicates (verified: 2 ReusedQueryStages, one corpus scan)
     "d19_source_overlap" -> 7,
     "d1_exact_dedup" -> 2,
+    "d20_threshold_sweep" -> 4,
     "d2_minhash_lsh" -> 1,
     "d3_simhash" -> 2,
     "d4_ngram_jaccard" -> 3,
@@ -124,6 +131,7 @@ class GlobalPlanSpec extends SparkSpec {
     "p11_quantile_profile" -> 8,
     "p12_key_discovery" -> 2,
     "p13_profile_drift" -> 2,
+    "p14_embedding_profile" -> 2,
     "p1_profile_customer" -> 9,
     "p2_profile_documents" -> 9,
     "p3_profile_orders" -> 9,
@@ -172,6 +180,9 @@ class GlobalPlanSpec extends SparkSpec {
     "s6_ann_pq" -> 6,
     "s7_ann_ivfadc" -> 13,
     "s8_knn_graph" -> 2,
+    // 12 static = s1+s2+s3 composed whole (the report grades them);
+    // AQE stage reuse collapses shared subtrees at runtime
+    "s9_ann_recall" -> 12,
     "t10_word_rarity" -> 4,
     "t11_importance_weights" -> 11,
     "t12_lm_perplexity" -> 11,
@@ -225,7 +236,8 @@ class GlobalPlanSpec extends SparkSpec {
     "e4_mixture_manifest", // broadcast per-source frac_micro plan
     "e6_training_order",   // broadcast <=B-row bucket-offset frame
     "t15_context_fit",     // broadcast |ContextFitLens| seq-len frame
-    "t16_oov_rate")        // broadcast top-V vocabulary head
+    "t16_oov_rate",        // broadcast top-V vocabulary head
+    "s9_ann_recall")       // broadcast truth set + bounded totals
 
   test("small-side joins stay broadcast") {
     val byName = plans.toMap

@@ -412,6 +412,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d20 sweep: floor row equals the pair table, counts monotone") {
+    val rows = DedupQueries.defs("d20_threshold_sweep").fn(spark, sf)
+      .collect().sortBy(_.getAs[Long]("threshold_micro"))
+    assert(rows.map(_.getAs[Long]("threshold_micro")).toSeq ===
+      DedupQueries.SweepThresholdsMicro)
+    // the grid floor IS d2's verify threshold, so the first row must
+    // reproduce the shared pair table exactly
+    val pairs = DedupQueries.minhashPairs(spark, sf).collect()
+    assert(rows.head.getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(rows.head.getAs[Long]("n_docs_droppable") ===
+      pairs.map(_.getAs[Long]("doc2")).distinct.length.toLong)
+    // tightening the cut can only shrink both counts
+    val np = rows.map(_.getAs[Long]("n_pairs")).toSeq
+    val nd = rows.map(_.getAs[Long]("n_docs_droppable")).toSeq
+    assert(np === np.sorted.reverse, "n_pairs must be non-increasing")
+    assert(nd === nd.sorted.reverse, "droppable must be non-increasing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drop_share_micro") ===
+        r.getAs[Long]("n_docs_droppable") * 1000000L /
+          r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("d18 flags a planted subset pair d2's Jaccard verify discards") {
     // The reason d18 exists: doc A embedded whole in a much longer
     // doc B has containment(A->B) = 1 but Jaccard << threshold. The
