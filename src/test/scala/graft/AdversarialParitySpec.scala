@@ -44,7 +44,10 @@ import org.apache.spark.sql.types._
   * shingles, t14's giant-token pair counts, t15 conservation + the
   * one truncating doc, t16 per-source OOV, e6's exact epoch order);
   * full-portfolio sweep at 121 queries: 117/121 hash-exact, same 4
-  * documented mismatches (2026-08-15).
+  * documented mismatches (2026-08-15). The second round-11 batch (s9
+  * recall report, d20 threshold sweep, p14 embedding profile) pinned
+  * as pins 18-19 + the EmbeddingProfileSpec battery; all three
+  * DuckDB-parity on this corpus (2026-08-15).
   * Re-run the whole sweep with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
@@ -407,6 +410,43 @@ class AdversarialParitySpec extends SparkSpec {
     assert(rows.forall(_.getLong(4) === 0L), "one chunk at chunkDocs=100")
     assert(rows.head.getLong(2) === 182739794328090593L,
       "ord-salt hash spot pin (doc 26)")
+  }
+
+  // ---- pin 18: d20's sweep over the planted dup cluster — at cuts
+  //      up to 600000 all three pairs qualify (the near-dups sit at
+  //      jaccard exactly 0.6) and docs {15, 16} are droppable; from
+  //      700000 only the exact dup (14,15) survives, dropping doc 15
+  test("d20 sweep: the dup cluster's threshold response is exact") {
+    val rows = run("d20_threshold_sweep")
+      .collect().map(r => r.getAs[Long]("threshold_micro") -> r).toMap
+    assert(rows.keySet ===
+      graft.dedup.DedupQueries.SweepThresholdsMicro.toSet)
+    for (t <- Seq(300000L, 400000L, 500000L, 600000L)) {
+      assert(rows(t).getAs[Long]("n_pairs") === 3L, s"cut $t pairs")
+      assert(rows(t).getAs[Long]("n_docs_droppable") === 2L)
+      assert(rows(t).getAs[Long]("drop_share_micro") === 66666L)
+    }
+    for (t <- Seq(700000L, 800000L, 900000L)) {
+      assert(rows(t).getAs[Long]("n_pairs") === 1L,
+        s"cut $t must keep only the exact dup")
+      assert(rows(t).getAs[Long]("n_docs_droppable") === 1L)
+      assert(rows(t).getAs[Long]("drop_share_micro") === 33333L)
+    }
+  }
+
+  // ---- pin 19: s9's recall report on the fixture embeddings — a
+  //      committed regression gate on BOTH approximate indexes' actual
+  //      quality (a silently degraded banding or probe selection moves
+  //      these numbers before any oracle notices)
+  test("s9 ann recall: index quality pinned") {
+    val rows = run("s9_ann_recall").collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows("lsh").getAs[Long]("n_hits") === 35L)
+    assert(rows("lsh").getAs[Long]("recall_micro") === 350000L)
+    assert(rows("ivf").getAs[Long]("n_hits") === 31L)
+    assert(rows("ivf").getAs[Long]("recall_micro") === 310000L)
+    rows.values.foreach(r => assert(r.getAs[Long]("n_truth") === 100L &&
+      r.getAs[Long]("n_returned") === 100L))
   }
 
   // ---- breadth: the full judge-re-run battery completes with the
