@@ -88,7 +88,7 @@ object Bench {
       "st5_stream_decontaminate", "st6_stream_semantic_flag",
       "st7_stream_fuzzy_flag", "st8_stream_incremental_dedup",
       "st9_stream_drift_monitor", "st10_stream_pipeline_admission",
-      "st11_stream_mixture_sampler"))
+      "st11_stream_mixture_sampler", "st12_stream_oov_monitor"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

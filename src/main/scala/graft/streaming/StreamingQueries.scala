@@ -818,8 +818,76 @@ object StreamingQueries {
         LEFT JOIN plan2 p ON coalesce(d.source, '') = p.source
         WHERE d.doc_id % $DeltaMod = 0
         ORDER BY d.doc_id"""
+      }),
+
+    // ---- st12: streaming OOV MONITOR — t16's front: the live "is the
+    //      incoming crawl drifting off this tokenizer's vocabulary"
+    //      gauge. The vocabulary is a FIXED artifact (t16's top-V head
+    //      off the static corpus, materialized once — a tokenizer is
+    //      fit once, the crawl drifts against it), collected into the
+    //      native SetMemberCount probe (O(V) broadcast, V = vocab
+    //      budget, a config constant at any corpus size). Each delta
+    //      doc is scored ROW-LOCALLY — token count, in-vocab count
+    //      with multiplicity, integer-micro OOV share — so the stream
+    //      is a stateless append projection (zero state operators,
+    //      contract-tested) a dashboard can window at will; empty docs
+    //      carry NULL oov share, never a divide-by-zero.
+    "st12_stream_oov_monitor" -> QueryDef(
+      (s, dir) => {
+        runStream(st12Stream(s, dir), "append").orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.dedup.DedupQueries.DeltaMod
+        import graft.text.TextQueries.OovVocabSize
+        val wordsSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+        s"""WITH g AS (
+          SELECT w, count(*) AS gn
+          FROM (SELECT unnest($wordsSqlDuck) AS w FROM documents)
+          GROUP BY 1
+        ), vl AS (
+          SELECT list(w) AS vs FROM
+            (SELECT w FROM g ORDER BY gn DESC, w LIMIT $OovVocabSize)
+        )
+        SELECT doc_id, coalesce(source, '') AS source,
+          coalesce(CAST(len($wordsSqlDuck) AS BIGINT), 0) AS n_words,
+          coalesce(CAST(len($wordsSqlDuck) AS BIGINT), 0) -
+            coalesce(CAST(len(list_filter($wordsSqlDuck,
+              x -> list_contains(vs, x))) AS BIGINT), 0) AS n_oov,
+          CAST((coalesce(CAST(len($wordsSqlDuck) AS BIGINT), 0) -
+            coalesce(CAST(len(list_filter($wordsSqlDuck,
+              x -> list_contains(vs, x))) AS BIGINT), 0)) * 1000000 //
+            nullif(coalesce(CAST(len($wordsSqlDuck) AS BIGINT), 0), 0)
+            AS BIGINT) AS oov_micro
+        FROM documents CROSS JOIN vl
+        WHERE doc_id % $DeltaMod = 0
+        ORDER BY doc_id"""
       })
   )
+
+  /** st12 stream side (exposed for the state-contract spec): delta
+    * docs scored row-locally against the collected fixed vocabulary —
+    * see the QueryDef comment for the full design rationale. */
+  private[streaming] def st12Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.DeltaMod
+    import graft.text.{Text, TextQueries}
+    val vocab: Array[String] = TextQueries.oovVocab(s, dir)
+      .collect().map(_.getString(0))
+    val bc = s.sparkContext.broadcast(vocab)
+    streamTable(s, dir, "documents")
+      .filter(col("doc_id") % DeltaMod === 0)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        Text.words(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        coalesce(size(col("w")).cast("long"), lit(0L)).as("n_words"),
+        coalesce(graft.functions.SetMemberCount.countIn(col("w"), bc),
+          lit(0L)).as("n_in"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        (col("n_words") - col("n_in")).as("n_oov"),
+        expr("(n_words - n_in) * 1000000 div nullif(n_words, 0)")
+          .as("oov_micro"))
+  }
 
   /** st11 stream side (exposed for the state-contract spec): delta
     * docs sampled under the broadcast e4 plan — see the QueryDef

@@ -101,6 +101,24 @@ object TextQueries {
     * broadcast regardless of corpus size. */
   val OovVocabSize = 16
 
+  /** t16's vocabulary head as a shared persisted artifact: the SAME
+    * top-[[OovVocabSize]] cut t16 reports on (global word counts are
+    * the sum of t16's per-source counts, so the two derivations pick
+    * identical sets under the identical (count desc, word) total
+    * order), materialized once per corpus so the streaming OOV
+    * monitor (st12) probes the tokenizer vocabulary as a fixed
+    * artifact — the production posture: a tokenizer is FIT once, the
+    * crawl drifts against it. */
+  def oovVocab(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"oov-vocab|$dir") {
+      Tables.table(s, dir, "documents")
+        .select(explode(Text.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("gn"))
+        .orderBy(col("gn").desc, col("w"))
+        .limit(OovVocabSize)
+        .select(col("w"))
+    }
+
   /** t13 boilerplate word-shingle width and the distinct-doc threshold
     * above which a shingle counts as boilerplate within its source. */
   val BoilerN = 5

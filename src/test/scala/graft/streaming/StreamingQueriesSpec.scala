@@ -142,8 +142,8 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.values.exists(_._3 == 1L), "no core flagged at this sf")
   }
 
-  test("st5/st6/st7/st8/st10/st11 state contract: the flag/admission/" +
-      "sampler queries run with ZERO stateful operators (append mode)") {
+  test("st5/st6/st7/st8/st10/st11/st12 state contract: the flag/admission/" +
+      "sampler/monitor queries run with ZERO stateful operators (append mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val frames = Seq(
       "st5" -> StreamingQueries.st5Stream(spark, sf),
@@ -151,7 +151,8 @@ class StreamingQueriesSpec extends SparkSpec {
       "st7" -> StreamingQueries.st7Stream(spark, sf),
       "st8" -> StreamingQueries.st8Stream(spark, sf),
       "st10" -> StreamingQueries.st10Stream(spark, sf),
-      "st11" -> StreamingQueries.st11Stream(spark, sf))
+      "st11" -> StreamingQueries.st11Stream(spark, sf),
+      "st12" -> StreamingQueries.st12Stream(spark, sf))
     for ((nm, df) <- frames) {
       val q = df.writeStream.format("memory")
         .queryName(s"${nm}_state_contract").outputMode("append")
@@ -185,6 +186,30 @@ class StreamingQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
     assert(streamed.nonEmpty, "no contamination flagged at this sf")
+  }
+
+  test("st12 stream OOV rates equal a t16-vocab batch recount") {
+    import graft.text.{Text, TextQueries}
+    val streamed = run("st12_stream_oov_monitor")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    val vocab = TextQueries.oovVocab(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val mod = graft.dedup.DedupQueries.DeltaMod
+    val batch = graft.sources.Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .collect().map { r =>
+        val ws = if (r.isNullAt(1)) Seq.empty[String]
+          else r.getAs[collection.Seq[String]](1).toSeq
+        val nOov = ws.count(!vocab.contains(_)).toLong
+        r.getLong(0) -> (ws.length.toLong, nOov,
+          if (ws.isEmpty) -1L else nOov * 1000000L / ws.length)
+      }.toMap
+    assert(streamed === batch)
+    assert(streamed.values.exists(_._2 > 0L),
+      "the vocab cut must leave OOV tokens in the delta at this sf")
   }
 
   test("st7 stream fuzzy flags equal the batch band-collision backfill") {
