@@ -120,12 +120,20 @@ object Bench {
     * run for no extra signal. */
   val Runs = {
     val s = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3")
-    try s.trim.toInt
-    catch { case _: NumberFormatException =>
+    val parsed =
+      try s.trim.toInt
+      catch { case _: NumberFormatException =>
+        System.err.println(
+          s"[graft] SPARK_GRAFT_BENCH_RUNS='$s' is not an int; using 3")
+        3
+      }
+    if (parsed < 1) {
+      // 0/negative would make the per-query times Seq empty and crash
+      // on times.head AFTER the multi-minute warmup — clamp loudly
       System.err.println(
-        s"[graft] SPARK_GRAFT_BENCH_RUNS='$s' is not an int; using 3")
-      3
-    }
+        s"[graft] SPARK_GRAFT_BENCH_RUNS=$parsed < 1; clamping to 1")
+      1
+    } else parsed
   }
 
   def main(args: Array[String]): Unit = {

@@ -344,12 +344,7 @@ object DedupQueries {
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     graft.core.Materialize(s, s"d2-pairs|$dir") {
       val mins = signatures(s, dir)
-      val capped = cappedBanded(s, dir)
-      val pairs = capped.as("x")
-        .join(capped.as("y"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-        .distinct()
+      val pairs = candidatePairs(cappedBanded(s, dir))
       // cheap signature-estimate pre-filter before the exact verify:
       // matching-minhash share estimates Jaccard (sd ~= 0.06 at k=64),
       // so est >= threshold - EstMargin keeps all true positives while
@@ -1406,10 +1401,14 @@ object DedupQueries {
           // words(text) referenced by the transform lambda re-runs
           // the regexp per element (the LshBandKeys lesson; aliasing
           // measured 61 s -> 18.6 s on this query at sf1)
-          .select(col("source"), Text.words(col("text")).as("w"))
+          .select(coalesce(col("source"), lit("")).as("source"),
+            Text.words(col("text")).as("w"))
           .select(col("source"),
             explode(Text.wordShingles(col("w"), DecontamN)).as("sh"))
-          .select(md5(col("sh")).as("fp"), col("source"))
+          // binary(16) fp, not the 32-char hex rendering — halves the
+          // key bytes on the query's one corpus-proportional shuffle
+          // (the cappedBanded/d10 idiom); fps never reach the output
+          .select(unhex(md5(col("sh"))).as("fp"), col("source"))
           .groupBy(col("fp"))
           .agg(sort_array(collect_set(col("source"))).as("ss"))
         val tot = perFp.select(explode(col("ss")).as("source"))
@@ -1436,7 +1435,8 @@ object DedupQueries {
       },
       Some(s"""WITH fs AS (
         SELECT DISTINCT source, md5(sh) AS fp
-        FROM (SELECT source, unnest(${shinglesSqlDuck(DecontamN)}) AS sh
+        FROM (SELECT coalesce(source, '') AS source,
+              unnest(${shinglesSqlDuck(DecontamN)}) AS sh
               FROM documents)
       ), tot AS (
         SELECT source, count(*) AS n_fps FROM fs GROUP BY 1
@@ -1478,18 +1478,25 @@ object DedupQueries {
         val grid = SweepThresholdsMicro.toDF("threshold_micro")
         val tot = Tables.table(s, dir, "documents")
           .agg(count(lit(1)).as("n_docs"))
-        pairs.crossJoin(broadcast(grid)).crossJoin(broadcast(tot))
-          .groupBy(col("threshold_micro"), col("n_docs"))
+        // grid-anchored: an EMPTY pair table (clean corpus) must still
+        // report 7 zero rows, not an empty frame a consumer can't tell
+        // from a broken query — aggregate the pair x grid cross first,
+        // then left-join back onto the grid and zero-fill
+        val agged = pairs.crossJoin(broadcast(grid))
+          .groupBy(col("threshold_micro"))
           .agg(
             sum(when(col("jm") >= col("threshold_micro"), 1L)
-              .otherwise(0L)).as("n_pairs"),
+              .otherwise(0L)).as("np"),
             countDistinct(when(col("jm") >= col("threshold_micro"),
-              col("doc2"))).as("n_docs_droppable"))
+              col("doc2"))).as("nd"))
+        grid.join(agged, Seq("threshold_micro"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("threshold_micro"),
+            coalesce(col("np"), lit(0L)).as("n_pairs"),
+            coalesce(col("nd"), lit(0L)).as("n_docs_droppable"),
+            col("n_docs"))
           .withColumn("drop_share_micro",
             expr("n_docs_droppable * 1000000 div n_docs"))
-          .select(col("threshold_micro"), col("n_pairs"),
-            col("n_docs_droppable"), col("n_docs"),
-            col("drop_share_micro"))
           .orderBy(col("threshold_micro"))
       },
       Some(s"""WITH $d2CoreSql,
@@ -1497,18 +1504,20 @@ object DedupQueries {
           SweepThresholdsMicro.map(t => s"($t)").mkString(", ")}),
         tot AS (SELECT count(*) AS n_docs FROM documents),
         v AS (SELECT CAST(round(jaccard * 1e6) AS BIGINT) AS jm,
-          doc2 FROM verified)
+          doc2 FROM verified),
+        agged AS (
+          SELECT threshold_micro,
+            sum(CASE WHEN jm >= threshold_micro THEN 1 ELSE 0 END) AS np,
+            count(DISTINCT CASE WHEN jm >= threshold_micro
+              THEN doc2 END) AS nd
+          FROM v CROSS JOIN grid GROUP BY threshold_micro)
       SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,
-        CAST(sum(CASE WHEN jm >= threshold_micro THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_pairs,
-        CAST(count(DISTINCT CASE WHEN jm >= threshold_micro
-          THEN doc2 END) AS BIGINT) AS n_docs_droppable,
+        CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(nd, 0) AS BIGINT) AS n_docs_droppable,
         n_docs,
-        CAST(count(DISTINCT CASE WHEN jm >= threshold_micro
-          THEN doc2 END) * 1000000 // n_docs AS BIGINT)
+        CAST(coalesce(nd, 0) * 1000000 // n_docs AS BIGINT)
           AS drop_share_micro
-      FROM v CROSS JOIN grid CROSS JOIN tot
-      GROUP BY threshold_micro, n_docs
+      FROM grid LEFT JOIN agged USING (threshold_micro) CROSS JOIN tot
       ORDER BY threshold_micro"""))
   )
 
@@ -1520,14 +1529,21 @@ object DedupQueries {
     * pair (subset doc inside a much longer doc — high containment,
     * sub-threshold Jaccard) that the uniform synthetic corpus never
     * produces. */
-  def containmentPairs(capped: DataFrame, docs: DataFrame): DataFrame = {
-    val pairs = capped.as("x")
+  /** Distinct ordered candidate pairs from a `(doc_id, bk)` band
+    * index: band-key equality, doc1 < doc2. The ONE definition d2's
+    * verify and d18's containment both consume — a cap or distinct
+    * change here changes both consumers' candidate sets together
+    * (d18's "same persisted index" contract). */
+  def candidatePairs(capped: DataFrame): DataFrame =
+    capped.as("x")
       .join(capped.as("y"),
         col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    pairs
+
+  def containmentPairs(capped: DataFrame, docs: DataFrame): DataFrame = {
+    candidatePairs(capped)
       .join(docs.select(col("doc_id").as("doc1"),
         col("sh").as("sh1")), "doc1")
       .join(docs.select(col("doc_id").as("doc2"),

@@ -845,8 +845,12 @@ object ProfileQueries {
         m.groupBy(col("pos"))
           .agg(count(lit(1)).as("n"),
             sum(col("xq").cast(DecimalType(38, 0))).as("sq"),
-            sum((col("xq") * col("xq")).cast(DecimalType(38, 0)))
-              .as("sqq"),
+            // square in DECIMAL(19,0)x(19,0) -> (38,0), NOT in long:
+            // a component >= ~3037 would overflow xq*xq at 64 bits —
+            // exactly the scale-skewed dimension this profile exists
+            // to catch (19+19 stays within both engines' 38-digit cap)
+            sum(col("xq").cast(DecimalType(19, 0)) *
+              col("xq").cast(DecimalType(19, 0))).as("sqq"),
             min(col("xq")).as("min_micro"),
             max(col("xq")).as("max_micro"))
           .select(col("pos"), col("n"),
@@ -868,7 +872,8 @@ object ProfileQueries {
       ), a AS (
         SELECT pos, count(*) AS n,
           sum(CAST(xq AS DECIMAL(38,0))) AS sq,
-          sum(CAST(xq * xq AS DECIMAL(38,0))) AS sqq,
+          sum(CAST(xq AS DECIMAL(19,0)) * CAST(xq AS DECIMAL(19,0)))
+            AS sqq,
           min(xq) AS min_micro, max(xq) AS max_micro
         FROM m GROUP BY 1
       ), s AS (

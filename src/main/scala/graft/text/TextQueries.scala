@@ -1095,7 +1095,8 @@ object TextQueries {
     "t16_oov_rate" -> QueryDef(
       (s, dir) => {
         val sw = Tables.table(s, dir, "documents")
-          .select(col("source"), explode(Text.words(col("text"))).as("w"))
+          .select(coalesce(col("source"), lit("")).as("source"),
+            explode(Text.words(col("text"))).as("w"))
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).as("n"))
         val vocab = sw.groupBy(col("w"))
@@ -1115,7 +1116,8 @@ object TextQueries {
       },
       Some(s"""WITH sw AS (
         SELECT source, w, count(*) AS n
-        FROM (SELECT source, unnest($wordsSqlDuck) AS w FROM documents)
+        FROM (SELECT coalesce(source, '') AS source,
+          unnest($wordsSqlDuck) AS w FROM documents)
         GROUP BY 1, 2
       ), g AS (
         SELECT w, CAST(sum(n) AS BIGINT) AS gn FROM sw GROUP BY 1

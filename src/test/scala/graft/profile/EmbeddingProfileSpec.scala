@@ -18,8 +18,12 @@ class EmbeddingProfileSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("pos") -> r).toMap
     assert(rows.keySet === (0L until dims.toLong).toSet,
       "every dimension profiled exactly once")
+    // half-up (away-from-zero) like both engines' round(); math.round
+    // rounds ties toward +infinity and diverges on negative half-micros
+    def q(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     for (pos <- 0 until dims) {
-      val xq = vecs.map(v => math.round(v(pos).toDouble * 1e6))
+      val xq = vecs.map(v => q(v(pos).toDouble * 1e6))
       val r = rows(pos.toLong)
       assert(r.getAs[Long]("n") === vecs.length.toLong)
       assert(r.getAs[Long]("min_micro") === xq.min)
