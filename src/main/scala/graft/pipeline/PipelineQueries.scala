@@ -752,6 +752,147 @@ object PipelineQueries {
         row_number() OVER (ORDER BY h, doc_id) - 1 AS position,
         (row_number() OVER (ORDER BY h, doc_id) - 1) // $OrderChunkDocs
           AS chunk
-      FROM adm ORDER BY position"""))
+      FROM adm ORDER BY position""")),
+
+    // ---- e7: effective-token accounting — the "how much UNIQUE data
+    //      do I actually have" report that decides whether a source is
+    //      worth crawling harder: per source, raw docs/tokens next to
+    //      the tokens sitting in non-canonical near-dup cluster members
+    //      (d6's clusters, d13's keep-the-highest-quality choice — the
+    //      SAME shared kernels, so "duplicate" means exactly what the
+    //      dedup pass ships) and the effective tokens a training run
+    //      would see after canonicalization. Cost on top of the shared
+    //      d2 pair table: the row-wise token projection + d13's slim
+    //      cluster window + ONE source-keyed agg — the corpus text is
+    //      touched once, the report frame is catalog-sized. dup share
+    //      in integer micro (truncating div, NULL on a zero-token
+    //      source, never divide-by-zero).
+    "e7_effective_tokens" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.DedupQueries
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            coalesce(col("source"), lit("")).as("source"),
+            coalesce(Text.bpeTokenCount(col("text")).cast("long"),
+              lit(0L)).as("n_tokens"))
+        val comp = DedupQueries.connectedComponents(
+          docs.select(col("doc_id")), DedupQueries.minhashPairs(s, dir))
+        val q = TextQueries.qualityFrame(s, dir)
+          .select(col("doc_id"), col("quality_score"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        val kept = comp.join(q, "doc_id")
+          .withColumn("is_kept",
+            (row_number().over(w) === 1).cast("long"))
+          .select(col("doc_id"), col("is_kept"))
+        docs.join(kept, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(when(col("is_kept") === 0L, 1L).otherwise(0L))
+              .as("n_dup_docs"),
+            sum(when(col("is_kept") === 0L, col("n_tokens"))
+              .otherwise(0L)).as("dup_tokens"))
+          .withColumn("effective_tokens",
+            col("n_tokens") - col("dup_tokens"))
+          .withColumn("dup_token_micro",
+            expr("dup_tokens * 1000000 div nullif(n_tokens, 0)"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val d2CoreSql = graft.dedup.DedupQueries.d2CoreSql
+        s"""WITH RECURSIVE $d2CoreSql,
+      nodes AS (SELECT doc_id FROM documents),
+      sym AS (
+        SELECT doc1 AS a, doc2 AS b FROM verified
+        UNION ALL SELECT doc2, doc1 FROM verified
+      ),
+      walk(doc, comp) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
+      ),
+      cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc),
+      ${TextQueries.qualitySqlCte},
+      ranked AS (
+        SELECT cc.doc AS doc_id,
+          row_number() OVER (PARTITION BY cc.cluster_id
+            ORDER BY q.quality_score DESC, cc.doc) AS rn
+        FROM cc JOIN q ON cc.doc = q.doc_id
+      ),
+      tok AS (
+        SELECT doc_id, coalesce(source, '') AS source,
+          coalesce(CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens
+        FROM documents
+      )
+      SELECT t.source,
+        count(*) AS n_docs,
+        CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN r.rn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_docs,
+        CAST(sum(CASE WHEN r.rn <> 1 THEN t.n_tokens ELSE 0 END)
+          AS BIGINT) AS dup_tokens,
+        CAST(sum(t.n_tokens) - sum(CASE WHEN r.rn <> 1 THEN t.n_tokens
+          ELSE 0 END) AS BIGINT) AS effective_tokens,
+        CAST(sum(CASE WHEN r.rn <> 1 THEN t.n_tokens ELSE 0 END)
+          * 1000000 // nullif(sum(t.n_tokens), 0) AS BIGINT)
+          AS dup_token_micro
+      FROM tok t JOIN ranked r USING (doc_id)
+      GROUP BY t.source ORDER BY t.source"""
+      }),
+
+    // ---- e8: release manifest — the reproducibility record a dataset
+    //      release ships (and d16 diffs the next vintage against): per
+    //      source and a grand '__total__' row, doc/token volume, the
+    //      id range, null-payload count, and an ORDER-INVARIANT content
+    //      checksum (sum of per-doc 60-bit md5 prefixes in
+    //      DECIMAL(38,0), folded mod 1e18) — commutative, so the same
+    //      corpus hashes identically under any partitioning, executor
+    //      count or row order, and any single changed byte moves it.
+    //      One row-local projection + one ROLLUP agg pass; the manifest
+    //      frame is catalog-sized at any corpus scale.
+    "e8_release_manifest" -> QueryDef(
+      (s, dir) => {
+        val perDoc = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            coalesce(col("source"), lit("")).as("source"),
+            col("text").isNull.cast("long").as("is_null_text"),
+            coalesce(Text.bpeTokenCount(col("text")).cast("long"),
+              lit(0L)).as("n_tokens"),
+            conv(substring(md5(coalesce(col("text"), lit(""))), 1, 15),
+              16, 10).cast("long").as("h"))
+        perDoc
+          .rollup(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("is_null_text")).as("n_null_text"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"),
+            (sum(col("h").cast("decimal(38,0)")) %
+              lit(1000000000000000000L).cast("decimal(38,0)"))
+              .cast("long").as("content_checksum"))
+          .withColumn("source", coalesce(col("source"), lit("__total__")))
+          .orderBy(col("source"))
+      },
+      Some("""WITH perdoc AS (
+        SELECT doc_id, coalesce(source, '') AS source,
+          CAST(text IS NULL AS BIGINT) AS is_null_text,
+          coalesce(CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT), 0) AS n_tokens,
+          CAST(('0x' || substr(md5(coalesce(text, '')), 1, 15)) AS BIGINT)
+            AS h
+        FROM documents
+      )
+      SELECT coalesce(source, '__total__') AS source,
+        count(*) AS n_docs,
+        CAST(sum(is_null_text) AS BIGINT) AS n_null_text,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        min(doc_id) AS min_doc_id,
+        max(doc_id) AS max_doc_id,
+        CAST(sum(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+          AS content_checksum
+      FROM perdoc GROUP BY ROLLUP(source)
+      ORDER BY coalesce(source, '__total__')"""))
   )
 }

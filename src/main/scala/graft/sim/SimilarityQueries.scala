@@ -544,8 +544,125 @@ object SimilarityQueries {
     GROUP BY method, n_truth ORDER BY method"""
   }
 
+  /** s10 radius grid, in cosine micro. 0.2 catches the random-noise
+    * tail, 0.5/0.8 isolate genuinely-near vectors (planted near-dups
+    * sit close to 1.0) — the three operating points a radius-recall
+    * calibration wants. A knob, not a shape: the grid only scales the
+    * bounded report frame (NumQueries x |grid| rows). */
+  val RangeRadiiMicro: Seq[Long] = Seq(200000L, 500000L, 800000L)
+
+  // ---- s10: range search — FAISS's `range_search` next to s2's
+  //      `search`: all neighbors within a cosine radius instead of a
+  //      fixed top-k, the API a dedup-threshold or recall-calibration
+  //      pass wants. Candidates come from the SAME 4-band hyperplane
+  //      LSH key-equality join as s2 (per-query work is a bucket, not
+  //      the corpus; recall posture documented there), scored exactly,
+  //      then counted per (query, radius) over a bounded grid frame —
+  //      queries with an empty radius shell stay in-frame with
+  //      n_in_range = 0 (left join from the grid, nearest_id = -1).
+  //      Output is NumQueries x |grid| rows at any corpus size. The
+  //      oracle reproduces the full LSH arithmetic in SQL (s2's twin),
+  //      so the report is hash-exact, not rows-only.
+  private def s10Range(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, dir).withColumn("sig", sigCol(col("v")))
+    val bandE = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b),
+            expr(s"shiftright(sig, ${4 * b}) & 15"))): _*)).as("bk"))
+      .persist()
+    val q = bandE.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bk"))
+    val scored = q.join(bandE, Seq("bk"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", round(Text.dot(col("qv"), col("v")) /
+        (col("qnrm") * col("nrm")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cos").as("best_cos"),
+        col("vec_id").as("best_id"))
+    val grid = corpus(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(broadcast(RangeRadiiMicro.toDF("radius_micro")))
+    val counts = scored
+      .crossJoin(broadcast(RangeRadiiMicro.toDF("radius_micro")))
+      .filter(col("cos") >= col("radius_micro").cast("double") / 1e6)
+      .groupBy(col("query_id"), col("radius_micro"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(counts, Seq("query_id", "radius_micro"), "left")
+      .join(broadcast(best), Seq("query_id"), "left")
+      .select(col("query_id"), col("radius_micro"),
+        coalesce(col("n"), lit(0L)).as("n_in_range"),
+        when(col("n").isNotNull, col("best_cos")).as("max_cos"),
+        coalesce(when(col("n").isNotNull, col("best_id")), lit(-1L))
+          .as("nearest_id"))
+      .orderBy(col("query_id"), col("radius_micro"))
+  }
+
+  private def s10Sql: String = {
+    val radii = RangeRadiiMicro.map(r => s"($r)").mkString(", ")
+    s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), sig AS (
+        SELECT vec_id, v,
+          list_sum(list_transform(range(0, $Planes), p ->
+            CASE WHEN list_sum(list_transform(range(0, $Dims), d ->
+              v[CAST(d+1 AS INT)] * (CASE WHEN ((p*73 + d*179) % 7) % 2 = 0
+                THEN 1.0 ELSE -1.0 END))) >= 0
+            THEN (1 << p) ELSE 0 END)) AS s
+        FROM e
+      ), banded AS (
+        SELECT vec_id, v, unnest(list_transform(range(0, 4), b ->
+          CAST(b AS VARCHAR) || ':' ||
+            CAST((s >> CAST(4*b AS INT)) & 15 AS VARCHAR))) AS bk
+        FROM sig
+      ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bk FROM banded
+        WHERE vec_id < $NumQueries
+      ), scored AS (
+        SELECT query_id, vec_id,
+          round(list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+             sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cos
+        FROM (SELECT DISTINCT query_id, qv, b.vec_id, b.v
+              FROM q JOIN banded b USING (bk) WHERE query_id <> b.vec_id)
+      ), best AS (
+        SELECT query_id, cos AS best_cos, vec_id AS best_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS rn FROM scored)
+        WHERE rn = 1
+      ), grid AS (
+        SELECT vec_id AS query_id, radius_micro
+        FROM e CROSS JOIN (VALUES $radii) r(radius_micro)
+        WHERE vec_id < $NumQueries
+      ), counts AS (
+        SELECT query_id, radius_micro, count(*) AS n
+        FROM scored CROSS JOIN (VALUES $radii) r(radius_micro)
+        WHERE cos >= radius_micro / 1000000.0
+        GROUP BY 1, 2
+      )
+      SELECT g.query_id, CAST(g.radius_micro AS BIGINT) AS radius_micro,
+        CAST(coalesce(c.n, 0) AS BIGINT) AS n_in_range,
+        CASE WHEN c.n IS NOT NULL THEN b.best_cos END AS max_cos,
+        coalesce(CASE WHEN c.n IS NOT NULL THEN b.best_id END, -1)
+          AS nearest_id
+      FROM grid g
+      LEFT JOIN counts c USING (query_id, radius_micro)
+      LEFT JOIN best b ON g.query_id = b.query_id
+      ORDER BY g.query_id, g.radius_micro"""
+  }
+
   val defs: Map[String, QueryDef] =
-    baseDefs + ("s9_ann_recall" -> QueryDef(s9Recall, Some(s9Sql)))
+    baseDefs +
+      ("s9_ann_recall" -> QueryDef(s9Recall, Some(s9Sql))) +
+      ("s10_range_search" -> QueryDef(s10Range, Some(s10Sql)))
 
   /** Subspaced melt for PQ: (vec_id, sub, d, x6), sub = d div subDim. */
   private def pqMelt(s: org.apache.spark.sql.SparkSession,

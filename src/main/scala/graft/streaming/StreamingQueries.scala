@@ -861,6 +861,49 @@ object StreamingQueries {
         FROM documents CROSS JOIN vl
         WHERE doc_id % $DeltaMod = 0
         ORDER BY doc_id"""
+      }),
+
+    // ---- st13: streaming quality monitor — t2's front, st9's posture
+    //      for documents: every arriving delta doc is scored row-locally
+    //      by the SHARED t2 quality kernel
+    //      ([[graft.text.TextQueries.qualityOf]] — the same bytes the
+    //      batch gate reads) and compared against its source's FIXED
+    //      batch baseline mean
+    //      ([[graft.text.TextQueries.qualityBaseline]], a materialized
+    //      catalog-sized artifact broadcast into the stream). A doc
+    //      sitting [[graft.text.TextQueries.QualityDriftMicro]] below
+    //      its source baseline flags is_low — the live crawl-rot gauge
+    //      (a source whose flags spike has changed under the pipeline).
+    //      Stateless stream-static broadcast join + row-local math: no
+    //      state store, no watermark, append mode; unseen sources and
+    //      unscorable (null-text) docs stay in-frame with is_low = 0
+    //      (conservative — an alert pass owns the unseen-source case).
+    "st13_stream_quality_monitor" -> QueryDef(
+      (s, dir) => {
+        runStream(st13Stream(s, dir), "append").orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.dedup.DedupQueries.DeltaMod
+        import graft.text.TextQueries.QualityDriftMicro
+        s"""WITH ${graft.text.TextQueries.qualitySqlCte},
+        src AS (
+          SELECT d.doc_id, coalesce(d.source, '') AS source,
+            CAST(round(q.quality_score * 1e6) AS BIGINT) AS qm
+          FROM documents d JOIN q ON d.doc_id = q.doc_id
+        ), base AS (
+          SELECT source,
+            CAST(sum(qm) // nullif(count(qm), 0) AS BIGINT)
+              AS baseline_micro
+          FROM src GROUP BY 1
+        )
+        SELECT s.doc_id, s.source, s.qm AS quality_micro,
+          b.baseline_micro,
+          CAST(s.qm IS NOT NULL AND b.baseline_micro IS NOT NULL AND
+            s.qm < b.baseline_micro - $QualityDriftMicro AS BIGINT)
+            AS is_low
+        FROM src s LEFT JOIN base b USING (source)
+        WHERE s.doc_id % $DeltaMod = 0
+        ORDER BY s.doc_id"""
       })
   )
 
@@ -887,6 +930,31 @@ object StreamingQueries {
         (col("n_words") - col("n_in")).as("n_oov"),
         expr("(n_words - n_in) * 1000000 div nullif(n_words, 0)")
           .as("oov_micro"))
+  }
+
+  /** st13 stream side (exposed for the state-contract spec): delta
+    * docs scored by the shared t2 kernel against the broadcast fixed
+    * per-source baseline — see the QueryDef comment. */
+  private[streaming] def st13Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.DeltaMod
+    import graft.text.TextQueries
+    val base = TextQueries.qualityBaseline(s, dir)
+    TextQueries.qualityOf(
+      streamTable(s, dir, "documents")
+        .filter(col("doc_id") % DeltaMod === 0)
+        .repartition(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        round(col("quality_score") * 1e6).cast("long")
+          .as("quality_micro"))
+      .join(broadcast(base), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("quality_micro"),
+        col("baseline_micro"),
+        (col("quality_micro").isNotNull &&
+          col("baseline_micro").isNotNull &&
+          col("quality_micro") <
+            col("baseline_micro") - lit(TextQueries.QualityDriftMicro))
+          .cast("long").as("is_low"))
   }
 
   /** st11 stream side (exposed for the state-contract spec): delta

@@ -119,6 +119,29 @@ object TextQueries {
         .select(col("w"))
     }
 
+  /** st13: a delta doc is flagged when its quality micro sits this far
+    * below its source's batch baseline mean (0.15 in score units — the
+    * same tail-not-noise-floor calibration as st9's DriftTol). */
+  val QualityDriftMicro = 150000L
+
+  /** Per-source mean quality (integer micro) over the batch corpus —
+    * the FIXED baseline st13's streaming monitor scores arrivals
+    * against (fit once per corpus vintage, the production posture; a
+    * refresh is a new Materialize key). Catalog-sized frame: one
+    * row-local scoring pass + one source-keyed agg, broadcast to the
+    * stream side. Integer mean (sum div count over round(score*1e6))
+    * so the baseline is order- and engine-exact; sources whose every
+    * doc scores NULL (no text) get a NULL baseline, never a zero. */
+  def qualityBaseline(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"quality-baseline|$dir") {
+      qualityOf(Tables.table(s, dir, "documents"))
+        .select(coalesce(col("source"), lit("")).as("source"),
+          round(col("quality_score") * 1e6).cast("long").as("qm"))
+        .groupBy(col("source"))
+        .agg(expr("sum(qm) div nullif(count(qm), 0)")
+          .as("baseline_micro"))
+    }
+
   /** t13 boilerplate word-shingle width and the distinct-doc threshold
     * above which a shingle counts as boilerplate within its source. */
   val BoilerN = 5
@@ -1131,6 +1154,77 @@ object TextQueries {
         CAST(sum(CASE WHEN v.w IS NULL THEN n ELSE 0 END) * 1000000 //
           sum(n) AS BIGINT) AS oov_micro
       FROM sw LEFT JOIN v USING (w)
-      GROUP BY source ORDER BY source"""))
+      GROUP BY source ORDER BY source""")),
+
+    // ---- t17: readability profile — Flesch reading-ease per source,
+    //      the classic text-difficulty gauge a curriculum/filtering
+    //      pass reads next to t2's quality score (Flesch 1948; the
+    //      KP-era pipelines bucket web text by it). Everything is
+    //      integer-micro arithmetic so the report is order- and
+    //      engine-exact: per doc, words = the shared [[Text.words]]
+    //      kernel, sentences = [.!?]+ runs + 1 (never zero — headline
+    //      docs count as one sentence), syllables = the standard
+    //      vowel-group proxy ([aeiouy]+ runs, deterministic where true
+    //      syllabification is dictionary-bound). flesch_micro =
+    //      206.835e6 - 1.015*words-per-sentence - 84.6*syllables-per-
+    //      word (both in micro, truncating div — Spark `div` and
+    //      DuckDB `//` both truncate toward zero, so negative scores
+    //      on degenerate run-on docs agree exactly). Zero-word docs
+    //      score NULL (counted, never averaged — nullif posture, no
+    //      divide-by-zero). One row-local projection + one per-source
+    //      agg: the corpus is touched ONCE, no joins, no windows; the
+    //      report frame is catalog-sized (#sources) at any corpus
+    //      size. Sum accumulates in DECIMAL(38,0) before the one
+    //      final div so a 100-TB source cannot overflow bigint.
+    "t17_readability" -> QueryDef(
+      (s, dir) => {
+        val perDoc = Tables.table(s, dir, "documents")
+          .select(coalesce(col("source"), lit("")).as("source"),
+            size(Text.words(coalesce(col("text"), lit(""))))
+              .cast("long").as("n_words"),
+            (size(regexp_extract_all(coalesce(col("text"), lit("")),
+              lit("[.!?]+"), lit(0))) + 1).cast("long").as("n_sent"),
+            size(regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+              lit("[aeiouy]+"), lit(0))).cast("long").as("n_syll"))
+          .withColumn("flesch_micro", expr(
+            """206835000L
+              - (1015L * (n_words * 1000000L div n_sent)) div 1000L
+              - (84600L * (n_syll * 1000000L div nullif(n_words, 0L)))
+                  div 1000L"""))
+        perDoc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("flesch_micro")).as("n_scored"),
+            expr("""CAST(sum(CAST(flesch_micro AS DECIMAL(38,0))) div
+              nullif(count(flesch_micro), 0L) AS LONG)""")
+              .as("mean_flesch_micro"),
+            min(col("flesch_micro")).as("min_flesch_micro"),
+            max(col("flesch_micro")).as("max_flesch_micro"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH perdoc AS (
+        SELECT coalesce(source, '') AS source,
+          CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+            '[a-z0-9]+')) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(coalesce(text, ''),
+            '[.!?]+')) + 1 AS BIGINT) AS n_sent,
+          CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+            '[aeiouy]+')) AS BIGINT) AS n_syll
+        FROM documents
+      ), scored AS (
+        SELECT source,
+          206835000
+            - (1015 * (n_words * 1000000 // n_sent)) // 1000
+            - (84600 * (n_syll * 1000000 // nullif(n_words, 0))) // 1000
+            AS flesch_micro
+        FROM perdoc
+      )
+      SELECT source,
+        count(*) AS n_docs,
+        count(flesch_micro) AS n_scored,
+        CAST(sum(CAST(flesch_micro AS HUGEINT)) //
+          nullif(count(flesch_micro), 0) AS BIGINT) AS mean_flesch_micro,
+        min(flesch_micro) AS min_flesch_micro,
+        max(flesch_micro) AS max_flesch_micro
+      FROM scored GROUP BY source ORDER BY source"""))
   )
 }

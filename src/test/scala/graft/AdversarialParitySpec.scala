@@ -449,6 +449,71 @@ class AdversarialParitySpec extends SparkSpec {
       r.getAs[Long]("n_returned") === 100L))
   }
 
+  // ---- pin 20: t17's readability on the pathological corpus — webA
+  //      scores only 15 of 19 docs (null/empty/whitespace/CJK docs
+  //      have zero [a-z0-9] words → NULL, counted-never-averaged) and
+  //      both mins are NEGATIVE (run-on docs), pinning the
+  //      truncating-div-on-negatives parity (DuckDB // vs Spark div)
+  test("t17 readability: null-word docs excluded, negative mins exact") {
+    val rows = run("t17_readability").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("webA")
+    assert(a.getLong(1) === 19L && a.getLong(2) === 15L)
+    assert(a.getLong(3) === 65309488L)
+    assert(a.getLong(4) === -80765000L && a.getLong(5) === 177565000L)
+    val b = rows("webB")
+    assert(b.getLong(1) === 11L && b.getLong(2) === 11L)
+    assert(b.getLong(3) === 67795125L)
+    assert(b.getLong(4) === -47980000L && b.getLong(5) === 205820000L)
+  }
+
+  // ---- pin 21: e7's effective-token accounting — each source carries
+  //      exactly one non-canonical near-dup (docs 4/5 exact "word"
+  //      twins land in one d6 cluster; 14/15/16 fox docs in another;
+  //      d13's quality+id tiebreak drops one per source), and the
+  //      dup-token arithmetic survives the null/zero-token docs
+  test("e7 effective tokens: cluster-droppee accounting exact") {
+    val rows = run("e7_effective_tokens").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("webA")
+    assert(a.getLong(1) === 19L && a.getLong(2) === 423L)
+    assert(a.getLong(3) === 1L && a.getLong(4) === 9L)
+    assert(a.getLong(5) === 414L && a.getLong(6) === 21276L)
+    val b = rows("webB")
+    assert(b.getLong(1) === 11L && b.getLong(2) === 72L)
+    assert(b.getLong(3) === 1L && b.getLong(4) === 9L)
+    assert(b.getLong(5) === 63L && b.getLong(6) === 125000L)
+  }
+
+  // ---- pin 22: e8's release manifest — the null-text doc is COUNTED
+  //      (n_null_text=1, hashed as md5('')) and the '__total__' row's
+  //      order-invariant checksum folds the per-source residues
+  test("e8 release manifest: null payload counted, checksum pinned") {
+    val rows = run("e8_release_manifest").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("__total__").getLong(1) === 30L)
+    assert(rows("__total__").getLong(2) === 1L)
+    assert(rows("__total__").getLong(3) === 495L)
+    assert(rows("__total__").getLong(6) === 702234031156558236L)
+    assert(rows("webA").getLong(6) === 268371713530711705L)
+    assert(rows("webB").getLong(6) === 433862317625846531L)
+  }
+
+  // ---- pin 23: st13's streaming quality monitor — the emoji doc (8)
+  //      and the control-chars doc (20) sit >0.15 under their source
+  //      baseline and flag is_low; the delta's zero-word docs stay
+  //      in-frame unflagged (conservative NULL posture)
+  test("st13 stream quality monitor: outlier flags pinned") {
+    val rows = run("st13_stream_quality_monitor").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(4L, 8L, 12L, 16L, 20L, 24L, 28L))
+    assert(rows(8L).getLong(2) === 8000L &&
+      rows(8L).getLong(3) === 303902L && rows(8L).getLong(4) === 1L)
+    assert(rows(20L).getLong(2) === 97714L && rows(20L).getLong(4) === 1L)
+    assert(Seq(4L, 12L, 16L, 24L, 28L)
+      .forall(id => rows(id).getLong(4) === 0L))
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {

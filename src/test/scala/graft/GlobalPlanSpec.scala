@@ -63,7 +63,11 @@ class GlobalPlanSpec extends SparkSpec {
       "NumQueries x TopK bounded result frames and a 1-row total"),
     "d20_threshold_sweep" -> ("shared d2 pair table x 7 literal grid " +
       "rows x 1-row corpus total — the grid and total are literal/" +
-      "aggregate broadcasts, never data-proportional"))
+      "aggregate broadcasts, never data-proportional"),
+    "s10_range_search" -> ("NumQueries-row query frame and scored " +
+      "candidate set x |RangeRadiiMicro| LITERAL grid rows — both " +
+      "crossJoin sides config-bounded (the candidates are s2's " +
+      "bucket-bounded set), never data-proportional"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
     val offenders = plans.collect { case (name, plan)
@@ -198,7 +202,11 @@ class GlobalPlanSpec extends SparkSpec {
     "t15_context_fit" -> 3,
     "t16_oov_rate" -> 5,
     "t8_sequence_pack" -> 2,
-    "t9_gopher_rules" -> 1)
+    "t9_gopher_rules" -> 1,
+    "t17_readability" -> 2,
+    "e7_effective_tokens" -> 4,
+    "e8_release_manifest" -> 2,
+    "s10_range_search" -> 6)
 
   test("no query exceeds its pinned shuffle budget") {
     val breaches = plans.flatMap { case (name, plan) =>

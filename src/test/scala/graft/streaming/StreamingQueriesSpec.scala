@@ -142,8 +142,9 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.values.exists(_._3 == 1L), "no core flagged at this sf")
   }
 
-  test("st5/st6/st7/st8/st10/st11/st12 state contract: the flag/admission/" +
-      "sampler/monitor queries run with ZERO stateful operators (append mode)") {
+  test("st5/st6/st7/st8/st10/st11/st12/st13 state contract: the flag/" +
+      "admission/sampler/monitor queries run with ZERO stateful " +
+      "operators (append mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val frames = Seq(
       "st5" -> StreamingQueries.st5Stream(spark, sf),
@@ -152,7 +153,8 @@ class StreamingQueriesSpec extends SparkSpec {
       "st8" -> StreamingQueries.st8Stream(spark, sf),
       "st10" -> StreamingQueries.st10Stream(spark, sf),
       "st11" -> StreamingQueries.st11Stream(spark, sf),
-      "st12" -> StreamingQueries.st12Stream(spark, sf))
+      "st12" -> StreamingQueries.st12Stream(spark, sf),
+      "st13" -> StreamingQueries.st13Stream(spark, sf))
     for ((nm, df) <- frames) {
       val q = df.writeStream.format("memory")
         .queryName(s"${nm}_state_contract").outputMode("append")
@@ -210,6 +212,35 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.values.exists(_._2 > 0L),
       "the vocab cut must leave OOV tokens in the delta at this sf")
+  }
+
+  test("st13 stream quality flags equal a batch kernel recount") {
+    import graft.text.TextQueries
+    val streamed = run("st13_stream_quality_monitor")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4))).toMap
+    val mod = graft.dedup.DedupQueries.DeltaMod
+    val base = TextQueries.qualityBaseline(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val batch = TextQueries.qualityOf(
+        graft.sources.Tables.table(spark, sf, "documents")
+          .filter(col("doc_id") % mod === 0))
+      .select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        round(col("quality_score") * 1e6).cast("long").as("qm"))
+      .collect().map { r =>
+        val qm = if (r.isNullAt(2)) -1L else r.getLong(2)
+        val b = base.getOrElse(r.getString(1), -1L)
+        val low = if (qm >= 0L && b >= 0L &&
+          qm < b - TextQueries.QualityDriftMicro) 1L else 0L
+        r.getLong(0) -> (qm, b, low)
+      }.toMap
+    assert(streamed === batch)
+    assert(streamed.values.exists(_._3 == 1L),
+      "no low-quality outlier flagged at this sf")
   }
 
   test("st7 stream fuzzy flags equal the batch band-collision backfill") {
