@@ -531,6 +531,13 @@ object DedupQueries {
     * corpus plays the new-ingest side, the rest is the persisted index). */
   val DeltaMod = 4
 
+  /** d21: the fixed recall-audit slice — exact all-pairs ground truth
+    * runs only over doc_id below this CONSTANT, so the quadratic stays
+    * a ~125k-pair probe at any corpus size (ids are dense from 0; 500
+    * spans the driver corpus's full planted-near-dup id range, so the
+    * truth set is non-trivial at every test sf). */
+  val LshEvalMaxId = 500L
+
   /** d17's report over any `(doc_id, sh)` shingled frame plus the
     * distinct eval-gram set — parameterized (e3/st10's pattern) so the
     * property battery can drive it with random corpora against a
@@ -1518,7 +1525,71 @@ object DedupQueries {
         CAST(coalesce(nd, 0) * 1000000 // n_docs AS BIGINT)
           AS drop_share_micro
       FROM grid LEFT JOIN agged USING (threshold_micro) CROSS JOIN tot
-      ORDER BY threshold_micro"""))
+      ORDER BY threshold_micro""")),
+
+    // ---- d21: LSH recall evaluation — s9's posture for the TEXT side:
+    //      before trusting d2's banded index as the corpus dedup plan,
+    //      grade what the banding actually misses. Ground truth is the
+    //      exact all-pairs verify over a FIXED bounded audit slice
+    //      (doc_id < [[LshEvalMaxId]] — constant at any corpus size, so
+    //      the quadratic stays a constant ~5k-pair probe forever);
+    //      found = the shared persisted d2 pair table restricted to the
+    //      slice. Every found pair passes the identical exact-Jaccard
+    //      gate, so found is a subset of truth by construction and the report is
+    //      pure recall (the miss channels: hot-bucket cap evictions +
+    //      zero band collisions + the est pre-filter's margin). One
+    //      row: truth/found/missed counts, integer-micro recall, and
+    //      the missed pairs' mean Jaccard micro (how close the misses
+    //      sit to the threshold — NULL when nothing is missed).
+    "d21_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        val slice = shingled(s, dir)
+          .filter(col("doc_id") < LshEvalMaxId && size(col("sh")) > 0)
+        val truth = slice.select(col("doc_id").as("doc1"),
+            col("sh").as("sh1"))
+          .join(slice.select(col("doc_id").as("doc2"),
+            col("sh").as("sh2")), col("doc1") < col("doc2"))
+          .filter(Text.jaccard(col("sh1"), col("sh2")) >= JaccardThreshold)
+          .select(col("doc1"), col("doc2"),
+            expr("""size(array_intersect(sh1, sh2)) * 1000000L
+              div size(array_union(sh1, sh2))""").as("jm"))
+        val found = minhashPairs(s, dir)
+          .filter(col("doc1") < LshEvalMaxId && col("doc2") < LshEvalMaxId)
+          .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
+        truth.join(found, Seq("doc1", "doc2"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_found"),
+            (count(lit(1)) - coalesce(sum(col("hit")), lit(0L)))
+              .as("n_missed"),
+            expr("""coalesce(sum(hit), 0L) * 1000000L
+              div nullif(count(1), 0L)""").as("recall_micro"),
+            expr("""sum(CASE WHEN hit IS NULL THEN jm END)
+              div nullif(count(CASE WHEN hit IS NULL THEN 1 END), 0L)""")
+              .as("mean_missed_jaccard_micro"))
+      },
+      Some(s"""WITH $d2CoreSql,
+      slice AS (
+        SELECT doc_id, sh FROM base WHERE doc_id < $LshEvalMaxId
+      ), truth AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          len(list_intersect(a.sh, b.sh)) * 1000000 //
+            len(list_distinct(a.sh || b.sh)) AS jm
+        FROM slice a JOIN slice b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold
+      ), found AS (
+        SELECT doc1, doc2, 1 AS hit FROM verified
+        WHERE doc1 < $LshEvalMaxId AND doc2 < $LshEvalMaxId
+      )
+      SELECT count(*) AS n_truth,
+        CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_found,
+        CAST(count(*) - coalesce(sum(hit), 0) AS BIGINT) AS n_missed,
+        CAST(coalesce(sum(hit), 0) * 1000000 // nullif(count(*), 0)
+          AS BIGINT) AS recall_micro,
+        CAST(sum(CASE WHEN hit IS NULL THEN jm END) //
+          nullif(count(CASE WHEN hit IS NULL THEN 1 END), 0) AS BIGINT)
+          AS mean_missed_jaccard_micro
+      FROM truth LEFT JOIN found USING (doc1, doc2)"""))
   )
 
   /** d18's verify core over ANY `(doc_id, bk)` band index and

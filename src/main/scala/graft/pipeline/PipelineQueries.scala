@@ -893,6 +893,65 @@ object PipelineQueries {
         CAST(sum(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT)
           AS content_checksum
       FROM perdoc GROUP BY ROLLUP(source)
-      ORDER BY coalesce(source, '__total__')"""))
+      ORDER BY coalesce(source, '__total__')""")),
+
+    // ---- e9: curriculum buckets — the quality-stratified view of the
+    //      admitted train pool (e4 slices it by SOURCE; a curriculum or
+    //      quality-upweighting pass slices it by QUALITY): per (source,
+    //      quality decile) the doc/token volume, each bucket's integer-
+    //      micro share of its source, and the cumulative tokens from
+    //      the TOP decile down — the number a keep-the-best-share cut or
+    //      a quality-annealed schedule reads directly. Bucket = t2's
+    //      shared score x10 floored (identical IEEE doubles in both
+    //      engines, so the decile edges agree exactly). One join of two
+    //      shared artifacts (ledger x admittedSlim), one agg, two
+    //      windows over a frame bounded by #sources x 10 rows at any
+    //      corpus size.
+    "e9_curriculum_buckets" -> QueryDef(
+      (s, dir) => {
+        val q = ledgerFrame(s, dir)
+          .filter(col("final_keep") === 1L && col("split") === "train")
+          .select(col("doc_id"), col("quality_score"))
+        val slim = admittedSlim(s, dir).filter(col("split") === "train")
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+        val bucketed = slim.join(q, "doc_id")
+          .withColumn("bucket",
+            least(floor(col("quality_score") * 10), lit(9.0)).cast("long"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        val wCum = Window.partitionBy(col("source"))
+          .orderBy(col("bucket").desc)
+        val wTot = Window.partitionBy(col("source"))
+        bucketed
+          .withColumn("cum_tokens_from_top",
+            sum(col("n_tokens")).over(wCum))
+          .withColumn("share_micro", expr(
+            """n_tokens * 1000000L div
+              nullif(sum(n_tokens) OVER (PARTITION BY source), 0L)"""))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some(s"""WITH $ledgerSqlCtes,
+      ledger AS ($ledgerSqlSelect),
+      adm AS (
+        SELECT l.doc_id, coalesce(d.source, '') AS source,
+          l.quality_score,
+          coalesce(CAST(len(regexp_extract_all(d.text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens
+        FROM ledger l JOIN documents d USING (doc_id)
+        WHERE l.final_keep = 1 AND l.split = 'train'
+      ), bucketed AS (
+        SELECT source,
+          CAST(least(floor(quality_score * 10), 9.0) AS BIGINT) AS bucket,
+          count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM adm GROUP BY 1, 2
+      )
+      SELECT source, bucket, n_docs, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket DESC)
+          AS BIGINT) AS cum_tokens_from_top,
+        CAST(n_tokens * 1000000 //
+          nullif(sum(n_tokens) OVER (PARTITION BY source), 0) AS BIGINT)
+          AS share_micro
+      FROM bucketed ORDER BY source, bucket"""))
   )
 }

@@ -659,10 +659,107 @@ object SimilarityQueries {
       ORDER BY g.query_id, g.radius_micro"""
   }
 
+  // ---- s11: cluster quality report — the QC a team reads before
+  //      trusting s4's clustering for IVF routing (s3/s5/s7) or
+  //      semantic dedup (d11): per cluster its population, the mean
+  //      and worst cohesion (integer-micro cosine to own centroid,
+  //      off d11's exact integer sums — the SAME arithmetic, so this
+  //      report and the dedup pass can't disagree), and the nearest
+  //      other centroid with its cosine (low separation = clusters
+  //      that should merge; routing between them starves nprobe).
+  //      Costs one map-side-combined agg over the shared melt +
+  //      K- and K²-bounded frames; the centroid pair pass is a
+  //      key-equality join on the dimension, never a cartesian.
+  private def s11Cluster(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val m = kmeansMelt(s, dir)
+    val cents = kmeansCentroids(s, dir)
+    val cells = assignToCentroids(m, cents).select(col("vec_id"), col("k"))
+    val sums = m.join(cells, "vec_id")
+      .join(broadcast(cents), Seq("k", "d"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("x6") * col("c6")).as("sxc"),
+        sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("c6") * col("c6")).as("scc"))
+    val perVec = sums.withColumn("cm",
+      floor(col("sxc").cast("double") /
+        (sqrt(col("sxx").cast("double")) * sqrt(col("scc").cast("double")))
+        * 1e6 + lit(0.5)).cast("long"))
+    val perCluster = perVec.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(cm) div count(1)").as("mean_cos_micro"),
+        min(col("cm")).as("min_cos_micro"))
+    val cpairs = cents.as("a")
+      .join(cents.as("b"),
+        col("a.d") === col("b.d") && col("a.k") =!= col("b.k"))
+      .groupBy(col("a.k").as("k"), col("b.k").as("k2"))
+      .agg(sum(col("a.c6") * col("b.c6")).as("sab"),
+        sum(col("a.c6") * col("a.c6")).as("saa"),
+        sum(col("b.c6") * col("b.c6")).as("sbb"))
+      .withColumn("ccm", floor(col("sab").cast("double") /
+        (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double")))
+        * 1e6 + lit(0.5)).cast("long"))
+    val w = Window.partitionBy(col("k")).orderBy(col("ccm").desc, col("k2"))
+    val nearest = cpairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("k2").as("nearest_cluster"),
+        col("ccm").as("nearest_centroid_cos_micro"))
+    perCluster.join(broadcast(nearest), Seq("k"), "left")
+      .select(col("k").as("cluster"), col("n_vectors"),
+        col("mean_cos_micro"), col("min_cos_micro"),
+        col("nearest_cluster"), col("nearest_centroid_cos_micro"))
+      .orderBy(col("cluster"))
+  }
+
+  private def s11Sql: String =
+    s"""WITH $kmeansCtes, cells AS (
+        SELECT vec_id, k FROM (
+          SELECT vec_id, k,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+          FROM fin) WHERE rn = 1
+      ), sums AS (
+        SELECT m.vec_id, cl.k,
+          CAST(sum(m.x6 * c.x6) AS BIGINT) AS sxc,
+          CAST(sum(m.x6 * m.x6) AS BIGINT) AS sxx,
+          CAST(sum(c.x6 * c.x6) AS BIGINT) AS scc
+        FROM m JOIN cells cl USING (vec_id)
+        JOIN c$KmeansIters c ON c.k = cl.k AND c.d = m.d
+        GROUP BY 1, 2
+      ), pv AS (
+        SELECT vec_id, k,
+          CAST(floor(CAST(sxc AS DOUBLE) /
+            (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS cm
+        FROM sums
+      ), pc AS (
+        SELECT k, count(*) AS n_vectors,
+          CAST(sum(cm) // count(*) AS BIGINT) AS mean_cos_micro,
+          min(cm) AS min_cos_micro
+        FROM pv GROUP BY 1
+      ), cp AS (
+        SELECT a.k AS k, b.k AS k2,
+          CAST(floor(CAST(sum(a.x6 * b.x6) AS DOUBLE) /
+            (sqrt(CAST(sum(a.x6 * a.x6) AS DOUBLE)) *
+             sqrt(CAST(sum(b.x6 * b.x6) AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS ccm
+        FROM c$KmeansIters a JOIN c$KmeansIters b
+          ON a.d = b.d AND a.k <> b.k
+        GROUP BY 1, 2
+      ), near AS (
+        SELECT k, k2 AS nearest_cluster,
+          ccm AS nearest_centroid_cos_micro FROM (
+          SELECT *, row_number() OVER (PARTITION BY k
+            ORDER BY ccm DESC, k2) AS rn FROM cp) WHERE rn = 1
+      )
+      SELECT pc.k AS cluster, n_vectors, mean_cos_micro, min_cos_micro,
+        nearest_cluster, nearest_centroid_cos_micro
+      FROM pc LEFT JOIN near USING (k) ORDER BY pc.k"""
+
   val defs: Map[String, QueryDef] =
     baseDefs +
       ("s9_ann_recall" -> QueryDef(s9Recall, Some(s9Sql))) +
-      ("s10_range_search" -> QueryDef(s10Range, Some(s10Sql)))
+      ("s10_range_search" -> QueryDef(s10Range, Some(s10Sql))) +
+      ("s11_cluster_report" -> QueryDef(s11Cluster, Some(s11Sql)))
 
   /** Subspaced melt for PQ: (vec_id, sub, d, x6), sub = d div subDim. */
   private def pqMelt(s: org.apache.spark.sql.SparkSession,

@@ -514,6 +514,47 @@ class AdversarialParitySpec extends SparkSpec {
       .forall(id => rows(id).getLong(4) === 0L))
   }
 
+  // ---- pin 24: d21's recall audit — the pathological corpus's three
+  //      true pairs (the fox triangle: 14-15 exact dups plus both
+  //      near-dup edges to 16; the 1-word "word" twins have no 2-word
+  //      shingles and fall out of base, as in d2) are ALL recovered by
+  //      the banded index (recall 1.0, NULL mean missed — the
+  //      no-misses null posture)
+  test("d21 lsh recall: all pathological true pairs recovered") {
+    val r = run("d21_lsh_recall").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 1000000L)
+    assert(r.isNullAt(4))
+  }
+
+  // ---- pin 25: e9's quality-stratified buckets — the admitted webA
+  //      pool's one long doc (23: "word " x 200) dominates decile 7
+  //      (300 of 347 tokens, cum-from-top = its own bucket) and the
+  //      per-source shares fold within truncation of 1e6
+  test("e9 curriculum buckets: pathological pool's decile layout exact") {
+    val rows = run("e9_curriculum_buckets").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(rows.keySet === Set(("webA", 4L), ("webA", 5L), ("webA", 6L),
+      ("webA", 7L), ("webB", 5L), ("webB", 6L)))
+    val top = rows(("webA", 7L))
+    assert(top.getLong(2) === 2L && top.getLong(3) === 300L)
+    assert(top.getLong(4) === 300L && top.getLong(5) === 864553L)
+    assert(rows(("webB", 5L)).getLong(5) === 700000L)
+  }
+
+  // ---- pin 26: s11's cluster report survives the fixture embeddings
+  //      (one cluster's worst member sits at NEGATIVE cohesion — the
+  //      report must carry it, not clamp it)
+  test("s11 cluster report: negative worst-cohesion carried exactly") {
+    val rows = run("s11_cluster_report").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L))
+    assert(rows.values.map(_.getLong(1)).sum === 500L)
+    assert(rows(2L).getLong(3) === -9130L, "negative min cohesion")
+    assert(rows(0L).getLong(4) === 3L &&
+      rows(0L).getLong(5) === -166371L)
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {

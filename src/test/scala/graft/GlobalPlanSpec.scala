@@ -67,7 +67,10 @@ class GlobalPlanSpec extends SparkSpec {
     "s10_range_search" -> ("NumQueries-row query frame and scored " +
       "candidate set x |RangeRadiiMicro| LITERAL grid rows — both " +
       "crossJoin sides config-bounded (the candidates are s2's " +
-      "bucket-bounded set), never data-proportional"))
+      "bucket-bounded set), never data-proportional"),
+    "d21_lsh_recall" -> ("exact all-pairs ground truth by contract, " +
+      "over the FIXED doc_id < LshEvalMaxId audit slice — a constant " +
+      "~125k-pair probe at any corpus size, broadcast"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
     val offenders = plans.collect { case (name, plan)
@@ -206,7 +209,10 @@ class GlobalPlanSpec extends SparkSpec {
     "t17_readability" -> 2,
     "e7_effective_tokens" -> 4,
     "e8_release_manifest" -> 2,
-    "s10_range_search" -> 6)
+    "s10_range_search" -> 6,
+    "d21_lsh_recall" -> 1,
+    "e9_curriculum_buckets" -> 7,
+    "s11_cluster_report" -> 6)
 
   test("no query exceeds its pinned shuffle budget") {
     val breaches = plans.flatMap { case (name, plan) =>
