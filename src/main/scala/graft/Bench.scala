@@ -50,7 +50,7 @@ object Bench {
       "t7_mixture_sample", "t8_sequence_pack", "t9_gopher_rules",
       "t10_word_rarity", "t11_importance_weights",
       "t12_lm_perplexity", "t13_boilerplate", "t14_bpe_pairs",
-      "t15_context_fit", "t16_oov_rate"),
+      "t15_context_fit", "t16_oov_rate", "t17_readability"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
@@ -61,11 +61,12 @@ object Bench {
       "d11_semantic_dedup", "d14_incremental_dedup",
       "d15_bloom_decontamination", "d16_corpus_diff",
       "d17_contamination_report", "d18_containment",
-      "d19_source_overlap", "d20_threshold_sweep"),
+      "d19_source_overlap", "d20_threshold_sweep", "d21_lsh_recall"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
-      "s7_ann_ivfadc", "s8_knn_graph", "s9_ann_recall"),
+      "s7_ann_ivfadc", "s8_knn_graph", "s9_ann_recall",
+      "s10_range_search", "s11_cluster_report", "s12_pq_recall"),
     // matcher: m4 is charged the sample + feature matrix + model train;
     // the rest consume the materialized stages / cached model
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",
@@ -81,14 +82,17 @@ object Bench {
     // composed end-to-end pipeline (quality -> dedup -> decontam -> split)
     // + the corpus-card datasheet and shard manifest off the same kernels
     Seq("e1_training_pipeline", "e2_corpus_card", "e3_shard_manifest",
-      "e4_mixture_manifest", "e5_epoch_plan", "e6_training_order"),
+      "e4_mixture_manifest", "e5_epoch_plan", "e6_training_order",
+      "e7_effective_tokens", "e8_release_manifest",
+      "e9_curriculum_buckets"),
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",
       "st5_stream_decontaminate", "st6_stream_semantic_flag",
       "st7_stream_fuzzy_flag", "st8_stream_incremental_dedup",
       "st9_stream_drift_monitor", "st10_stream_pipeline_admission",
-      "st11_stream_mixture_sampler", "st12_stream_oov_monitor"))
+      "st11_stream_mixture_sampler", "st12_stream_oov_monitor",
+      "st13_stream_quality_monitor"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

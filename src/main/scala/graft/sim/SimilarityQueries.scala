@@ -503,15 +503,18 @@ object SimilarityQueries {
   //      ranking misses. The oracle twin is COMPOSED from the three
   //      queries' own oracle strings, so the report can never drift
   //      from the queries it grades.
-  private def s9Recall(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+  /** The recall report over any set of (label -> baseDefs query)
+    * methods, each graded against s1's exact truth — s9 instantiates
+    * it for the uncompressed indexes (LSH/IVF), s12 for the compressed
+    * ones (PQ/IVFADC). One shape, so the two reports can't diverge. */
+  private def recallReport(s: org.apache.spark.sql.SparkSession,
+      dir: String, methods: Seq[(String, String)]): DataFrame = {
     val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    val m = baseDefs("s2_ann_lsh").fn(s, dir)
-        .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
-      .unionByName(baseDefs("s3_ann_ivf").fn(s, dir)
-        .select(lit("ivf").as("method"), col("query_id"),
-          col("neighbor_id")))
+    val m = methods.map { case (label, q) =>
+      baseDefs(q).fn(s, dir).select(lit(label).as("method"),
+        col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
     val tot = truth.agg(count(lit(1)).as("n_truth"))
     m.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("method"))
@@ -524,16 +527,18 @@ object SimilarityQueries {
       .orderBy(col("method"))
   }
 
-  private def s9Sql: String = {
+  private def recallSql(methods: Seq[(String, String)]): String = {
     val s1 = baseDefs("s1_ann_bruteforce").oracle.get
-    val s2 = baseDefs("s2_ann_lsh").oracle.get
-    val s3 = baseDefs("s3_ann_ivf").oracle.get
+    val ctes = methods.map { case (label, q) =>
+      s"$label AS (SELECT query_id, neighbor_id FROM " +
+        s"(${baseDefs(q).oracle.get}) t_$label)"
+    }.mkString(",\n      ")
+    val union = methods.map { case (label, _) =>
+      s"SELECT '$label' AS method, query_id, neighbor_id FROM $label"
+    }.mkString("\n            UNION ALL\n            ")
     s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($s1) t1),
-      lsh AS (SELECT query_id, neighbor_id FROM ($s2) t2),
-      ivf AS (SELECT query_id, neighbor_id FROM ($s3) t3),
-      m AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
-            UNION ALL
-            SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+      $ctes,
+      m AS ($union),
       tot AS (SELECT count(*) AS n_truth FROM truth)
     SELECT method, n_truth,
       CAST(count(*) AS BIGINT) AS n_returned,
@@ -543,6 +548,20 @@ object SimilarityQueries {
       USING (query_id, neighbor_id) CROSS JOIN tot
     GROUP BY method, n_truth ORDER BY method"""
   }
+
+  private val s9Methods = Seq("lsh" -> "s2_ann_lsh", "ivf" -> "s3_ann_ivf")
+
+  /** s12: the compressed-index half of the recall audit — PQ and
+    * IVFADC rank by quantized ADC distance, so their misses are code-
+    * distortion misses (s9's are candidate-starvation misses); a team
+    * sizing M x K or nprobe reads THIS report. Same shape, same truth,
+    * same bounded frames as s9. */
+  private val s12Methods = Seq("ivfadc" -> "s7_ann_ivfadc", "pq" -> "s6_ann_pq")
+
+  private def s9Recall(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = recallReport(s, dir, s9Methods)
+
+  private def s9Sql: String = recallSql(s9Methods)
 
   /** s10 radius grid, in cosine micro. 0.2 catches the random-noise
     * tail, 0.5/0.8 isolate genuinely-near vectors (planted near-dups
@@ -759,7 +778,10 @@ object SimilarityQueries {
     baseDefs +
       ("s9_ann_recall" -> QueryDef(s9Recall, Some(s9Sql))) +
       ("s10_range_search" -> QueryDef(s10Range, Some(s10Sql))) +
-      ("s11_cluster_report" -> QueryDef(s11Cluster, Some(s11Sql)))
+      ("s11_cluster_report" -> QueryDef(s11Cluster, Some(s11Sql))) +
+      ("s12_pq_recall" -> QueryDef(
+        (s, dir) => recallReport(s, dir, s12Methods),
+        Some(recallSql(s12Methods))))
 
   /** Subspaced melt for PQ: (vec_id, sub, d, x6), sub = d div subDim. */
   private def pqMelt(s: org.apache.spark.sql.SparkSession,

@@ -555,6 +555,21 @@ class AdversarialParitySpec extends SparkSpec {
       rows(0L).getLong(5) === -166371L)
   }
 
+  // ---- pin 27: s12's compressed-index recall — the PQ/IVFADC misses
+  //      are code-DISTORTION misses (s9's are candidate starvation);
+  //      a silently degraded codebook build moves these before any
+  //      oracle notices
+  test("s12 pq recall: compressed-index quality pinned") {
+    val rows = run("s12_pq_recall").collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows("pq").getAs[Long]("n_hits") === 32L)
+    assert(rows("pq").getAs[Long]("recall_micro") === 320000L)
+    assert(rows("ivfadc").getAs[Long]("n_hits") === 31L)
+    assert(rows("ivfadc").getAs[Long]("recall_micro") === 310000L)
+    rows.values.foreach(r => assert(r.getAs[Long]("n_truth") === 100L &&
+      r.getAs[Long]("n_returned") === 100L))
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {

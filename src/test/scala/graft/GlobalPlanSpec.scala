@@ -70,7 +70,10 @@ class GlobalPlanSpec extends SparkSpec {
       "bucket-bounded set), never data-proportional"),
     "d21_lsh_recall" -> ("exact all-pairs ground truth by contract, " +
       "over the FIXED doc_id < LshEvalMaxId audit slice — a constant " +
-      "~125k-pair probe at any corpus size, broadcast"))
+      "~125k-pair probe at any corpus size, broadcast"),
+    "s12_pq_recall" -> ("composes s1's whitelisted brute-force truth " +
+      "plus s6/s7's config-bounded ADC frames — s9's rationale for " +
+      "the compressed indexes"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
     val offenders = plans.collect { case (name, plan)
@@ -212,7 +215,10 @@ class GlobalPlanSpec extends SparkSpec {
     "s10_range_search" -> 6,
     "d21_lsh_recall" -> 1,
     "e9_curriculum_buckets" -> 7,
-    "s11_cluster_report" -> 6)
+    "s11_cluster_report" -> 6,
+    // 24 static = s1+s6+s7 composed whole (s9's rationale: the report
+    // grades them); AQE stage reuse collapses the shared PQ subtrees
+    "s12_pq_recall" -> 24)
 
   test("no query exceeds its pinned shuffle budget") {
     val breaches = plans.flatMap { case (name, plan) =>

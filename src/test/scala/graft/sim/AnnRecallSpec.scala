@@ -36,4 +36,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(truth.size ===
       SimilarityQueries.NumQueries * SimilarityQueries.TopK)
   }
+
+  test("s12 pq recall equals a driver-side recount of the coded queries") {
+    val truth = pairs("s1_ann_bruteforce")
+    val expect = Map("pq" -> pairs("s6_ann_pq"),
+      "ivfadc" -> pairs("s7_ann_ivfadc"))
+    val rows = graft.SparkEntry.queries("s12_pq_recall")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSet ===
+      Set("pq", "ivfadc"))
+    for (r <- rows) {
+      val m = r.getAs[String]("method")
+      val got = expect(m)
+      assert(r.getAs[Long]("n_truth") === truth.size.toLong)
+      assert(r.getAs[Long]("n_returned") === got.size.toLong)
+      val hits = (got intersect truth).size.toLong
+      assert(r.getAs[Long]("n_hits") === hits, s"$m hit recount")
+      assert(r.getAs[Long]("recall_micro") ===
+        hits * 1000000L / truth.size, s"$m recall formula")
+      assert(r.getAs[Long]("n_hits") > 0L,
+        s"$m finds nothing — a dead index would grade 0 recall")
+    }
+  }
 }
