@@ -47,7 +47,12 @@ import org.apache.spark.sql.types._
   * documented mismatches (2026-08-15). The second round-11 batch (s9
   * recall report, d20 threshold sweep, p14 embedding profile) pinned
   * as pins 18-19 + the EmbeddingProfileSpec battery; all three
-  * DuckDB-parity on this corpus (2026-08-15).
+  * DuckDB-parity on this corpus (2026-08-15). The round-11 third wave
+  * (t17 readability, e7 effective tokens, e8 release manifest, e9
+  * curriculum buckets, s10 range search, s11 cluster report, s12 pq
+  * recall, d21 lsh recall, st13 quality monitor) pinned as pins
+  * 20-27; full-portfolio sweep at 134 queries: 130/134 hash-exact,
+  * same 4 documented sf0.01-pinned VALUES mismatches (2026-08-15).
   * Re-run the whole sweep with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
