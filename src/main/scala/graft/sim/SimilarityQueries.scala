@@ -585,18 +585,32 @@ object SimilarityQueries {
   private def s10Range(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    val e = corpus(s, dir).withColumn("sig", sigCol(col("v")))
-    val bandE = e.select(col("vec_id"), col("v"), col("nrm"),
+    // SLIM band index: (vec_id, bk) only. s2 dedups candidates with
+    // the vector arrays already projected onto the rows — fine at
+    // top-k result sizes, but at range-search candidate volumes the
+    // distinct shuffles ~1 KB per candidate (the measured sf100
+    // term). Here the distinct runs on 16-byte id pairs, the persist
+    // holds ids instead of 64-double arrays, and the vectors join
+    // back AFTER — no exchange ever carries an embedding.
+    val bandSlim = corpus(s, dir).withColumn("sig", sigCol(col("v")))
+      .select(col("vec_id"),
         explode(array((0 until 4).map(b =>
           concat_ws(":", lit(b),
             expr(s"shiftright(sig, ${4 * b}) & 15"))): _*)).as("bk"))
       .persist()
-    val q = bandE.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("bk"))
-    val scored = q.join(bandE, Seq("bk"))
+    val candIds = bandSlim.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("bk"))
+      .join(bandSlim, Seq("bk"))
       .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+    val eSlim = corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val qv = broadcast(eSlim.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")))
+    val scored = candIds
+      .join(qv, Seq("query_id"))
+      .join(eSlim, Seq("vec_id"))
       .withColumn("cos", round(Text.dot(col("qv"), col("v")) /
         (col("qnrm") * col("nrm")), 6))
       .select(col("query_id"), col("vec_id"), col("cos"))
