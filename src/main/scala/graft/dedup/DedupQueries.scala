@@ -538,6 +538,49 @@ object DedupQueries {
     * truth set is non-trivial at every test sf). */
   val LshEvalMaxId = 500L
 
+  /** d13's quality-aware canonical choice — THE one definition of
+    * which near-dup cluster member ships: d6's connected components
+    * over the shared pair table, ranked inside each cluster by t2's
+    * shared quality score (doc_id tiebreak), rn 1 kept. e7's
+    * effective-token accounting consumes the same frame, so "kept"
+    * can never mean two things (the recallReport/recallSql pattern). */
+  def qualityCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+    val comp = connectedComponents(docs, minhashPairs(s, dir))
+    val q = graft.text.TextQueries.qualityFrame(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    comp.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_kept", (col("rn") === 1).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("is_kept"))
+  }
+
+  /** [[qualityCanonical]]'s DuckDB twin: CTE chain producing
+    * `ranked(doc_id, cluster_id, quality_score, rn)` — must follow
+    * [[d2CoreSql]] under WITH RECURSIVE. Shared by d13 and e7. */
+  private[graft] def ccRankedSqlCtes: String =
+    s"""nodes AS (SELECT doc_id FROM documents),
+      sym AS (
+        SELECT doc1 AS a, doc2 AS b FROM verified
+        UNION ALL SELECT doc2, doc1 FROM verified
+      ),
+      walk(doc, comp) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
+      ),
+      cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc),
+      ${graft.text.TextQueries.qualitySqlCte},
+      ranked AS (
+        SELECT cc.doc AS doc_id, cc.cluster_id, q.quality_score,
+          row_number() OVER (PARTITION BY cc.cluster_id
+            ORDER BY q.quality_score DESC, cc.doc) AS rn
+        FROM cc JOIN q ON cc.doc = q.doc_id
+      )"""
+
   /** d17's report over any `(doc_id, sh)` shingled frame plus the
     * distinct eval-gram set — parameterized (e3/st10's pattern) so the
     * property battery can drive it with random corpora against a
@@ -787,39 +830,9 @@ object DedupQueries {
     //      by construction; the giant-component pathology is d2's
     //      MaxBucket guard's job), so the window partition is bounded.
     "d13_cluster_canonical" -> QueryDef(
-      (s, dir) => {
-        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
-        val comp = connectedComponents(docs, minhashPairs(s, dir))
-        val q = graft.text.TextQueries.qualityFrame(s, dir)
-          .select(col("doc_id"), col("quality_score"))
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col("quality_score").desc, col("doc_id"))
-        comp.join(q, "doc_id")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("is_kept", (col("rn") === 1).cast("long"))
-          .select(col("doc_id"), col("cluster_id"), col("quality_score"),
-            col("is_kept"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => qualityCanonical(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $d2CoreSql,
-      nodes AS (SELECT doc_id FROM documents),
-      sym AS (
-        SELECT doc1 AS a, doc2 AS b FROM verified
-        UNION ALL SELECT doc2, doc1 FROM verified
-      ),
-      walk(doc, comp) AS (
-        SELECT doc_id, doc_id FROM nodes
-        UNION
-        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
-      ),
-      cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc),
-      ${graft.text.TextQueries.qualitySqlCte},
-      ranked AS (
-        SELECT cc.doc AS doc_id, cc.cluster_id, q.quality_score,
-          row_number() OVER (PARTITION BY cc.cluster_id
-            ORDER BY q.quality_score DESC, cc.doc) AS rn
-        FROM cc JOIN q ON cc.doc = q.doc_id
-      )
+      $ccRankedSqlCtes
       SELECT doc_id, cluster_id, quality_score,
         CAST(rn = 1 AS BIGINT) AS is_kept
       FROM ranked ORDER BY doc_id""")),
@@ -1532,7 +1545,7 @@ object DedupQueries {
     //      grade what the banding actually misses. Ground truth is the
     //      exact all-pairs verify over a FIXED bounded audit slice
     //      (doc_id < [[LshEvalMaxId]] — constant at any corpus size, so
-    //      the quadratic stays a constant ~5k-pair probe forever);
+    //      the quadratic stays a constant ~125k-pair probe forever);
     //      found = the shared persisted d2 pair table restricted to the
     //      slice. Every found pair passes the identical exact-Jaccard
     //      gate, so found is a subset of truth by construction and the report is

@@ -46,9 +46,21 @@ object PipelineQueries {
     * slim rows, so no split can collapse sharding into one task. */
   val ShardMacroDocs = 1000000L
 
-  /** e1's per-doc ledger (unordered) — shared with e3, which shards
-    * the `final_keep = 1` survivors. */
-  def ledgerFrame(s: SparkSession, dir: String): DataFrame = {
+  /** e1's per-doc ledger (unordered) — shared with e3 (which shards
+    * the `final_keep = 1` survivors), admittedSlim, and e9.
+    * MATERIALIZED once per corpus: the ledger is the pipeline's
+    * central verdict table and its build (quality regex pass + the
+    * fingerprint window + the gated contamination join) was being
+    * re-paid by every consumer — measured 47-130 s each at sf10 for
+    * e2/e3/e9 while e1's own `.count()` read 1.15 s because count
+    * prunes the verdict columns. One parquet-backed build, every
+    * consumer scans seven narrow columns. */
+  def ledgerFrame(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"pipe-ledger|$dir") {
+      ledgerCompute(s, dir)
+    }
+
+  private def ledgerCompute(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.DedupQueries.{DecontamEvalMod,
       SplitTrainFrac, SplitValFrac}
     val docs = Tables.table(s, dir, "documents")
@@ -775,15 +787,8 @@ object PipelineQueries {
             coalesce(col("source"), lit("")).as("source"),
             coalesce(Text.bpeTokenCount(col("text")).cast("long"),
               lit(0L)).as("n_tokens"))
-        val comp = DedupQueries.connectedComponents(
-          docs.select(col("doc_id")), DedupQueries.minhashPairs(s, dir))
-        val q = TextQueries.qualityFrame(s, dir)
-          .select(col("doc_id"), col("quality_score"))
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col("quality_score").desc, col("doc_id"))
-        val kept = comp.join(q, "doc_id")
-          .withColumn("is_kept",
-            (row_number().over(w) === 1).cast("long"))
+        // the ONE canonical-choice kernel (d13's), never re-derived
+        val kept = DedupQueries.qualityCanonical(s, dir)
           .select(col("doc_id"), col("is_kept"))
         docs.join(kept, "doc_id")
           .groupBy(col("source"))
@@ -802,24 +807,7 @@ object PipelineQueries {
       Some {
         val d2CoreSql = graft.dedup.DedupQueries.d2CoreSql
         s"""WITH RECURSIVE $d2CoreSql,
-      nodes AS (SELECT doc_id FROM documents),
-      sym AS (
-        SELECT doc1 AS a, doc2 AS b FROM verified
-        UNION ALL SELECT doc2, doc1 FROM verified
-      ),
-      walk(doc, comp) AS (
-        SELECT doc_id, doc_id FROM nodes
-        UNION
-        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
-      ),
-      cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc),
-      ${TextQueries.qualitySqlCte},
-      ranked AS (
-        SELECT cc.doc AS doc_id,
-          row_number() OVER (PARTITION BY cc.cluster_id
-            ORDER BY q.quality_score DESC, cc.doc) AS rn
-        FROM cc JOIN q ON cc.doc = q.doc_id
-      ),
+      ${graft.dedup.DedupQueries.ccRankedSqlCtes},
       tok AS (
         SELECT doc_id, coalesce(source, '') AS source,
           coalesce(CAST(len(regexp_extract_all(text,
@@ -921,7 +909,6 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         val wCum = Window.partitionBy(col("source"))
           .orderBy(col("bucket").desc)
-        val wTot = Window.partitionBy(col("source"))
         bucketed
           .withColumn("cum_tokens_from_top",
             sum(col("n_tokens")).over(wCum))

@@ -55,6 +55,29 @@ object SimilarityQueries {
   /** LSH signature column: sign bits of v . plane_p packed into an int. */
   private def sigCol(v: Column): Column = Text.hyperplaneSig(v, Planes, Dims)
 
+  /** DuckDB CTE chain `e / sig / banded` reproducing the hyperplane
+    * LSH index arithmetic (planeWeight's (p*73 + d*179) % 7 signs, 4
+    * bands of 4 signature bits) — THE one SQL rendering, shared by
+    * s2's and s10's oracles so a hyperplane tweak cannot drift them
+    * apart. */
+  private def lshSqlCtes: String = s"""e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), sig AS (
+        SELECT vec_id, v,
+          list_sum(list_transform(range(0, $Planes), p ->
+            CASE WHEN list_sum(list_transform(range(0, $Dims), d ->
+              v[CAST(d+1 AS INT)] * (CASE WHEN ((p*73 + d*179) % 7) % 2 = 0
+                THEN 1.0 ELSE -1.0 END))) >= 0
+            THEN (1 << p) ELSE 0 END)) AS s
+        FROM e
+      ), banded AS (
+        SELECT vec_id, v, unnest(list_transform(range(0, 4), b ->
+          CAST(b AS VARCHAR) || ':' ||
+            CAST((s >> CAST(4*b AS INT)) & 15 AS VARCHAR))) AS bk
+        FROM sig
+      )"""
+
   private val baseDefs: Map[String, QueryDef] = Map(
 
     // ---- s1: exact brute-force cosine top-k for a query set
@@ -127,25 +150,10 @@ object SimilarityQueries {
       // the hyperplane signature is a pure deterministic function of the
       // vector (+-1 planes from planeWeight's arithmetic), so the whole
       // LSH path — signatures, band keys, candidate join, exact rerank —
-      // reproduces in SQL; dot products fold in array order in both
-      // engines, so sign bits and cosines agree bitwise
-      Some(s"""WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-      ), sig AS (
-        SELECT vec_id, v,
-          list_sum(list_transform(range(0, $Planes), p ->
-            CASE WHEN list_sum(list_transform(range(0, $Dims), d ->
-              v[CAST(d+1 AS INT)] * (CASE WHEN ((p*73 + d*179) % 7) % 2 = 0
-                THEN 1.0 ELSE -1.0 END))) >= 0
-            THEN (1 << p) ELSE 0 END)) AS s
-        FROM e
-      ), banded AS (
-        SELECT vec_id, v, unnest(list_transform(range(0, 4), b ->
-          CAST(b AS VARCHAR) || ':' ||
-            CAST((s >> CAST(4*b AS INT)) & 15 AS VARCHAR))) AS bk
-        FROM sig
-      ), q AS (
+      // reproduces in SQL ([[lshSqlCtes]], shared with s10); dot
+      // products fold in array order in both engines, so sign bits and
+      // cosines agree bitwise
+      Some(s"""WITH $lshSqlCtes, q AS (
         SELECT vec_id AS query_id, v AS qv, bk FROM banded
         WHERE vec_id < $NumQueries
       ), cands AS (
@@ -640,23 +648,7 @@ object SimilarityQueries {
 
   private def s10Sql: String = {
     val radii = RangeRadiiMicro.map(r => s"($r)").mkString(", ")
-    s"""WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-      ), sig AS (
-        SELECT vec_id, v,
-          list_sum(list_transform(range(0, $Planes), p ->
-            CASE WHEN list_sum(list_transform(range(0, $Dims), d ->
-              v[CAST(d+1 AS INT)] * (CASE WHEN ((p*73 + d*179) % 7) % 2 = 0
-                THEN 1.0 ELSE -1.0 END))) >= 0
-            THEN (1 << p) ELSE 0 END)) AS s
-        FROM e
-      ), banded AS (
-        SELECT vec_id, v, unnest(list_transform(range(0, 4), b ->
-          CAST(b AS VARCHAR) || ':' ||
-            CAST((s >> CAST(4*b AS INT)) & 15 AS VARCHAR))) AS bk
-        FROM sig
-      ), q AS (
+    s"""WITH $lshSqlCtes, q AS (
         SELECT vec_id AS query_id, v AS qv, bk FROM banded
         WHERE vec_id < $NumQueries
       ), scored AS (

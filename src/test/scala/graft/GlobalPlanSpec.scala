@@ -114,7 +114,7 @@ class GlobalPlanSpec extends SparkSpec {
     "d7_decontamination" -> 3,
     "d8_leakage_safe_split" -> 2,
     "d9_embedding_clusters" -> 7,
-    "e1_training_pipeline" -> 5,
+    "e1_training_pipeline" -> 1,
     "e2_corpus_card" -> 7,
     "e3_shard_manifest" -> 2,
     "e4_mixture_manifest" -> 5,
@@ -214,7 +214,7 @@ class GlobalPlanSpec extends SparkSpec {
     "e8_release_manifest" -> 2,
     "s10_range_search" -> 6,
     "d21_lsh_recall" -> 1,
-    "e9_curriculum_buckets" -> 7,
+    "e9_curriculum_buckets" -> 3,
     "s11_cluster_report" -> 6,
     // 24 static = s1+s6+s7 composed whole (s9's rationale: the report
     // grades them); AQE stage reuse collapses the shared PQ subtrees
@@ -252,7 +252,9 @@ class GlobalPlanSpec extends SparkSpec {
     "d11_semantic_dedup",  // broadcast k-means centroids
     "s3_ann_ivf",          // broadcast centroid table
     "t10_word_rarity",     // broadcast corpus-rarity vocabulary head
-    "e1_training_pipeline", // broadcast eval set inside the ledger
+    // e1 dropped: the ledger is Materialize-backed now — its plan is a
+    // parquet scan; the broadcast eval-set join lives inside the
+    // one-time build, which this sweep does not re-plan
     "e4_mixture_manifest", // broadcast per-source frac_micro plan
     "e6_training_order",   // broadcast <=B-row bucket-offset frame
     "t15_context_fit",     // broadcast |ContextFitLens| seq-len frame
