@@ -20,7 +20,14 @@ class Octopus(
     val ontology: Ontology,
     val knownModels: Seq[SemanticModel],
     val workDir: String,
-    initialConfig: FeaturesConfig = FeaturesConfig.Default) {
+    initialConfig: FeaturesConfig = FeaturesConfig.Default,
+    /** Matcher label -> ontology (class, data property) — the analogue
+      * of the reference's semanticTypeMap (KarmaSuggestModel.scala:
+      * 119-141; labels of `Class---property` form resolve without it). */
+    val semanticTypeMap: Map[String, (String, String)] = Map.empty,
+    /** P3 cutoff for confidently-`unknown` columns (reference
+      * ModelingProperties.unknownThreshold, SsdTypes.scala:447-469). */
+    val unknownThreshold: Double = SemanticModeler.UnknownThreshold) {
 
   import Octopus._
 
@@ -132,8 +139,16 @@ class Octopus(
   }
 
   /** Predict: matcher semantic types for the held-out tables, then
-    * modeler suggestions from name+type candidates (reference
-    * OctopusInterface.predictOctopus:491-545). */
+    * modeler suggestions driven by the LEARNED types (reference
+    * OctopusInterface.predictOctopus:491-545 ->
+    * PredictOctopus.predict:60-90): the classifier's per-class score
+    * maps pass through the P3 unknown-threshold filter
+    * (PredictOctopus.filterColumnPredictions:101-122 — confidently-
+    * `unknown` and all-zero columns are dropped from the model), and
+    * the surviving predictions are injected as candidate semantic
+    * types (KarmaSuggestModel.scala:175-217), merged with the
+    * name-based candidates. The collect is column-count bounded (one
+    * row per predicted column), never data-proportional. */
   def predict(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): OctopusPrediction = {
     // IllegalStateException, NOT require/IllegalArgumentException: this
@@ -145,11 +160,29 @@ class Octopus(
     val m = model.get
     val feat = FeatureMatrix.features(spark, dir, tables, cfg)
     val colPreds = SemanticTypeClassifier.predict(m, feat)
+    val predMap: Map[String, SemanticModeler.ColumnPrediction] =
+      colPreds.collect().map { r =>
+        r.getString(0) -> SemanticModeler.ColumnPrediction(
+          r.getString(1), r.getDouble(2),
+          r.getMap[String, Double](r.fieldIndex("scores")).toMap)
+      }.toMap
+    val filtered =
+      SemanticModeler.filterPredictions(predMap, unknownThreshold)
     val cols = tables.flatMap { case (t, cs) => cs.map(c => s"$t.$c") }
-    val cands = cols.map(c =>
-      c -> SemanticModeler.nameCandidates(c, ontology))
+    val cands = cols.flatMap { c =>
+      (predMap.get(c), filtered.get(c)) match {
+        // P3: predicted but filtered out — excluded from the model,
+        // exactly the reference's "new ssd with such columns filtered"
+        case (Some(_), None) => None
+        case (_, fp) =>
+          val learned = fp.map(p => SemanticModeler.learnedCandidates(
+            p.scores, ontology, semanticTypeMap)).getOrElse(Nil)
+          Some(c -> SemanticModeler.mergeCandidates(
+            learned, SemanticModeler.nameCandidates(c, ontology)))
+      }
+    }
     val suggestions = SemanticModeler.suggest(align.get, cands)
-    OctopusPrediction(colPreds, suggestions)
+    OctopusPrediction(colPreds, suggestions, filtered)
   }
 
   private def inputsModifiedSince(dir: String, t: Long): Boolean = {
@@ -184,5 +217,8 @@ object Octopus {
 
   final case class OctopusPrediction(
       columnPredictions: DataFrame,
-      suggestions: Seq[SemanticModeler.Suggestion])
+      suggestions: Seq[SemanticModeler.Suggestion],
+      /** Post-P3 predictions that actually drove the suggestions;
+        * columns the filter dropped are absent. */
+      filteredPredictions: Map[String, SemanticModeler.ColumnPrediction] = Map.empty)
 }

@@ -3,6 +3,7 @@ package graft.modeler
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
+import graft.matcher.{MatcherSession, SemanticTypeClassifier}
 
 /** Semantic-modeling queries. The modeler is driver-side (graphs are
   * ontology-sized); queries expose its output as DataFrames so the
@@ -29,6 +30,20 @@ object ModelerQueries {
   def knownOrderModel: SemanticModel = SemanticModel(
     Seq(ClassNode(0, "Order"), ClassNode(1, "Customer"), ClassNode(2, "Nation")),
     Seq(SmLink(0, 1, "placedBy"), SmLink(1, 2, "custNation")))
+
+  /** Matcher-label -> tpch-ontology (class, data property) — the
+    * analogue of the reference's semanticTypeMap (matcher labels to
+    * ontology URIs, KarmaSuggestModel.scala:119-141), binding the
+    * built-in label universe to [[Ontology.tpch]]. `text` has no
+    * ontology analogue on purpose: its predictions exercise the
+    * reference's unresolvable-label drop. */
+  val tpchTypeMap: Map[String, (String, String)] = Map(
+    "identifier" -> ("Order", "orderkey"),
+    "name" -> ("Customer", "name"),
+    "category" -> ("Customer", "mktsegment"),
+    "money" -> ("Customer", "acctbal"),
+    "date" -> ("Order", "orderdate"),
+    "quantity" -> ("LineItem", "quantity"))
 
   /** Pinned g2 edge list (sorted by src, property, dst) — the regression
     * oracle for the alignment graph; kept in sync with the live graph by
@@ -124,8 +139,100 @@ object ModelerQueries {
       Some("""SELECT model, CAST(precision AS DOUBLE) AS precision,
         CAST(recall AS DOUBLE) AS recall, CAST(jaccard AS DOUBLE) AS jaccard
         FROM (VALUES ('top1', 1.0, 1.0, 1.0))
-          AS t(model, precision, recall, jaccard)"""))
+          AS t(model, precision, recall, jaccard)""")),
+
+    // ---- g4: P3-filtered predictions -> learned semantic-type
+    //      candidates merged with name candidates (the matcher->modeler
+    //      coupling: reference PredictOctopus.filterColumnPredictions
+    //      :101-122 + KarmaSuggestModel learned-type injection :175-217)
+    "g4_learned_types" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val preds = SemanticTypeClassifier.predict(
+            MatcherSession.model(s, dir), MatcherSession.holdoutFeatures(s, dir))
+          .collect().map { r =>
+            r.getString(0) -> SemanticModeler.ColumnPrediction(
+              r.getString(1), r.getDouble(2),
+              r.getMap[String, Double](r.fieldIndex("scores")).toMap)
+          }.toMap
+        SemanticModeler.filterPredictions(preds).toSeq
+          .flatMap { case (colName, p) =>
+            SemanticModeler.mergeCandidates(
+                SemanticModeler.learnedCandidates(p.scores, Ontology.tpch, tpchTypeMap),
+                SemanticModeler.nameCandidates(colName, Ontology.tpch))
+              .take(4).zipWithIndex.map { case (c, i) =>
+                (colName, (i + 1).toLong, c.cls, c.prop,
+                  math.round(c.confidence * 1e6) / 1e6)
+              }
+          }
+          .toDF("col_name", "rank", "class", "property", "confidence")
+          .orderBy(col("col_name"), col("rank"))
+      },
+      // pinned regression oracle at the driver's correctness sf (0.01):
+      // deterministic RF scores + data-independent name candidates ⇒
+      // constant output at a fixed sf; guarded live-vs-pin by
+      // PredictionPinSpec (same contract as the m4/m8 pins).
+      Some {
+        val vals = PinnedG4Sf001
+          .map { case (c, r, cl, p, cf) => s"('$c', $r, '$cl', '$p', $cf)" }
+          .mkString(",\n      ")
+        s"""SELECT col_name, CAST(rank AS BIGINT) AS rank, class, property,
+          CAST(confidence AS DOUBLE) AS confidence
+        FROM (VALUES
+      $vals
+        ) AS t(col_name, rank, class, property, confidence)
+        ORDER BY col_name, rank"""
+      })
   )
+
+  /** g4's pinned output at sf0.01 (col_name, rank, class, property,
+    * confidence) — refreshed from a Verify run whenever the matcher
+    * features/model change; PredictionPinSpec checks live-vs-pin. */
+  lazy val PinnedG4Sf001: Seq[(String, Long, String, String, Double)] = Seq(
+    ("events.event_id", 1L, "Order", "orderkey", 0.492188),
+    ("events.event_id", 2L, "LineItem", "extendedprice", 0.307692),
+    ("events.event_id", 3L, "LineItem", "quantity", 0.257813),
+    ("events.event_id", 4L, "Part", "brand", 0.25),
+    ("events.event_type", 1L, "Customer", "mktsegment", 0.664063),
+    ("events.event_type", 2L, "Part", "parttype", 0.5),
+    ("events.event_type", 3L, "LineItem", "quantity", 0.4),
+    ("events.event_type", 4L, "LineItem", "extendedprice", 0.307692),
+    ("events.props", 1L, "Part", "parttype", 0.375),
+    ("events.props", 2L, "Customer", "mktsegment", 0.335938),
+    ("events.props", 3L, "Part", "partname", 0.25),
+    ("events.props", 4L, "Order", "orderpriority", 0.230769),
+    ("events.ts", 1L, "Order", "orderdate", 0.359375),
+    ("events.ts", 2L, "Customer", "mktsegment", 0.2),
+    ("events.ts", 3L, "Customer", "name", 0.1875),
+    ("events.ts", 4L, "Order", "orderstatus", 0.181818),
+    ("events.user_id", 1L, "Order", "orderkey", 0.476563),
+    ("events.user_id", 2L, "LineItem", "quantity", 0.351563),
+    ("events.user_id", 3L, "Part", "brand", 0.285714),
+    ("events.user_id", 4L, "Order", "orderpriority", 0.230769),
+    ("events.value", 1L, "Customer", "acctbal", 0.460938),
+    ("events.value", 2L, "Customer", "name", 0.4),
+    ("events.value", 3L, "Order", "totalprice", 0.3),
+    ("events.value", 4L, "Part", "retailprice", 0.272727),
+    ("nation.n_name", 1L, "Customer", "name", 1.0),
+    ("nation.n_name", 2L, "Part", "partname", 0.5),
+    ("nation.n_name", 3L, "Supplier", "suppname", 0.5),
+    ("nation.n_name", 4L, "Nation", "nationname", 0.4),
+    ("nation.n_nationkey", 1L, "Order", "orderkey", 0.984375),
+    ("nation.n_nationkey", 2L, "Nation", "nationname", 0.6),
+    ("nation.n_nationkey", 3L, "Customer", "custkey", 0.333333),
+    ("nation.n_nationkey", 4L, "Customer", "name", 0.333333),
+    ("nation.n_regionkey", 1L, "Order", "orderkey", 0.664063),
+    ("nation.n_regionkey", 2L, "Region", "regionname", 0.6),
+    ("nation.n_regionkey", 3L, "Order", "orderpriority", 0.384615),
+    ("nation.n_regionkey", 4L, "Customer", "custkey", 0.333333),
+    ("region.r_name", 1L, "Customer", "name", 1.0),
+    ("region.r_name", 2L, "Part", "partname", 0.5),
+    ("region.r_name", 3L, "Supplier", "suppname", 0.5),
+    ("region.r_name", 4L, "Nation", "nationname", 0.4),
+    ("region.r_regionkey", 1L, "Order", "orderkey", 0.648438),
+    ("region.r_regionkey", 2L, "Region", "regionname", 0.6),
+    ("region.r_regionkey", 3L, "Order", "orderpriority", 0.384615),
+    ("region.r_regionkey", 4L, "Customer", "custkey", 0.333333))
 
   /** g1's pinned suggestion list (data-independent — derived from the
     * tpch ontology and the flat column names alone): (rank, src,

@@ -12,6 +12,74 @@ object SemanticModeler {
     * (KarmaSuggestModel.scala:175-217). */
   final case class Candidate(cls: String, prop: String, confidence: Double)
 
+  /** One column's classifier output — label, its confidence, and the
+    * full per-class score map (reference ColumnPrediction,
+    * types/ModelTypes.scala:281-295). */
+  final case class ColumnPrediction(
+      label: String, confidence: Double, scores: Map[String, Double])
+
+  /** The matcher's catch-all class, excluded from the ontology
+    * (reference ModelTypes.UknownClass). */
+  val UnknownClass = "unknown"
+
+  /** Default unknown-prediction cutoff (reference
+    * ModelingProperties.unknownThreshold, types SsdTypes.scala:447-469). */
+  val UnknownThreshold = 0.5
+
+  /** P3: filter problematic column predictions before modeling
+    * (reference PredictOctopus.filterColumnPredictions:101-122):
+    * the `unknown` class is removed from every score map (it has no
+    * ontology node); a column whose argmax IS `unknown` above the
+    * threshold is discarded outright; otherwise the best remaining
+    * class becomes the column's (label, confidence); columns whose
+    * remaining scores are all zero are discarded ("no predictions").
+    * Ties break by class name so the result is map-order independent
+    * (the reference's maxBy inherits HashMap order — a latent
+    * nondeterminism we don't reproduce). */
+  def filterPredictions(preds: Map[String, ColumnPrediction],
+      unknownThreshold: Double = UnknownThreshold): Map[String, ColumnPrediction] =
+    preds.map { case (col, p) =>
+      val kept = p.scores.filter(_._1 != UnknownClass)
+      val (lab, conf) =
+        if (p.label == UnknownClass && p.confidence > unknownThreshold)
+          (UnknownClass, 0.0) // confidently unknown: drop at the next step
+        else if (kept.isEmpty) (UnknownClass, 0.0)
+        else { val b = kept.toSeq.minBy(t => (-t._2, t._1)); b }
+      col -> ColumnPrediction(lab, conf, kept)
+    }.filter(_._2.confidence > 0)
+
+  /** G5: convert a filtered prediction's score map into learned
+    * semantic-type candidates (reference
+    * KarmaSuggestModel.getLearntSemanticTypes:121-164): a label of the
+    * reference's `Class---property` form resolves directly; a plain
+    * label resolves through `typeMap` (the analogue of the reference's
+    * semanticTypeMap, which maps matcher labels to ontology URIs).
+    * Labels that resolve to nothing in the ontology are dropped — the
+    * reference's null-KarmaLabel filter. */
+  def learnedCandidates(scores: Map[String, Double], ontology: Ontology,
+      typeMap: Map[String, (String, String)] = Map.empty): Seq[Candidate] =
+    scores.toSeq.filter(_._2 > 0).flatMap { case (label, score) =>
+      val resolved =
+        if (label.contains("---")) {
+          val parts = label.split("---", -1)
+          if (parts.length == 2) Some((parts(0), parts(1))) else None
+        } else typeMap.get(label)
+      resolved.filter { case (cls, prop) =>
+        ontology.classes.contains(cls) &&
+          ontology.dataPropsOf(cls).exists(_.uri == prop)
+      }.map { case (cls, prop) => Candidate(cls, prop, score) }
+    }.sortBy(c => (-c.confidence, c.cls, c.prop))
+
+  /** Merge learned and name-based candidates for one column, keeping
+    * the highest confidence per (class, property) — the reference sets
+    * learned types ALONGSIDE the user/name types on the Karma
+    * ColumnNode (KarmaSuggestModel.scala:205-211), it does not replace
+    * them. */
+  def mergeCandidates(learned: Seq[Candidate], named: Seq[Candidate]): Seq[Candidate] =
+    (learned ++ named).groupBy(c => (c.cls, c.prop))
+      .map(_._2.maxBy(_.confidence)).toSeq
+      .sortBy(c => (-c.confidence, c.cls, c.prop))
+
   final case class Scores(
       linkCost: Double,
       linkCoherence: Double,

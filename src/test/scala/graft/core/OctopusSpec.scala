@@ -84,6 +84,40 @@ class OctopusSpec extends SparkSpec {
     assert(ok.train(spark, sf) === Octopus.Complete)
   }
 
+  test("classifier predictions drive the modeler suggestions (P3 + G5)") {
+    import graft.matcher.FeaturesConfig
+    import graft.modeler.SemanticModeler
+    def mkOct(typeMap: Map[String, (String, String)]) = {
+      val work = java.nio.file.Files.createTempDirectory("graft-g5").toString
+      val o = new Octopus(Ontology.tpch, Seq(ModelerQueries.knownOrderModel),
+        work, FeaturesConfig.Default, typeMap)
+      assert(o.train(spark, sf) === Octopus.Complete)
+      o
+    }
+    val predL = mkOct(ModelerQueries.tpchTypeMap)
+      .predict(spark, sf, Labels.holdoutTables)
+    val predN = mkOct(Map.empty).predict(spark, sf, Labels.holdoutTables)
+
+    // P3 ran: every surviving column carries a filtered prediction whose
+    // label is a known class with positive confidence and no `unknown`
+    // key left in the score map
+    assert(predL.filteredPredictions.nonEmpty)
+    predL.filteredPredictions.foreach { case (colName, p) =>
+      assert(Labels.holdout.exists { case (t, c, _) => s"$t.$c" == colName })
+      assert(Labels.classes.contains(p.label))
+      assert(p.confidence > 0)
+      assert(!p.scores.contains(SemanticModeler.UnknownClass))
+    }
+
+    // G5 ran: the typeMap octopus's suggestions are NOT the name-only
+    // suggestions — the classifier's learned types reached the modeler
+    val lSugs = predL.suggestions.map(s => (s.model.triples, s.scores))
+    val nSugs = predN.suggestions.map(s => (s.model.triples, s.scores))
+    assert(lSugs !== nSugs,
+      "learned semantic types had no effect on the suggested models")
+    assert(predL.suggestions.forall(_.model.isConnected))
+  }
+
   test("transformations rewrite only the targeted semantic class") {
     import spark.implicits._
     val df = Seq(("phone", "(02) 1234"), ("name", "(02) 1234"))

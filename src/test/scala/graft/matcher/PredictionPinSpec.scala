@@ -31,6 +31,16 @@ class PredictionPinSpec extends SparkSpec {
       "bagged predictions drifted — refresh MatcherQueries.PinnedM8Sf001")
   }
 
+  test("pinned sf0.01 learned-type candidates (g4) match the live query") {
+    val live = graft.SparkEntry.queries("g4_learned_types")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(live.toSeq === graft.modeler.ModelerQueries.PinnedG4Sf001,
+      "learned-type candidates drifted — refresh ModelerQueries.PinnedG4Sf001")
+  }
+
   test("pinned sf0.01 pairwise features (m7) match the live query") {
     val live = graft.SparkEntry.queries("m7_pairwise_features")(spark, sf)
       .collect()
