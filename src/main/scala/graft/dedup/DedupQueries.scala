@@ -531,11 +531,15 @@ object DedupQueries {
     * corpus plays the new-ingest side, the rest is the persisted index). */
   val DeltaMod = 4
 
-  /** d21: the fixed recall-audit slice — exact all-pairs ground truth
-    * runs only over doc_id below this CONSTANT, so the quadratic stays
-    * a ~125k-pair probe at any corpus size (ids are dense from 0; 500
-    * spans the driver corpus's full planted-near-dup id range, so the
-    * truth set is non-trivial at every test sf). */
+  /** d21: the fixed recall-audit slice WIDTH — exact all-pairs ground
+    * truth runs only over the first this-many doc ids ABOVE the
+    * corpus's min(doc_id), so the quadratic stays a ~125k-pair probe
+    * at any corpus size and the audit still lands on real docs when
+    * ids are not dense from 0 (an absolute `< 500` bound on such a
+    * corpus yields n_truth = 0 — a vacuous report that reads like
+    * perfect recall). A report row with n_truth = 0 still means "the
+    * audit found no qualifying pairs", not "recall is perfect" —
+    * recall_micro is NULL there by construction. */
   val LshEvalMaxId = 500L
 
   /** d13's quality-aware canonical choice — THE one definition of
@@ -1556,8 +1560,13 @@ object DedupQueries {
     //      sit to the threshold — NULL when nothing is missed).
     "d21_lsh_recall" -> QueryDef(
       (s, dir) => {
-        val slice = shingled(s, dir)
-          .filter(col("doc_id") < LshEvalMaxId && size(col("sh")) > 0)
+        // slice bound anchored at min(doc_id): the audit window follows
+        // the corpus's id range instead of assuming density from 0
+        val lo = broadcast(shingled(s, dir)
+          .agg((min(col("doc_id")) + LshEvalMaxId).as("hi")))
+        val slice = shingled(s, dir).crossJoin(lo)
+          .filter(col("doc_id") < col("hi") && size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh"))
         val truth = slice.select(col("doc_id").as("doc1"),
             col("sh").as("sh1"))
           .join(slice.select(col("doc_id").as("doc2"),
@@ -1566,8 +1575,8 @@ object DedupQueries {
           .select(col("doc1"), col("doc2"),
             expr("""size(array_intersect(sh1, sh2)) * 1000000L
               div size(array_union(sh1, sh2))""").as("jm"))
-        val found = minhashPairs(s, dir)
-          .filter(col("doc1") < LshEvalMaxId && col("doc2") < LshEvalMaxId)
+        val found = minhashPairs(s, dir).crossJoin(lo)
+          .filter(col("doc1") < col("hi") && col("doc2") < col("hi"))
           .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
         truth.join(found, Seq("doc1", "doc2"), "left")
           .agg(count(lit(1)).as("n_truth"),
@@ -1581,8 +1590,10 @@ object DedupQueries {
               .as("mean_missed_jaccard_micro"))
       },
       Some(s"""WITH $d2CoreSql,
-      slice AS (
-        SELECT doc_id, sh FROM base WHERE doc_id < $LshEvalMaxId
+      lo AS (
+        SELECT min(doc_id) + $LshEvalMaxId AS hi FROM base
+      ), slice AS (
+        SELECT doc_id, sh FROM base, lo WHERE doc_id < hi
       ), truth AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
           len(list_intersect(a.sh, b.sh)) * 1000000 //
@@ -1591,8 +1602,8 @@ object DedupQueries {
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold
       ), found AS (
-        SELECT doc1, doc2, 1 AS hit FROM verified
-        WHERE doc1 < $LshEvalMaxId AND doc2 < $LshEvalMaxId
+        SELECT doc1, doc2, 1 AS hit FROM verified, lo
+        WHERE doc1 < hi AND doc2 < hi
       )
       SELECT count(*) AS n_truth,
         CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_found,

@@ -801,7 +801,11 @@ object PipelineQueries {
           .withColumn("effective_tokens",
             col("n_tokens") - col("dup_tokens"))
           .withColumn("dup_token_micro",
-            expr("dup_tokens * 1000000 div nullif(n_tokens, 0)"))
+            // DECIMAL(38,0) numerator (the e8-checksum posture): a
+            // LONG dup_tokens*1e6 throws under ANSI once a source
+            // passes ~9.2e12 tokens — inside the 100-TB envelope
+            expr("""CAST(CAST(dup_tokens AS DECIMAL(38,0)) * 1000000
+              div nullif(CAST(n_tokens AS DECIMAL(38,0)), 0) AS BIGINT)"""))
           .orderBy(col("source"))
       },
       Some {
@@ -913,8 +917,10 @@ object PipelineQueries {
           .withColumn("cum_tokens_from_top",
             sum(col("n_tokens")).over(wCum))
           .withColumn("share_micro", expr(
-            """n_tokens * 1000000L div
-              nullif(sum(n_tokens) OVER (PARTITION BY source), 0L)"""))
+            // DECIMAL(38,0) numerator — same ANSI-overflow guard as e7
+            """CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div
+              nullif(CAST(sum(n_tokens) OVER (PARTITION BY source)
+                AS DECIMAL(38,0)), 0) AS BIGINT)"""))
           .orderBy(col("source"), col("bucket"))
       },
       Some(s"""WITH $ledgerSqlCtes,
@@ -936,7 +942,7 @@ object PipelineQueries {
       SELECT source, bucket, n_docs, n_tokens,
         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket DESC)
           AS BIGINT) AS cum_tokens_from_top,
-        CAST(n_tokens * 1000000 //
+        CAST(CAST(n_tokens AS HUGEINT) * 1000000 //
           nullif(sum(n_tokens) OVER (PARTITION BY source), 0) AS BIGINT)
           AS share_micro
       FROM bucketed ORDER BY source, bucket"""))

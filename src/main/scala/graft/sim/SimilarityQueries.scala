@@ -606,12 +606,18 @@ object SimilarityQueries {
           concat_ws(":", lit(b),
             expr(s"shiftright(sig, ${4 * b}) & 15"))): _*)).as("bk"))
       .persist()
+    // eager checkpoint of the bounded id-pair frame lets bandSlim
+    // unpersist HERE instead of leaking a cached RDD per invocation
+    // (the pqMelt/kmeansMelt lifecycle): every consumer below reads
+    // the checkpointed pairs, never the band index
     val candIds = bandSlim.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("bk"))
       .join(bandSlim, Seq("bk"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+      .localCheckpoint(true)
+    bandSlim.unpersist()
     val eSlim = corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"))
     val qv = broadcast(eSlim.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

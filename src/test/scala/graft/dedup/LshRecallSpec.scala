@@ -29,9 +29,11 @@ class LshRecallSpec extends SparkSpec {
   }
 
   test("truth and found counts match a driver recount") {
+    val hi = DedupQueries.shingled(spark, sf)
+      .agg(min(col("doc_id"))).collect().head.getLong(0) +
+      DedupQueries.LshEvalMaxId
     val slice = DedupQueries.shingled(spark, sf)
-      .filter(col("doc_id") < DedupQueries.LshEvalMaxId &&
-        size(col("sh")) > 0)
+      .filter(col("doc_id") < hi && size(col("sh")) > 0)
       .collect()
       .map(r => r.getLong(0) ->
         r.getAs[collection.Seq[String]](1).toSet).sortBy(_._1)
@@ -45,10 +47,26 @@ class LshRecallSpec extends SparkSpec {
         truth += 1L
     }
     val found = DedupQueries.minhashPairs(spark, sf)
-      .filter(col("doc1") < DedupQueries.LshEvalMaxId &&
-        col("doc2") < DedupQueries.LshEvalMaxId).count()
+      .filter(col("doc1") < hi && col("doc2") < hi).count()
     assert(row.getLong(0) === truth)
     assert(row.getLong(1) === found)
     assert(truth > 0L, "audit slice has no true pairs at this sf")
+  }
+
+  test("audit slice follows the corpus id range (non-dense ids still audited)") {
+    // same corpus, every id shifted far past the old absolute bound:
+    // a `doc_id < 500` audit would see zero docs and report the
+    // vacuous n_truth = 0; the min-anchored slice must reproduce the
+    // unshifted report's truth count exactly
+    val shifted = java.nio.file.Files
+      .createTempDirectory("graft-d21-shift").toString
+    graft.sources.Tables.table(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("overwrite").parquet(s"$shifted/documents.parquet")
+    val shiftedRow =
+      DedupQueries.defs("d21_lsh_recall").fn(spark, shifted).collect().head
+    assert(shiftedRow.getLong(0) === row.getLong(0),
+      "shifted-id corpus lost its audit slice")
+    assert(shiftedRow.getLong(0) > 0L)
   }
 }
