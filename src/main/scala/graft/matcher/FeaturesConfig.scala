@@ -40,6 +40,21 @@ final case class FeaturesConfig(
         ps.contains("num-neighbours") => ps("num-neighbours").toInt
     }.getOrElse(FeatureMatrix.NameK)
 
+  /** Per-class training weights (the reference's COST-MATRIX knob:
+    * declared on the Model, types/ModelTypes.scala:58-72, but stubbed
+    * — ClassImbalanceResampler.scala:409-411 "not available in Spark
+    * MlLib". Modern Spark exposes `weightCol`; a class's weight is the
+    * diagonal cost of misclassifying it.) Configured as a
+    * `class-weights` extractor-params entry (label -> weight);
+    * empty = off, the reference's no-op default. Unparseable weights
+    * are ignored, matching the unknown-feature-name posture. */
+  def classWeights: Map[String, Double] =
+    featureExtractorParams.collectFirst {
+      case (name, ps) if FeaturesConfig.normalize(name) == "class_weights" =>
+        ps.flatMap { case (label, w) =>
+          scala.util.Try(w.toDouble).toOption.map(label -> _) }.toMap
+    }.getOrElse(Map.empty)
+
   /** The active numeric feature columns in canonical assembler order —
     * always a subsequence of [[FeatureMatrix.featureCols]], so two
     * configs with the same active set train identical assemblers. */

@@ -29,6 +29,13 @@ object Resampler {
   /** Cap `unknown`-labelled rows at the number of known rows
     * (reference :381-392). */
   case object CapUnknownToHalf extends Strategy
+  /** Cost-sensitive training: no resampling — imbalance is handled by
+    * per-class training weights on the classifier instead (reference
+    * declares the strategy but stubs it, ClassImbalanceResampler
+    * .scala:409-411 "not available in Spark MlLib"; modern Spark has
+    * `weightCol`, wired via [[FeaturesConfig.classWeights]] ->
+    * [[SemanticTypeClassifier.train]]). */
+  case object CostMatrix extends Strategy
 
   val DefaultSeed = 5123219L
 
@@ -36,7 +43,7 @@ object Resampler {
     * so each class hits the strategy's target count. */
   def resample(df: DataFrame, strategy: Strategy,
       seed: Long = DefaultSeed): DataFrame = strategy match {
-    case NoResampling => df
+    case NoResampling | CostMatrix => df
     case CapUnknownToHalf =>
       val known = df.filter(col("label") =!= "unknown")
       val cap = known.count()

@@ -30,10 +30,24 @@ object SemanticTypeClassifier {
   /** Train on a feature frame that has a `label` column. The assembler
     * order is the config's active subsequence of the canonical feature
     * order ([[FeaturesConfig.featureCols]]); the default config is the
-    * full set. */
+    * full set.
+    *
+    * When the config carries [[FeaturesConfig.classWeights]] (the
+    * reference's stubbed CostMatrix strategy,
+    * ClassImbalanceResampler.scala:409-411), each training row is
+    * weighted by its class's weight via the RF's `weightCol` — cost-
+    * sensitive training without resampling. Default (empty map) is
+    * bit-identical to the unweighted path: no weight column is added,
+    * so the m4/m7/m8 prediction pins hold. */
   def train(labelled: DataFrame,
       config: FeaturesConfig = FeaturesConfig.Default): PipelineModel = {
     val n = labelled.count()
+    val weights = config.classWeights
+    val weighted =
+      if (weights.isEmpty) labelled
+      else labelled.withColumn("class_w",
+        weights.foldLeft(lit(1.0)) { case (acc, (label, w)) =>
+          when(col("label") === label, lit(w)).otherwise(acc) })
     val indexer = new StringIndexer()
       .setInputCol("label").setOutputCol("label_idx")
       .setStringOrderType("alphabetAsc")
@@ -46,13 +60,14 @@ object SemanticTypeClassifier {
       .setMaxDepth(MaxDepth)
       .setImpurity("gini")
       .setSeed(Seed)
+    if (weights.nonEmpty) rf.setWeightCol("class_w")
     val converter = new IndexToString()
       .setInputCol("prediction").setOutputCol("predicted_label")
       .setLabels(labelled.select("label").distinct()
         .orderBy("label").collect().map(_.getString(0)))
     val pipeline = new Pipeline()
       .setStages(Array(indexer, assembler, rf, converter))
-    pipeline.fit(labelled.repartition(1).sortWithinPartitions("col_name"))
+    pipeline.fit(weighted.repartition(1).sortWithinPartitions("col_name"))
   }
 
   /** Optional k-fold cross-validated training over a depth x trees x

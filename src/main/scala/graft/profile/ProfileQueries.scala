@@ -191,6 +191,22 @@ object ProfileQueries {
   /** p12: candidate key columns (orders) — singles plus all pairs. */
   val KeyCols: Seq[String] = Seq("o_custkey", "o_orderdate", "o_orderkey",
     "o_orderpriority", "o_orderstatus", "o_totalprice")
+  /** p12's HLL-screen relative standard deviation (scale path, stage
+    * 1). 0.1 on purpose: finer rsd widens the sketch registers into
+    * thousands of agg-buffer columns and the screen gets SLOWER than
+    * the exact pass it's meant to avoid (measured: rsd 0.02 ~5 s vs
+    * rsd 0.1 ~1 s at sf0.1). */
+  val KeyScreenRsd = 0.1
+  /** p12's screen admission bound, in percent of the row count: a
+    * combo whose HLL estimate is under this share of n cannot be a
+    * key (a true key's estimate sitting 40% under n at 10% rsd is a
+    * 4-sigma event; the DuckDB oracle, which computes uniqueness
+    * exactly, fails the row if the screen ever drops a real key). */
+  val KeyScreenFrac = 60L
+  /** p12's path gate: below this row count the single exact
+    * Expand-x21 agg wins (screen overhead > Expand cost — see the p12
+    * doc comment's measurements); at or above, screen-verify-imply. */
+  val KeyScreenMinRows = 1000000L
   val KeyPairs: Seq[(Int, Int)] =
     for { i <- KeyCols.indices; j <- KeyCols.indices if i < j }
       yield (i, j)
@@ -647,43 +663,139 @@ object ProfileQueries {
     //      stats battery — HyUCC/Metanome family): which single
     //      columns and column pairs uniquely identify an orders row,
     //      and which of those are MINIMAL (no unique proper subset).
-    //      Shape: TWO corpus scans total — all 6 single-column exact
-    //      distincts in one aggregate, all 15 pair distincts in a
-    //      second (Catalyst plans multi-countDistinct as one
-    //      Expand + two-level partial aggregate: map-side combined,
-    //      no value ships to one reducer) — then the 21-row result
-    //      assembles row-locally from the one-row moment frame (p10's
-    //      inline pattern, no second pass, no join). Null caveat:
-    //      multi-column countDistinct drops rows with ANY null member
-    //      (DuckDB's count(DISTINCT (a,b)) counts them) — equal here
-    //      because orders has no nulls; a null-bearing table would
+    //
+    //      Scale shape (screen -> verify -> imply, the HyUCC posture,
+    //      behind a [[KeyScreenMinRows]] size gate — the d5/d7
+    //      pattern): an exact multi-countDistinct over all 21 combos
+    //      plans as one Expand that multiplies the scan x21 — correct,
+    //      and actually the CHEAPEST plan below ~1M rows, but the
+    //      portfolio's costliest steady-state profile pass at 100x
+    //      (measured 324 s at sf10 vs ~165 s screened). Above the
+    //      gate, three stages:
+    //
+    //      1. SCREEN: 21 HLL sketches ([[KeyScreenRsd]]) in ONE
+    //         un-Expanded scan (HLL needs no per-group dedup; finer
+    //         rsd is a trap — the sketch registers widen the agg
+    //         buffer row into thousands of columns and the pass gets
+    //         SLOWER than exact). Combos under [[KeyScreenFrac]] of
+    //         the row count cannot be keys — a true key's estimate
+    //         sitting 40% under n at 10% rsd is a 4-sigma event.
+    //      2. VERIFY singles: exact countDistinct for candidate
+    //         single columns only.
+    //      3. IMPLY pairs: a pair containing a proven-unique single
+    //         is unique with n_distinct = n BY SET LOGIC (the HyUCC
+    //         superset-pruning rule — no counting, and it skips
+    //         exactly the worst dedup states: key x anything has full
+    //         row cardinality). Only candidate pairs with NO unique
+    //         member get the exact Expand — typically 1-2 of 15.
+    //
+    //      Output contract: n_distinct is the EXACT count for proven
+    //      keys and NULL otherwise — never an estimate. That makes the
+    //      report invariant to which borderline non-keys the screen
+    //      happened to admit, so the DuckDB oracle (all-exact) matches
+    //      bit-for-bit as long as the screen has no false negatives —
+    //      i.e. the oracle actively tests the screen's soundness.
+    //      The screen/verify one-row collects are bounded at any
+    //      corpus size (d7's size-gate pattern). Null caveat as
+    //      before: multi-column countDistinct drops rows with ANY null
+    //      member; orders has no nulls, a null-bearing table would
     //      coalesce to sentinels first.
     "p12_key_discovery" -> QueryDef(
       (s, dir) => {
         val cols = KeyCols
         val base = Tables.table(s, dir, "orders")
-        val aggs = Seq(count(lit(1)).as("n")) ++
-          cols.indices.map(i =>
-            countDistinct(col(cols(i))).as(s"s_$i")) ++
-          KeyPairs.map { case (i, j) =>
-            countDistinct(col(cols(i)), col(cols(j))).as(s"p_${i}_$j") }
-        val m = base.agg(aggs.head, aggs.tail: _*)
-        val singleRows = cols.indices.map { i =>
-          struct(lit(cols(i)).as("combo"), col(s"s_$i").as("n_distinct"),
-            (col(s"s_$i") === col("n")).cast("long").as("is_unique"),
-            (col(s"s_$i") === col("n")).cast("long")
-              .as("is_minimal_unique"))
+        val nullLong = lit(null).cast("long")
+        def report(m: org.apache.spark.sql.DataFrame,
+            singleRows: Seq[org.apache.spark.sql.Column],
+            pairRows: Seq[org.apache.spark.sql.Column]) =
+          m.select(inline(array((singleRows ++ pairRows): _*)))
+            .orderBy(col("combo"))
+        // the gate read is parquet-metadata cheap and n is needed anyway
+        val n = base.count()
+        if (n < KeyScreenMinRows) {
+          // small-table path: ONE exact Expand-x21 agg. The screen is a
+          // net LOSS here — measured at sf0.1: exact 3.0-3.6 s vs
+          // screen+verify 5.5-6.2 s warm (the 21-sketch agg alone costs
+          // ~2-3 s); it only pays once the Expand's dedup state
+          // dominates (sf1: 22 vs 16.5 s; sf10: 324 vs ~165 s).
+          val aggs = Seq(count(lit(1)).as("n")) ++
+            cols.indices.map(i =>
+              countDistinct(col(cols(i))).as(s"s_$i")) ++
+            KeyPairs.map { case (i, j) =>
+              countDistinct(col(cols(i)), col(cols(j))).as(s"p_${i}_$j") }
+          val m = base.agg(aggs.head, aggs.tail: _*)
+          def uniqS(i: Int) = col(s"s_$i") === col("n")
+          val singleRows = cols.indices.map { i =>
+            struct(lit(cols(i)).as("combo"),
+              when(uniqS(i), col("n")).otherwise(nullLong).as("n_distinct"),
+              uniqS(i).cast("long").as("is_unique"),
+              uniqS(i).cast("long").as("is_minimal_unique"))
+          }
+          val pairRows = KeyPairs.map { case (i, j) =>
+            val u = col(s"p_${i}_$j") === col("n")
+            struct(lit(s"${cols(i)}+${cols(j)}").as("combo"),
+              when(u, col("n")).otherwise(nullLong).as("n_distinct"),
+              u.cast("long").as("is_unique"),
+              (u && !uniqS(i) && !uniqS(j)).cast("long")
+                .as("is_minimal_unique"))
+          }
+          report(m, singleRows, pairRows)
+        } else {
+          // scale path: screen -> verify -> imply
+          // stage 1: HLL screen — one scan, no Expand
+          val screenAggs =
+            cols.indices.map(i =>
+              approx_count_distinct(col(cols(i)), KeyScreenRsd)
+                .as(s"s_$i")) ++
+            KeyPairs.map { case (i, j) =>
+              approx_count_distinct(struct(col(cols(i)), col(cols(j))),
+                KeyScreenRsd).as(s"p_${i}_$j") }
+          val sc = base.agg(screenAggs.head, screenAggs.tail: _*)
+            .collect().head
+          def pass(est: Long): Boolean = est * 100L >= n * KeyScreenFrac
+          val candS = cols.indices
+            .filter(i => pass(sc.getLong(sc.fieldIndex(s"s_$i")))).toSet
+          // stage 2: exact verify of candidate singles
+          val uniqueS: Set[Int] =
+            if (candS.isEmpty) Set.empty
+            else {
+              val sAggs = candS.toSeq.sorted
+                .map(i => countDistinct(col(cols(i))).as(s"s_$i"))
+              val sr = base.agg(count(lit(1)).as("n"), sAggs: _*)
+                .collect().head
+              candS.filter(i => sr.getLong(sr.fieldIndex(s"s_$i")) == n)
+            }
+          // stage 3: pair implication + exact verify of the remainder
+          val impliedP = KeyPairs.filter { case (i, j) =>
+            uniqueS(i) || uniqueS(j) }.toSet
+          val candP = KeyPairs.filter { case (i, j) =>
+            !impliedP((i, j)) &&
+              pass(sc.getLong(sc.fieldIndex(s"p_${i}_$j"))) }.toSet
+          val exactAggs = Seq(count(lit(1)).as("n")) ++
+            candP.toSeq.sorted.map { case (i, j) =>
+              countDistinct(col(cols(i)), col(cols(j))).as(s"p_${i}_$j") }
+          val m = base.agg(exactAggs.head, exactAggs.tail: _*)
+          val singleRows = cols.indices.map { i =>
+            val u = lit(uniqueS(i))
+            struct(lit(cols(i)).as("combo"),
+              when(u, col("n")).otherwise(nullLong).as("n_distinct"),
+              u.cast("long").as("is_unique"),
+              u.cast("long").as("is_minimal_unique"))
+          }
+          val pairRows = KeyPairs.map { case (i, j) =>
+            val u = if (impliedP((i, j))) lit(true)
+              else if (candP((i, j))) col(s"p_${i}_$j") === col("n")
+              else lit(false)
+            struct(lit(s"${cols(i)}+${cols(j)}").as("combo"),
+              when(u, col("n")).otherwise(nullLong).as("n_distinct"),
+              u.cast("long").as("is_unique"),
+              // minimal iff unique and neither member is itself a key;
+              // implied pairs are by construction non-minimal
+              (u && lit(!uniqueS(i) && !uniqueS(j))).cast("long")
+                .as("is_minimal_unique"))
+          }
+          report(m, singleRows, pairRows)
         }
-        val pairRows = KeyPairs.map { case (i, j) =>
-          val u = col(s"p_${i}_$j") === col("n")
-          struct(lit(s"${cols(i)}+${cols(j)}").as("combo"),
-            col(s"p_${i}_$j").as("n_distinct"),
-            u.cast("long").as("is_unique"),
-            (u && col(s"s_$i") =!= col("n") && col(s"s_$j") =!= col("n"))
-              .cast("long").as("is_minimal_unique"))
-        }
-        m.select(inline(array((singleRows ++ pairRows): _*)))
-          .orderBy(col("combo"))
       },
       Some {
         val cols = KeyCols
@@ -693,13 +805,14 @@ object ProfileQueries {
           KeyPairs.map { case (i, j) =>
             s"count(DISTINCT (${cols(i)}, ${cols(j)})) AS p_${i}_$j" }
         val singles = cols.indices.map { i =>
-          s"""SELECT '${cols(i)}' AS combo, s_$i AS n_distinct,
+          s"""SELECT '${cols(i)}' AS combo,
+            CASE WHEN s_$i = n THEN s_$i END AS n_distinct,
             CAST(s_$i = n AS BIGINT) AS is_unique,
             CAST(s_$i = n AS BIGINT) AS is_minimal_unique FROM m"""
         }
         val pairs = KeyPairs.map { case (i, j) =>
           s"""SELECT '${cols(i)}+${cols(j)}' AS combo,
-            p_${i}_$j AS n_distinct,
+            CASE WHEN p_${i}_$j = n THEN p_${i}_$j END AS n_distinct,
             CAST(p_${i}_$j = n AS BIGINT) AS is_unique,
             CAST(p_${i}_$j = n AND s_$i <> n AND s_$j <> n AS BIGINT)
               AS is_minimal_unique FROM m"""

@@ -606,6 +606,99 @@ class AdversarialParitySpec extends SparkSpec {
       assert(run(name).count() === n, s"$name cardinality")
   }
 
+  // ---- coverage invariant: every registered query is CLASSIFIED for
+  //      adversarial coverage, so a future round can't add operators
+  //      the null/unicode sweep silently never sees. Three disjoint
+  //      classes, together exactly the registry:
+  //      1. value-pinned here (a test above runs the query on this
+  //         corpus and asserts judge-verified rows / cardinalities);
+  //      2. sf0.01-pinned VALUES oracles — their oracle is a constant
+  //         valid only at the driver's sf, so an adversarial-corpus
+  //         hash compare is mismatched BY DESIGN (the 4 documented
+  //         sweep mismatches + g4, same contract);
+  //      3. sweep-covered: DuckDB hash-exact in the offline
+  //         full-portfolio adversarial sweep (tools/make_adversarial.py
+  //         -> Verify -> check_oracle; last full run 2026-08-15,
+  //         130/134), with no committed per-value pin.
+  //      Adding a query without classifying it fails this test.
+
+  /** Queries a test above runs against this corpus (mirror of the
+    * `run(...)` calls + the family-battery map). */
+  private val pinnedHere: Set[String] = Set(
+    "t2_quality_scores", "d16_corpus_diff", "d15_bloom_decontamination",
+    "mm1_media_features", "mm2_frame_samples", "mm4_media_dedup",
+    "d4_ngram_jaccard", "st10_stream_pipeline_admission",
+    "e2_corpus_card", "e3_shard_manifest", "e4_mixture_manifest",
+    "st11_stream_mixture_sampler", "d17_contamination_report",
+    "d18_containment", "d19_source_overlap", "t14_bpe_pairs",
+    "t15_context_fit", "t16_oov_rate", "e6_training_order",
+    "d20_threshold_sweep", "s9_ann_recall", "t17_readability",
+    "e7_effective_tokens", "e8_release_manifest",
+    "st13_stream_quality_monitor", "d21_lsh_recall",
+    "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
+    "s10_range_search",
+    // family battery (row-count pins)
+    "t1_token_stats", "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
+    "d1_exact_dedup", "mm3_resized", "st4_stream_quality_scrub",
+    "st5_stream_decontaminate", "st7_stream_fuzzy_flag")
+
+  /** sf0.01-pinned VALUES oracles (documented exemptions). */
+  private val sfPinnedOracles: Set[String] = Set(
+    "m4_semantic_type_predictions", "m7_pairwise_features",
+    "m8_bagged_predictions", "q21_approx_distinct", "g4_learned_types")
+
+  /** Hash-exact in the offline sweep, no committed per-value pin. */
+  private val sweepCovered: Set[String] = Set(
+    "d10_substring_windows", "d11_semantic_dedup", "d12_fuzzy_decontamination",
+    "d13_cluster_canonical", "d14_incremental_dedup", "d2_minhash_lsh",
+    "d3_simhash", "d5_embedding_neardup", "d6_dup_clusters",
+    "d7_decontamination", "d8_leakage_safe_split", "d9_embedding_clusters",
+    "e1_training_pipeline", "e5_epoch_plan", "g1_semantic_models",
+    "g2_alignment_graph", "g3_model_evaluation", "m10_lexical_features",
+    "m1_knn_name_features", "m2_min_class_distance", "m3_char_cosine_features",
+    "m5_resample_counts", "m6_matcher_eval", "m9_word_tf",
+    "p10_column_correlation", "p11_quantile_profile", "p12_key_discovery",
+    "p13_profile_drift", "p14_embedding_profile", "p1_profile_customer",
+    "p2_profile_documents", "p3_profile_orders", "p4_numeric_stats",
+    "p5_inferred_types", "p6_profile_part", "p7_inclusion_deps",
+    "p8_inclusion_deps_approx", "p9_functional_deps", "q10_customers_without_final_orders",
+    "q11_nations_cust_and_supp", "q12_events_daily", "q13_events_props",
+    "q14_orders_by_month", "q15_part_type_volume", "q16_event_deltas",
+    "q17_moving_avg", "q18_priority_count", "q19_rollup_revenue",
+    "q1_pricing_summary", "q20_salted_agg", "q22_asof_join",
+    "q23_range_join", "q24_sessionize", "q25_bucketed_join",
+    "q26_partition_pruned", "q27_percentiles", "q28_pivot",
+    "q29_latest_snapshot", "q2_filter_project", "q30_cube",
+    "q31_grouping_sets", "q32_skyline", "q3_top_customers",
+    "q5_nation_revenue", "q6_revenue_delta", "q7_distinct_parts",
+    "q8_window_top_orders", "q9_customers_with_open_orders", "s1_ann_bruteforce",
+    "s2_ann_lsh", "s3_ann_ivf", "s4_kmeans_embeddings",
+    "s5_ann_ivf_kmeans", "s6_ann_pq", "s7_ann_ivfadc",
+    "s8_knn_graph", "st12_stream_oov_monitor", "st1_stream_event_rollup",
+    "st2_stream_sessions", "st3_stream_distinct_docs", "st6_stream_semantic_flag",
+    "st8_stream_incremental_dedup", "st9_stream_drift_monitor", "t10_word_rarity",
+    "t11_importance_weights", "t12_lm_perplexity", "t13_boilerplate",
+    "t3_lang_id", "t7_mixture_sample", "t8_sequence_pack",
+    "t9_gopher_rules")
+
+  test("every registered query has an adversarial-coverage classification") {
+    val all = SparkEntry.queries.keySet
+    val classes = Seq(
+      "pinnedHere" -> pinnedHere,
+      "sfPinnedOracles" -> sfPinnedOracles,
+      "sweepCovered" -> sweepCovered)
+    for {
+      ((na, a), i) <- classes.zipWithIndex
+      (nb, b) <- classes.drop(i + 1)
+    } assert((a & b).isEmpty, s"$na and $nb overlap: ${a & b}")
+    val classified = classes.map(_._2).reduce(_ ++ _)
+    assert((all -- classified).isEmpty,
+      "new queries need a pin here, a documented sf-pin exemption, or a " +
+        s"sweep run + listing: ${(all -- classified).toSeq.sorted}")
+    assert((classified -- all).isEmpty,
+      s"stale classification entries: ${(classified -- all).toSeq.sorted}")
+  }
+
   override def afterAll(): Unit = {
     graft.core.Caches.release(spark)
     super.afterAll()

@@ -123,6 +123,7 @@ class GlobalPlanSpec extends SparkSpec {
     "g1_semantic_models" -> 1,
     "g2_alignment_graph" -> 1,
     "g3_model_evaluation" -> 0,
+    "g4_learned_types" -> 1,
     "m10_lexical_features" -> 2,
     "m1_knn_name_features" -> 2,
     "m2_min_class_distance" -> 2,

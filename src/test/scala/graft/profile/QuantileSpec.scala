@@ -31,9 +31,12 @@ class QuantileSpec extends SparkSpec {
       "pairs containing it") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("p12_key_discovery")(spark, sf)
-      .collect().map(r => r.getAs[String]("combo") ->
-        (r.getAs[Long]("n_distinct"), r.getAs[Long]("is_unique"),
-          r.getAs[Long]("is_minimal_unique"))).toMap
+      .collect().map { r =>
+        r.getAs[String]("combo") ->
+          (if (r.isNullAt(r.fieldIndex("n_distinct"))) None
+           else Some(r.getAs[Long]("n_distinct")),
+            r.getAs[Long]("is_unique"), r.getAs[Long]("is_minimal_unique"))
+      }.toMap
     assert(out.size === ProfileQueries.KeyCols.size +
       ProfileQueries.KeyPairs.size)
     // the primary key is unique AND minimal
@@ -46,13 +49,28 @@ class QuantileSpec extends SparkSpec {
     // low-cardinality singles are not unique
     assert(out("o_orderstatus")._2 === 0L)
     assert(out("o_orderpriority")._2 === 0L)
-    // cross-check one pair count against a direct computation
-    val direct = graft.sources.Tables.table(spark, sf, "orders")
-      .select(org.apache.spark.sql.functions.countDistinct(
-        org.apache.spark.sql.functions.col("o_custkey"),
-        org.apache.spark.sql.functions.col("o_orderdate")))
-      .head().getLong(0)
-    assert(out("o_custkey+o_orderdate")._1 === direct)
+    // proven keys report the exact count = row count; everything else
+    // reports NULL (never an HLL estimate)
+    val total = graft.sources.Tables.table(spark, sf, "orders").count()
+    out.foreach { case (k, (nd, uniq, _)) =>
+      if (uniq === 1L) assert(nd === Some(total), k)
+      else assert(nd === None, s"$k: non-key must report NULL n_distinct")
+    }
+    // the screen never drops a real key: recompute uniqueness exactly
+    // for every combo and compare verdicts
+    val cols = ProfileQueries.KeyCols
+    val orders = graft.sources.Tables.table(spark, sf, "orders")
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    cols.foreach { c =>
+      val exact = orders.select(countDistinct(col(c))).head().getLong(0)
+      assert(out(c)._2 === (if (exact == total) 1L else 0L), c)
+    }
+    ProfileQueries.KeyPairs.foreach { case (i, j) =>
+      val exact = orders
+        .select(countDistinct(col(cols(i)), col(cols(j)))).head().getLong(0)
+      assert(out(s"${cols(i)}+${cols(j)}")._2 ===
+        (if (exact == total) 1L else 0L), s"${cols(i)}+${cols(j)}")
+    }
   }
 
   test("p11 answers constant columns from pass-1 stats") {
