@@ -488,6 +488,31 @@ object DedupQueries {
               len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold
       )"""
 
+  /** DuckDB twin of [[containmentCandidates]]: the bottom-k keys,
+    * their hot-key cap, and the two-channel union `cpairs` — appended
+    * after [[d2CoreSql]] (consumes its `base` and `capped`). Shared by
+    * d18's oracle and d22's audit twin. */
+  private[graft] def containSqlCtes: String = s"""bkeys AS (
+        SELECT doc_id, unnest(list_sort(list_distinct(
+          list_transform(sh, s -> md5(s))))[1:$ContainBottomK]) AS fp
+        FROM base
+      ), bcapped AS (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fsz
+          FROM bkeys
+        ) WHERE fsz <= $MaxBucket
+      ), cpairs AS (
+        SELECT DISTINCT doc1, doc2 FROM (
+          SELECT x.doc_id AS doc1, y.doc_id AS doc2
+          FROM capped x JOIN capped y
+            ON x.bk = y.bk AND x.doc_id < y.doc_id
+          UNION ALL
+          SELECT x.doc_id AS doc1, y.doc_id AS doc2
+          FROM bcapped x JOIN bcapped y
+            ON x.fp = y.fp AND x.doc_id < y.doc_id
+        )
+      )"""
+
   /** d7: word n-gram size for benchmark decontamination. */
   val DecontamN = 5
 
@@ -1369,19 +1394,24 @@ object DedupQueries {
     //      |A∩B|/|A∪B| shrinks with the size gap, so d2's verify
     //      discards exactly the pairs this operator exists to flag
     //      (Broder 1997 separates the two resemblance measures for
-    //      this reason). Candidates come from the SAME persisted d2
-    //      band index (zero extra build; the operator's contract is
-    //      containment over the index's candidate pairs — at a large
-    //      size gap band-collision recall decays, the documented
-    //      approximation, same class as d5's LSH recall), then one
-    //      exact shingle-intersect verify with an INTEGER threshold
-    //      test (inter·10 >= 6·min(n1,n2) — no float compare can
-    //      disagree between engines). Skew/scale: rides d2's
-    //      hot-bucket cap; the verify join ships shingle arrays only
-    //      for candidate pairs.
+    //      this reason). Candidates come from TWO channels unioned in
+    //      the shared [[containmentCandidates]] table: the persisted
+    //      d2 band index (strong at Jaccard-sized gaps, decays as
+    //      1-(1-J²)^32 when the size gap shrinks J — the round-11
+    //      documented approximation) and the round-12 bottom-k
+    //      shingle-fingerprint channel, which exploits containment's
+    //      subset structure and stays flat exactly where banding
+    //      collapses (see [[ContainBottomK]]; d22 is the committed
+    //      recall audit, ContainmentRecallSpec the planted gap
+    //      curve). Then one exact shingle-intersect verify with an
+    //      INTEGER threshold test (inter·10 >= 6·min(n1,n2) — no
+    //      float compare can disagree between engines). Skew/scale:
+    //      both channels hot-key capped; the verify join ships
+    //      shingle arrays only for candidate pairs.
     "d18_containment" -> QueryDef(
-      (s, dir) => containmentPairs(cappedBanded(s, dir), shingled(s, dir)),
-      Some(s"""WITH $d2CoreSql
+      (s, dir) =>
+        containmentVerify(containmentCandidates(s, dir), shingled(s, dir)),
+      Some(s"""WITH $d2CoreSql, $containSqlCtes
       SELECT doc1, doc2,
         CAST(len(a.sh) AS BIGINT) AS n1,
         CAST(len(b.sh) AS BIGINT) AS n2,
@@ -1392,8 +1422,8 @@ object DedupQueries {
           / len(b.sh), 6) AS c21,
         CASE WHEN len(a.sh) <= len(b.sh) THEN doc1 ELSE doc2 END
           AS contained_doc
-      FROM pairs JOIN base a ON pairs.doc1 = a.doc_id
-                 JOIN base b ON pairs.doc2 = b.doc_id
+      FROM cpairs JOIN base a ON cpairs.doc1 = a.doc_id
+                  JOIN base b ON cpairs.doc2 = b.doc_id
       WHERE len(list_intersect(a.sh, b.sh)) * $ContainDenom >=
         $ContainNum * least(len(a.sh), len(b.sh))
       ORDER BY doc1, doc2""")),
@@ -1561,11 +1591,15 @@ object DedupQueries {
     "d21_lsh_recall" -> QueryDef(
       (s, dir) => {
         // slice bound anchored at min(doc_id): the audit window follows
-        // the corpus's id range instead of assuming density from 0
-        val lo = broadcast(shingled(s, dir)
-          .agg((min(col("doc_id")) + LshEvalMaxId).as("hi")))
-        val slice = shingled(s, dir).crossJoin(lo)
-          .filter(col("doc_id") < col("hi") && size(col("sh")) > 0)
+        // the corpus's id range instead of assuming density from 0.
+        // One bounded 1-row collect (the d7 size-gate pattern) keeps
+        // the plan literal-filtered — a crossJoin'd scalar would add a
+        // corpus scan + agg per consumer.
+        val hiRow = shingled(s, dir).agg(min(col("doc_id"))).collect().head
+        val hi = if (hiRow.isNullAt(0)) Long.MinValue // empty corpus
+          else hiRow.getLong(0) + LshEvalMaxId
+        val slice = shingled(s, dir)
+          .filter(col("doc_id") < hi && size(col("sh")) > 0)
           .select(col("doc_id"), col("sh"))
         val truth = slice.select(col("doc_id").as("doc1"),
             col("sh").as("sh1"))
@@ -1575,8 +1609,8 @@ object DedupQueries {
           .select(col("doc1"), col("doc2"),
             expr("""size(array_intersect(sh1, sh2)) * 1000000L
               div size(array_union(sh1, sh2))""").as("jm"))
-        val found = minhashPairs(s, dir).crossJoin(lo)
-          .filter(col("doc1") < col("hi") && col("doc2") < col("hi"))
+        val found = minhashPairs(s, dir)
+          .filter(col("doc1") < hi && col("doc2") < hi)
           .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
         truth.join(found, Seq("doc1", "doc2"), "left")
           .agg(count(lit(1)).as("n_truth"),
@@ -1613,7 +1647,90 @@ object DedupQueries {
         CAST(sum(CASE WHEN hit IS NULL THEN jm END) //
           nullif(count(CASE WHEN hit IS NULL THEN 1 END), 0) AS BIGINT)
           AS mean_missed_jaccard_micro
-      FROM truth LEFT JOIN found USING (doc1, doc2)"""))
+      FROM truth LEFT JOIN found USING (doc1, doc2)""")),
+
+    // ---- d22: CONTAINMENT recall audit — d21's posture for d18's
+    //      honest approximation. d18's candidates come from d2's
+    //      Jaccard-tuned band index, and containment's target pairs
+    //      (short doc inside a much longer one) are precisely where
+    //      minhash band collision is weakest: P(band hit) falls with
+    //      the Jaccard, and a contained doc's Jaccard shrinks as
+    //      min/max of the size gap. This report MEASURES that decay
+    //      instead of narrating it: exact all-pairs containment truth
+    //      over the same min-anchored bounded slice d21 uses, found =
+    //      d18's own pipeline (band candidates + identical integer
+    //      gate, so found ⊆ truth by construction), grouped by the
+    //      SIZE-RATIO bucket max(n1,n2) div min(n1,n2) capped at 4
+    //      (bucket 4 = "4x or wider" — the gap class where collapse
+    //      is expected). One row per occupied bucket: the recall
+    //      curve a team reads before trusting d18 at a given gap.
+    //      ContainmentRecallSpec drives a PLANTED gap corpus (ratios
+    //      1-8x) and records the measured curve; the decision rule
+    //      (size-stratified banding if bucket-4 recall collapses) is
+    //      documented there with the numbers.
+    "d22_containment_recall" -> QueryDef(
+      (s, dir) => {
+        val hiRow = shingled(s, dir).agg(min(col("doc_id"))).collect().head
+        val hi = if (hiRow.isNullAt(0)) Long.MinValue
+          else hiRow.getLong(0) + LshEvalMaxId
+        val slice = shingled(s, dir)
+          .filter(col("doc_id") < hi && size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh"))
+        val truth = slice.select(col("doc_id").as("doc1"),
+            col("sh").as("sh1"))
+          .join(slice.select(col("doc_id").as("doc2"),
+            col("sh").as("sh2")), col("doc1") < col("doc2"))
+          .withColumn("n1", size(col("sh1")).cast("long"))
+          .withColumn("n2", size(col("sh2")).cast("long"))
+          .withColumn("inter",
+            size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+          .filter(col("inter") * ContainDenom >=
+            least(col("n1"), col("n2")) * ContainNum)
+          .select(col("doc1"), col("doc2"),
+            expr("least(greatest(n1, n2) div least(n1, n2), 4L)")
+              .as("ratio_bucket"))
+        val found =
+          containmentVerify(containmentCandidates(s, dir), shingled(s, dir))
+          .filter(col("doc1") < hi && col("doc2") < hi)
+          .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
+        truth.join(found, Seq("doc1", "doc2"), "left")
+          .groupBy(col("ratio_bucket"))
+          .agg(count(lit(1)).as("n_truth"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_found"),
+            (count(lit(1)) - coalesce(sum(col("hit")), lit(0L)))
+              .as("n_missed"),
+            expr("""coalesce(sum(hit), 0L) * 1000000L
+              div count(1)""").as("recall_micro"))
+          .orderBy(col("ratio_bucket"))
+      },
+      Some(s"""WITH $d2CoreSql, $containSqlCtes,
+      lo AS (
+        SELECT min(doc_id) + $LshEvalMaxId AS hi FROM base
+      ), slice AS (
+        SELECT doc_id, sh FROM base, lo WHERE doc_id < hi
+      ), ctruth AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          least(greatest(len(a.sh), len(b.sh)) //
+            least(len(a.sh), len(b.sh)), 4) AS ratio_bucket
+        FROM slice a JOIN slice b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * $ContainDenom >=
+          $ContainNum * least(len(a.sh), len(b.sh))
+      ), cfound AS (
+        SELECT doc1, doc2, 1 AS hit
+        FROM cpairs JOIN base a ON cpairs.doc1 = a.doc_id
+                    JOIN base b ON cpairs.doc2 = b.doc_id, lo
+        WHERE doc1 < hi AND doc2 < hi AND
+          len(list_intersect(a.sh, b.sh)) * $ContainDenom >=
+            $ContainNum * least(len(a.sh), len(b.sh))
+      )
+      SELECT CAST(ratio_bucket AS BIGINT) AS ratio_bucket,
+        count(*) AS n_truth,
+        CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_found,
+        CAST(count(*) - coalesce(sum(hit), 0) AS BIGINT) AS n_missed,
+        CAST(coalesce(sum(hit), 0) * 1000000 // count(*) AS BIGINT)
+          AS recall_micro
+      FROM ctruth LEFT JOIN cfound USING (doc1, doc2)
+      GROUP BY 1 ORDER BY 1"""))
   )
 
   /** d18's verify core over ANY `(doc_id, bk)` band index and
@@ -1637,8 +1754,49 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
 
-  def containmentPairs(capped: DataFrame, docs: DataFrame): DataFrame = {
-    candidatePairs(capped)
+  /** d18's second candidate channel: bottom-k shingle fingerprints per
+    * doc. Minhash banding recalls a contained pair with
+    * 1-(1-J²)^Bands, and containment's J shrinks as 1/size-gap — the
+    * decay d22 measures. Bottom-k exploits the SUBSET structure
+    * instead: if sh(S) ⊆ sh(L), any of L's k smallest shingle
+    * fingerprints that lies in S ranks within S's bottom-k
+    * automatically (its rank in S is ≤ its rank in L), so the pair
+    * collides with probability ≈ 1-(1-1/gap)^k — flat where banding
+    * collapses (gap 8: ~88% at k=16 vs ~40% banded). */
+  val ContainBottomK = 16
+
+  /** Bottom-k fingerprint keys, hot-key capped like the band index
+    * (a viral shingle's bucket would otherwise go quadratic). */
+  private def bottomKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(
+      s"""transform(slice(array_sort(array_distinct(
+            transform(sh, x -> md5(x)))), 1, $ContainBottomK),
+          h -> unhex(h))""")).as("fp"))
+      .withColumn("fsz", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("fsz") <= MaxBucket)
+      .select(col("doc_id"), col("fp"))
+
+  /** Containment candidate pairs: the d2 band channel UNION the
+    * bottom-k channel, materialized once per dir (minhashPairs'
+    * lifecycle) and shared by d18 and d22's audit. */
+  def containmentCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"d18-cands|$dir") {
+      val docs = shingled(s, dir)
+      val keys = bottomKeys(docs)
+      val bottom = keys.as("x")
+        .join(keys.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      candidatePairs(cappedBanded(s, dir)).unionByName(bottom).distinct()
+    }
+
+  def containmentPairs(capped: DataFrame, docs: DataFrame): DataFrame =
+    containmentVerify(candidatePairs(capped), docs)
+
+  /** The exact containment verify over ANY ordered candidate-pair
+    * frame (integer gate; see d18's doc comment). */
+  def containmentVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
+    cands
       .join(docs.select(col("doc_id").as("doc1"),
         col("sh").as("sh1")), "doc1")
       .join(docs.select(col("doc_id").as("doc2"),

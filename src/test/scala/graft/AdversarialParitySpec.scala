@@ -341,6 +341,20 @@ class AdversarialParitySpec extends SparkSpec {
     }
   }
 
+  test("d22 containment recall: every pathological true pair recovered") {
+    val rows = run("d22_containment_recall").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    rows.foreach { case (b, t) => info(s"bucket $b: $t") }
+    // the only containment pairs in the corpus are the 14/15/16
+    // dup/near-dup triangle (same-size: ratio bucket 1); both channels
+    // and the exact truth agree — recall 1.0, nothing missed
+    assert(rows === Map(1L -> (3L, 3L, 0L, 1000000L)))
+    // internal consistency with d18: found == the live containment set
+    assert(rows.values.map(_._2).sum === run("d18_containment").count())
+  }
+
   // ---- pin 13: d19's overlap matrix — webA and webB share exactly
   //      the fox-sentence 5-gram shingles (the dup pair 14/15 spans
   //      the sources): 5 shared of 44 vs 8 distinct shingles,
@@ -635,6 +649,7 @@ class AdversarialParitySpec extends SparkSpec {
     "d20_threshold_sweep", "s9_ann_recall", "t17_readability",
     "e7_effective_tokens", "e8_release_manifest",
     "st13_stream_quality_monitor", "d21_lsh_recall",
+    "d22_containment_recall",
     "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
     "s10_range_search",
     // family battery (row-count pins)

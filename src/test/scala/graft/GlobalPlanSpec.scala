@@ -71,6 +71,9 @@ class GlobalPlanSpec extends SparkSpec {
     "d21_lsh_recall" -> ("exact all-pairs ground truth by contract, " +
       "over the FIXED doc_id < LshEvalMaxId audit slice — a constant " +
       "~125k-pair probe at any corpus size, broadcast"),
+    "d22_containment_recall" -> ("same bounded audit-slice contract " +
+      "as d21: exact all-pairs containment truth over the constant " +
+      "min-anchored LshEvalMaxId window, broadcast"),
     "s12_pq_recall" -> ("composes s1's whitelisted brute-force truth " +
       "plus s6/s7's config-bounded ADC frames — s9's rationale for " +
       "the compressed indexes"))
@@ -215,6 +218,7 @@ class GlobalPlanSpec extends SparkSpec {
     "e8_release_manifest" -> 2,
     "s10_range_search" -> 6,
     "d21_lsh_recall" -> 1,
+    "d22_containment_recall" -> 4,
     "e9_curriculum_buckets" -> 3,
     "s11_cluster_report" -> 6,
     // 24 static = s1+s6+s7 composed whole (s9's rationale: the report
