@@ -43,8 +43,18 @@ import org.apache.spark.sql.functions._
   *    agg, the st rollups).
   * Uniform mode stays byte-identical to the original generator.
   *
-  * Usage: ScaleUp <srcSfDir> <dstDir> [factor=10] [skew]. Refuses to
-  * write into /root/testdata (driver-owned, read-only).
+  * Constant-catalog mode (`constsrc`): like uniform but WITHOUT the
+  * per-replica source suffix — documents keep the source catalog of
+  * the input sf. The default suffix makes #sources grow by `factor`
+  * per decade, which is a rehearsal artifact: a production corpus
+  * grows rows per source, not sources. Operators whose state or
+  * output is #sources-shaped (d19's pair matrix, the e-family
+  * per-source reports) are measured against THIS mode for their
+  * production-decade claims; text markers and key offsets are
+  * unchanged, so dedup behavior stays the uniform corpus's.
+  *
+  * Usage: ScaleUp <srcSfDir> <dstDir> [factor=10] [skew|constsrc].
+  * Refuses to write into /root/testdata (driver-owned, read-only).
   */
 object ScaleUp {
 
@@ -52,7 +62,10 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    val skew = args.length > 3 && args(3) == "skew"
+    val mode = if (args.length > 3) args(3) else "uniform"
+    require(Set("uniform", "skew", "constsrc")(mode), s"unknown mode $mode")
+    val skew = mode == "skew"
+    val constSrc = mode == "constsrc"
     // factor 1 would make "replicas factor/2.." the WHOLE corpus —
     // 100% hot instead of the documented Zipf head
     require(!skew || factor >= 2, "skew mode needs factor >= 2")
@@ -138,7 +151,9 @@ object ScaleUp {
     write(reps { i =>
       val keyed = doc.withColumn("doc_id", col("doc_id") + lit(i * dS))
       val base = if (i == 0) keyed else keyed
-        .withColumn("source", concat(col("source"), lit(s"_r$i")))
+        .withColumn("source",
+          if (constSrc) col("source")
+          else concat(col("source"), lit(s"_r$i")))
         .withColumn("text", expr(
           s"""array_join(transform(split(text, ' '),
              (w, j) -> CASE WHEN j % 3 = 2 THEN concat(w, ' zq$i')
