@@ -34,7 +34,12 @@ final case class ModelRef(id: Int, description: String, state: String,
   * the model JSON. */
 class GraftService(val rootDir: String,
     ontology: Ontology = Ontology.tpch,
-    knownModels: Seq[SemanticModel] = Nil) {
+    knownModels: Seq[SemanticModel] = Nil,
+    /** Matcher label -> ontology (class, property), forwarded to every
+      * octopus this service owns (the reference's semanticTypeMap —
+      * lets predict inject classifier-learned types as modeler
+      * candidates; empty = name-based candidates only). */
+    semanticTypeMap: Map[String, (String, String)] = Map.empty) {
 
   private def dsDir(id: Int): Path = Paths.get(rootDir, "datasets", id.toString)
   private def mdDir(id: Int): Path = Paths.get(rootDir, "models", id.toString)
@@ -156,7 +161,8 @@ class GraftService(val rootDir: String,
 
   private def octopus(id: Int): Octopus =
     octopi.getOrElseUpdate(id, {
-      val o = new Octopus(ontology, knownModels, mdDir(id).toString)
+      val o = new Octopus(ontology, knownModels, mdDir(id).toString,
+        semanticTypeMap = semanticTypeMap)
       // rehydrate a model trained by a previous service instance/JVM:
       // artifacts on disk + Complete in the store -> reload both legs
       if (getModel(id).exists(_.state == "Complete")) o.reload()
