@@ -36,7 +36,8 @@ object Bench {
       "q21_approx_distinct", "q22_asof_join", "q23_range_join",
       "q24_sessionize", "q25_bucketed_join", "q26_partition_pruned",
       "q27_percentiles", "q28_pivot", "q29_latest_snapshot", "q30_cube",
-      "q31_grouping_sets", "q32_skyline"),
+      "q31_grouping_sets", "q32_skyline", "q33_funnel",
+      "q34_retention_cohorts"),
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part",
@@ -50,7 +51,8 @@ object Bench {
       "t7_mixture_sample", "t8_sequence_pack", "t9_gopher_rules",
       "t10_word_rarity", "t11_importance_weights",
       "t12_lm_perplexity", "t13_boilerplate", "t14_bpe_pairs",
-      "t15_context_fit", "t16_oov_rate", "t17_readability"),
+      "t15_context_fit", "t16_oov_rate", "t17_readability",
+      "t18_tokenizer_fertility"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
@@ -62,12 +64,13 @@ object Bench {
       "d15_bloom_decontamination", "d16_corpus_diff",
       "d17_contamination_report", "d18_containment",
       "d19_source_overlap", "d20_threshold_sweep", "d21_lsh_recall",
-      "d22_containment_recall"),
+      "d22_containment_recall", "d23_block_scrub"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
       "s7_ann_ivfadc", "s8_knn_graph", "s9_ann_recall",
-      "s10_range_search", "s11_cluster_report", "s12_pq_recall"),
+      "s10_range_search", "s11_cluster_report", "s12_pq_recall",
+      "s13_matryoshka_recall"),
     // matcher: m4 is charged the sample + feature matrix + model train;
     // the rest consume the materialized stages / cached model
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",
@@ -86,7 +89,7 @@ object Bench {
     Seq("e1_training_pipeline", "e2_corpus_card", "e3_shard_manifest",
       "e4_mixture_manifest", "e5_epoch_plan", "e6_training_order",
       "e7_effective_tokens", "e8_release_manifest",
-      "e9_curriculum_buckets"),
+      "e9_curriculum_buckets", "e10_resume_manifest"),
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",
@@ -94,7 +97,7 @@ object Bench {
       "st7_stream_fuzzy_flag", "st8_stream_incremental_dedup",
       "st9_stream_drift_monitor", "st10_stream_pipeline_admission",
       "st11_stream_mixture_sampler", "st12_stream_oov_monitor",
-      "st13_stream_quality_monitor"))
+      "st13_stream_quality_monitor", "st14_stream_block_scrub"))
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1L << 22)

@@ -121,6 +121,10 @@ object DedupQueries {
     * tokens; 8 words fits this corpus's 10-99-word documents). */
   val SubstringWindow = 8
 
+  /** d23: words per non-overlapping scrub block (the "line" unit of
+    * line-level dedup on a corpus without newlines). */
+  val ScrubBlockWords = 10
+
   /** d16 snapshot-derivation constants: old omits doc_id % DiffMod ==
     * DiffAddSlot ("added"), new omits % == DiffRemoveSlot ("removed")
     * and rewrites text when doc_id % DiffChangeMod == DiffChangeSlot
@@ -1730,7 +1734,106 @@ object DedupQueries {
         CAST(coalesce(sum(hit), 0) * 1000000 // count(*) AS BIGINT)
           AS recall_micro
       FROM ctruth LEFT JOIN cfound USING (doc1, doc2)
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- d23: duplicated-block scrub report — the line-level exact
+    //      dedup every CC-scale pipeline runs (CCNet / RefinedWeb drop
+    //      every line that repeats across documents: boilerplate,
+    //      navigation chrome, cookie banners; RefinedWeb measured ~30%
+    //      of web bytes removed this way). The corpus has no newlines,
+    //      so the "line" unit is a fixed [[ScrubBlockWords]]-word
+    //      non-overlapping block — same contract, same plan shape.
+    //      A block is scrubbed when its exact text occurs in >= 2
+    //      DISTINCT docs (every occurrence goes, the CCNet rule —
+    //      unlike d1, which keeps one canonical copy of a whole-doc
+    //      dup). Per-doc report: block/word volume, scrubbed volume,
+    //      retained share.
+    //
+    //      Scale shape: n_blocks/n_words are ROW-LOCAL (array sizes —
+    //      they never ride a shuffle); the only shuffled rows are
+    //      (16-byte block hash, doc_id) pairs — corpus_words/W rows,
+    //      d10's budget — and only hashes that REPEAT across docs
+    //      survive into the join-back (typically a tiny fraction).
+    //      Within-doc repeats ride the same explode with a row-local
+    //      distinct for the doc-count side, so count(*) over the
+    //      deduped frame IS count(distinct doc_id), d10's trick.
+    "d23_block_scrub" -> QueryDef(
+      (s, dir) => {
+        val W = ScrubBlockWords
+        val d = Tables.rebalance(Tables.table(s, dir, "documents"))
+          .select(col("doc_id"),
+            Text.words(coalesce(col("text"), lit(""))).as("w"))
+          .pipelineCache()
+        // every block occurrence: (doc_id, h=md5(block), nw=block words)
+        val b = d.filter(size(col("w")) > 0)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), floor((size(col("w")) - 1) / lit(W))
+                .cast("int")),
+              i => struct(
+                unhex(md5(concat_ws(" ",
+                  slice(col("w"), i * W + 1, lit(W)))
+                  .cast("binary"))).as("h"),
+                size(slice(col("w"), i * W + 1, lit(W)))
+                  .cast("long").as("nw")))).as("blk"))
+          .select(col("doc_id"), col("blk.h").as("h"),
+            col("blk.nw").as("nw"))
+        val dupH = b.select(col("doc_id"), col("h")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2).select(col("h"))
+        val scrubbed = b.join(dupH, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_blocks"),
+            sum(col("nw")).as("removed_words"))
+        d.select(col("doc_id"),
+            (((size(col("w")) + W - 1) / W).cast("long")).as("n_blocks"),
+            size(col("w")).cast("long").as("n_words"))
+          .join(scrubbed, Seq("doc_id"), "left")
+          .withColumn("n_dup_blocks", coalesce(col("n_dup_blocks"), lit(0L)))
+          .withColumn("removed_words",
+            coalesce(col("removed_words"), lit(0L)))
+          .withColumn("retained_micro", expr(
+            """(n_words - removed_words) * 1000000L
+              div nullif(n_words, 0L)"""))
+          .select(col("doc_id"), col("n_blocks"), col("n_words"),
+            col("n_dup_blocks"), col("removed_words"),
+            col("retained_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+        SELECT doc_id,
+          regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS w
+        FROM documents
+      ), b AS (
+        SELECT doc_id,
+          md5(array_to_string(
+            list_slice(w, i*$ScrubBlockWords + 1,
+              i*$ScrubBlockWords + $ScrubBlockWords), ' ')) AS h,
+          CAST(len(list_slice(w, i*$ScrubBlockWords + 1,
+            i*$ScrubBlockWords + $ScrubBlockWords)) AS BIGINT) AS nw
+        FROM (
+          SELECT doc_id, w,
+            unnest(range(0,
+              (len(w) + ${ScrubBlockWords - 1}) // $ScrubBlockWords)) AS i
+          FROM d WHERE len(w) > 0)
+      ), duph AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM b)
+        GROUP BY h HAVING count(*) >= 2
+      ), scrub AS (
+        SELECT doc_id, count(*) AS n_dup_blocks,
+          CAST(sum(nw) AS BIGINT) AS removed_words
+        FROM b JOIN duph USING (h) GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+        CAST((len(w) + ${ScrubBlockWords - 1}) // $ScrubBlockWords
+          AS BIGINT) AS n_blocks,
+        CAST(len(w) AS BIGINT) AS n_words,
+        coalesce(s.n_dup_blocks, 0) AS n_dup_blocks,
+        coalesce(s.removed_words, 0) AS removed_words,
+        (CAST(len(w) AS BIGINT) - coalesce(s.removed_words, 0)) * 1000000
+          // nullif(CAST(len(w) AS BIGINT), 0) AS retained_micro
+      FROM d LEFT JOIN scrub s USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 
   /** d18's verify core over ANY `(doc_id, bk)` band index and

@@ -46,6 +46,11 @@ object PipelineQueries {
     * slim rows, so no split can collapse sharding into one task. */
   val ShardMacroDocs = 1000000L
 
+  /** e10: the checkpoint grid, as percentages of the train pool's
+    * token volume. Interpolated into the oracle SQL so the two can't
+    * drift. */
+  val ResumeGridPct: Seq[Long] = Seq(10L, 25L, 50L, 75L, 90L)
+
   /** e1's per-doc ledger (unordered) — shared with e3 (which shards
     * the `final_keep = 1` survivors), admittedSlim, and e9.
     * MATERIALIZED once per corpus: the ledger is the pipeline's
@@ -945,6 +950,99 @@ object PipelineQueries {
         CAST(CAST(n_tokens AS HUGEINT) * 1000000 //
           nullif(sum(n_tokens) OVER (PARTITION BY source), 0) AS BIGINT)
           AS share_micro
-      FROM bucketed ORDER BY source, bucket"""))
+      FROM bucketed ORDER BY source, bucket""")),
+
+    // ---- e10: dataloader resume manifest — the checkpoint/restart
+    //      bookkeeping a long training run needs: for each checkpoint
+    //      on a fixed fraction grid of the train pool's token volume
+    //      ([[ResumeGridPct]]), WHERE in e3's deterministic shard
+    //      layout does consumption stand — the shard the run is
+    //      inside, how many shards/docs are fully behind it, and how
+    //      many tokens into the current shard the cursor sits. A crash
+    //      at step K resumes from (shard, offset) without replaying
+    //      the corpus, and the answer is a pure function of the shard
+    //      manifest, so every rank computes the same cursor.
+    //
+    //      Scale shape: everything runs on e3's shard manifest, which
+    //      is metadata-sized BY CONSTRUCTION (pool_tokens/budget rows;
+    //      a production budget keeps it thousands, not billions) — the
+    //      global-order window and the 5-row grid cross-join never see
+    //      corpus-proportional data, and the corpus itself is only
+    //      touched through the shared materialized admittedSlim.
+    "e10_resume_manifest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val shards = shardManifest(
+          admittedSlim(s, dir)
+            .filter(col("split") === "train")
+            .select(col("doc_id"), col("split"), col("n_tokens")),
+          ShardTokenBudget, ShardMacroDocs)
+        val w = Window.orderBy(col("macro_shard"), col("shard_seq"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ord = shards
+          .withColumn("cum_end", sum(col("n_tokens")).over(w))
+          .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+          .withColumn("docs_done",
+            sum(col("n_docs")).over(w) - col("n_docs"))
+          .withColumn("shards_done",
+            row_number().over(Window.orderBy(col("macro_shard"),
+              col("shard_seq"))).cast("long") - 1L)
+        val tot = shards.agg(sum(col("n_tokens")).as("total"))
+        val grid = ResumeGridPct.toDF("checkpoint_pct")
+        grid.crossJoin(broadcast(tot))
+          .withColumn("token_target",
+            expr("total * checkpoint_pct div 100"))
+          .join(broadcast(ord),
+            col("token_target") >= col("cum_start") &&
+              col("token_target") < col("cum_end"))
+          .select(col("checkpoint_pct"), col("token_target"),
+            col("macro_shard"), col("shard_seq"), col("shards_done"),
+            col("docs_done"), col("cum_start"),
+            (col("token_target") - col("cum_start"))
+              .as("tokens_into_shard"))
+          .orderBy(col("checkpoint_pct"))
+      },
+      Some(s"""WITH $ledgerSqlCtes,
+      ledger AS ($ledgerSqlSelect),
+      adm AS (
+        SELECT l.doc_id, l.split,
+          coalesce(CAST(len(regexp_extract_all(d.text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens,
+          l.doc_id // $ShardMacroDocs AS macro_shard
+        FROM ledger l JOIN documents d USING (doc_id)
+        WHERE l.final_keep = 1 AND l.split = 'train'
+      ), c AS (
+        SELECT doc_id, split, macro_shard, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY split, macro_shard
+            ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM adm
+      ), shards AS (
+        SELECT CAST(macro_shard AS BIGINT) AS macro_shard,
+          CAST((cum - n_tokens) // $ShardTokenBudget AS BIGINT)
+            AS shard_seq,
+          count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM c GROUP BY 1, 2
+      ), ord AS (
+        SELECT macro_shard, shard_seq, n_docs, n_tokens,
+          CAST(sum(n_tokens) OVER o AS BIGINT) AS cum_end,
+          CAST(sum(n_tokens) OVER o - n_tokens AS BIGINT) AS cum_start,
+          CAST(sum(n_docs) OVER o - n_docs AS BIGINT) AS docs_done,
+          CAST(row_number() OVER (ORDER BY macro_shard, shard_seq) - 1
+            AS BIGINT) AS shards_done
+        FROM shards
+        WINDOW o AS (ORDER BY macro_shard, shard_seq
+          ROWS UNBOUNDED PRECEDING)
+      ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM shards)
+      SELECT CAST(g.pct AS BIGINT) AS checkpoint_pct,
+        CAST(total * g.pct // 100 AS BIGINT) AS token_target,
+        macro_shard, shard_seq, shards_done, docs_done, cum_start,
+        CAST(total * g.pct // 100 - cum_start AS BIGINT)
+          AS tokens_into_shard
+      FROM (VALUES ${ResumeGridPct.map(p => s"($p)").mkString(", ")}) g(pct)
+      CROSS JOIN tot
+      JOIN ord ON total * g.pct // 100 >= cum_start
+        AND total * g.pct // 100 < cum_end
+      ORDER BY checkpoint_pct"""))
   )
 }

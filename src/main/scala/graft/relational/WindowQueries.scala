@@ -1,5 +1,6 @@
 package graft.relational
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -521,6 +522,145 @@ object WindowQueries {
           AND s.o_orderdate <= r.o_orderdate
           AND (s.o_totalprice > r.o_totalprice
             OR s.o_orderdate < r.o_orderdate))
-      ORDER BY r.o_orderkey"""))
+      ORDER BY r.o_orderkey""")),
+
+    // ---- q33: ordered funnel (view -> click -> purchase). The classic
+    //      product-analytics query MATCH_RECOGNIZE engines special-case;
+    //      here it's three filtered scans chained by key-equality joins
+    //      on user_id — each step's frame only carries users still in
+    //      the funnel, so the work SHRINKS monotonically. No per-user
+    //      window over the raw event log (a user's full history never
+    //      has to be sorted), no skew risk (each step is min-per-user).
+    //      "Ordered" is strict: step N+1 must happen strictly after the
+    //      user's FIRST step-N event (the standard first-touch funnel).
+    //      Second truncation via unix_timestamp = floor(epoch()) in the
+    //      twin, the q24 contract.
+    "q33_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.table(s, dir, "events")
+          .select($"user_id", $"event_type", $"ts")
+        def firstAfter(step: String, prev: DataFrame, prevT: String,
+            outT: String): DataFrame =
+          ev.filter($"event_type" === step)
+            .join(prev.select($"user_id", col(prevT)), "user_id")
+            .filter($"ts" > col(prevT))
+            .groupBy($"user_id")
+            .agg(min($"ts").as(outT), min(col(prevT)).as(prevT))
+        val s1 = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val s2 = firstAfter("click", s1, "t1", "t2")
+        val s3 = firstAfter("purchase", s2, "t2", "t3")
+        def row(df: DataFrame, step: String, t: String, tPrev: Option[String])
+            : DataFrame = {
+          val gap: Column = tPrev match {
+            case Some(p) =>
+              sum(unix_timestamp(col(t)) - unix_timestamp(col(p)))
+            case None => max(lit(null).cast("long"))
+          }
+          df.agg(count(lit(1)).as("n_users"), gap.as("sum_gap_sec"))
+            .withColumn("step", lit(step))
+        }
+        val steps = row(s1, "1_view", "t1", None)
+          .unionByName(row(s2, "2_click", "t2", Some("t1")))
+          .unionByName(row(s3, "3_purchase", "t3", Some("t2")))
+        steps
+          .withColumn("conv_prev_micro", expr(
+            "CAST(n_users * 1000000 div lag(n_users, 1) OVER " +
+              "(ORDER BY step) AS LONG)"))
+          .withColumn("conv_first_micro", expr(
+            "CAST(n_users * 1000000 div first(n_users) OVER " +
+              "(ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+              "CURRENT ROW) AS LONG)"))
+          .withColumn("mean_gap_sec_micro", expr(
+            "CAST(CAST(sum_gap_sec AS DECIMAL(38,0)) * 1000000 " +
+              "div nullif(n_users, 0L) AS LONG)"))
+          .select($"step", $"n_users", $"conv_prev_micro",
+            $"conv_first_micro", $"mean_gap_sec_micro")
+          .orderBy($"step")
+      },
+      Some("""WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+      ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+      ), steps AS (
+        SELECT '1_view' AS step, count(*) AS n_users,
+          CAST(NULL AS BIGINT) AS sum_gap_sec FROM s1
+        UNION ALL
+        SELECT '2_click', count(*),
+          CAST(sum(CAST(floor(epoch(t2)) AS BIGINT)
+            - CAST(floor(epoch(t1)) AS BIGINT)) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT '3_purchase', count(*),
+          CAST(sum(CAST(floor(epoch(t3)) AS BIGINT)
+            - CAST(floor(epoch(t2)) AS BIGINT)) AS BIGINT) FROM s3
+      )
+      SELECT step, n_users,
+        CAST(n_users * 1000000 // lag(n_users) OVER (ORDER BY step)
+          AS BIGINT) AS conv_prev_micro,
+        CAST(n_users * 1000000 // first_value(n_users) OVER
+          (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS conv_first_micro,
+        CAST(CAST(sum_gap_sec AS HUGEINT) * 1000000 //
+          nullif(n_users, 0) AS BIGINT) AS mean_gap_sec_micro
+      FROM steps ORDER BY step""")),
+
+    // ---- q34: retention cohort matrix. Cohort = a user's first-event
+    //      date; one row per (cohort_date, day_offset) with the count of
+    //      cohort users active that day and the retention share. Two
+    //      shuffles total, both on user_id (first-date min + the
+    //      activity-days distinct ride the same key), then a
+    //      map-side-combined groupBy on the BOUNDED (date, offset) grid
+    //      — the output is calendar-sized, never data-sized, so the
+    //      report is drawable at any corpus scale.
+    "q34_retention_cohorts" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.table(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"))
+        val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_date"))
+        val cohortN = first.groupBy($"cohort_date")
+          .agg(count(lit(1)).as("cohort_n"))
+        ev.distinct()
+          .join(first, "user_id")
+          .withColumn("day_offset", datediff($"d", $"cohort_date")
+            .cast("long"))
+          .groupBy($"cohort_date", $"day_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .join(cohortN, "cohort_date")
+          .withColumn("retention_micro",
+            expr("CAST(n_active * 1000000 div cohort_n AS LONG)"))
+          .select($"cohort_date", $"day_offset", $"n_active",
+            $"cohort_n", $"retention_micro")
+          .orderBy($"cohort_date", $"day_offset")
+      },
+      Some("""WITH ev AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      ), first AS (
+        SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id
+      ), cn AS (
+        SELECT cohort_date, count(*) AS cohort_n FROM first GROUP BY 1
+      ), act AS (
+        SELECT f.cohort_date,
+          CAST(date_diff('day', f.cohort_date, ev.d) AS BIGINT)
+            AS day_offset,
+          count(*) AS n_active
+        FROM ev JOIN first f ON ev.user_id = f.user_id
+        GROUP BY 1, 2
+      )
+      SELECT a.cohort_date, a.day_offset, a.n_active, cn.cohort_n,
+        CAST(a.n_active * 1000000 // cn.cohort_n AS BIGINT)
+          AS retention_micro
+      FROM act a JOIN cn USING (cohort_date)
+      ORDER BY a.cohort_date, a.day_offset"""))
   )
 }

@@ -793,7 +793,92 @@ object SimilarityQueries {
       ("s11_cluster_report" -> QueryDef(s11Cluster, Some(s11Sql))) +
       ("s12_pq_recall" -> QueryDef(
         (s, dir) => recallReport(s, dir, s12Methods),
-        Some(recallSql(s12Methods))))
+        Some(recallSql(s12Methods)))) +
+      ("s13_matryoshka_recall" -> QueryDef(s13Matryoshka, Some(s13Sql)))
+
+  // ---- s13: Matryoshka / truncated-dimension recall — the adaptive-
+  //      retrieval question: how much of the exact 64-dim top-k does a
+  //      PREFIX of the embedding recover? (MRL-trained embeddings are
+  //      served truncated at 1/8-1/2 width to cut index bytes and dot
+  //      cost; this report is the evidence a width is safe.) For each
+  //      prefix width, brute-force top-k on the sliced vectors graded
+  //      against s1's full-width exact truth, s9's report shape. The
+  //      result sets are NumQueries×TopK-bounded at any corpus size;
+  //      the per-width scoring joins are broadcast-query × corpus scans
+  //      exactly like s1 (at 100 TB the same widths would ride the LSH
+  //      bucketed path instead of brute force — the report's CONTRACT
+  //      is the grade, not the search strategy). A zero prefix (all
+  //      leading dims 0) nullif-guards the cosine in both engines; NULL
+  //      cos ranks last under DESC in both.
+  private def MatryoshkaDims: Seq[Int] = Seq(8, 16, 32)
+
+  private def s13Matryoshka(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val per = MatryoshkaDims.map { d =>
+      val ed = e.select(col("vec_id"), slice(col("v"), 1, d).as("vd"))
+        .withColumn("nrm", Text.norm(col("vd")))
+      val q = broadcast(ed.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("vd").as("qv"),
+          col("nrm").as("qnrm")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      q.join(ed, col("query_id") =!= col("vec_id"))
+        .withColumn("cos", round(Text.dot(col("qv"), col("vd")) /
+          expr("nullif(qnrm * nrm, CAST(0 AS DOUBLE))"), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(lit(d.toLong).as("trunc_dims"), col("query_id"),
+          col("vec_id").as("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    per.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("trunc_dims"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(tot))
+      .withColumn("recall_micro", expr("n_hits * 1000000 div n_truth"))
+      .select(col("trunc_dims"), col("n_truth"), col("n_returned"),
+        col("n_hits"), col("recall_micro"))
+      .orderBy(col("trunc_dims"))
+  }
+
+  private def s13Sql: String = {
+    val s1 = baseDefs("s1_ann_bruteforce").oracle.get
+    val blocks = MatryoshkaDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS trunc_dims, query_id, neighbor_id
+          FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM (
+              SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                round(list_sum(list_transform(
+                    list_zip(q.v[1:$d], b.v[1:$d]), x -> x[1] * x[2])) /
+                  nullif(sqrt(list_sum(list_transform(q.v[1:$d],
+                      x -> x*x))) *
+                    sqrt(list_sum(list_transform(b.v[1:$d], x -> x*x))),
+                    0), 6) AS cos
+              FROM e q JOIN e b
+                ON q.vec_id < $NumQueries AND q.vec_id <> b.vec_id
+            ) sc$d
+          ) r$d WHERE rank <= $TopK"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), truth AS (SELECT query_id, neighbor_id FROM ($s1) t1),
+      tot AS (SELECT count(*) AS n_truth FROM truth),
+      m AS ($blocks)
+    SELECT trunc_dims, n_truth,
+      CAST(count(*) AS BIGINT) AS n_returned,
+      CAST(count(t.x) AS BIGINT) AS n_hits,
+      CAST(count(t.x) * 1000000 // n_truth AS BIGINT) AS recall_micro
+    FROM m LEFT JOIN (SELECT query_id, neighbor_id, 1 AS x FROM truth) t
+      USING (query_id, neighbor_id) CROSS JOIN tot
+    GROUP BY trunc_dims, n_truth ORDER BY trunc_dims"""
+  }
 
   /** Subspaced melt for PQ: (vec_id, sub, d, x6), sub = d div subDim. */
   private def pqMelt(s: org.apache.spark.sql.SparkSession,

@@ -904,8 +904,104 @@ object StreamingQueries {
         FROM src s LEFT JOIN base b USING (source)
         WHERE s.doc_id % $DeltaMod = 0
         ORDER BY s.doc_id"""
+      }),
+
+    // ---- st14: streaming block-scrub admission — d23's front, the
+    //      incremental line-dedup rule: a delta doc's
+    //      [[graft.dedup.DedupQueries.ScrubBlockWords]]-word block is
+    //      scrubbed when its exact text ALREADY exists anywhere in the
+    //      static corpus (delta + static = 2 distinct docs, d23's
+    //      cross-doc threshold applied to the union). Emission is
+    //      PER BLOCK, not per doc, on purpose: the per-doc rollup
+    //      would be a streaming aggregation (watermark + state); the
+    //      per-block decision keeps the query a stateless projection +
+    //      stream-static equi-join on the block hash — exactly st8's
+    //      admission shape, corpus-sized index on the static side,
+    //      zero state operators. A sink-side batch view (or d23
+    //      itself) owns the rollup. Empty/short-of-one-block docs emit
+    //      nothing (they have no blocks to admit).
+    "st14_stream_block_scrub" -> QueryDef(
+      (s, dir) => {
+        runStream(st14Stream(s, dir), "append")
+          .orderBy(col("doc_id"), col("block_idx"))
+      },
+      Some {
+        import graft.dedup.DedupQueries.{DeltaMod, ScrubBlockWords => W}
+        val wordsDuck =
+          "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+        s"""WITH sd AS (
+          SELECT DISTINCT
+            md5(array_to_string(list_slice(w, i*$W + 1, i*$W + $W), ' '))
+              AS h
+          FROM (
+            SELECT w, unnest(range(0, (len(w) + ${W - 1}) // $W)) AS i
+            FROM (SELECT $wordsDuck AS w FROM documents
+                  WHERE doc_id % $DeltaMod <> 0)
+            WHERE len(w) > 0)
+        ), db AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+            md5(array_to_string(list_slice(w, i*$W + 1, i*$W + $W), ' '))
+              AS h,
+            CAST(len(list_slice(w, i*$W + 1, i*$W + $W)) AS BIGINT) AS nw
+          FROM (
+            SELECT doc_id, w,
+              unnest(range(0, (len(w) + ${W - 1}) // $W)) AS i
+            FROM (SELECT doc_id, $wordsDuck AS w FROM documents
+                  WHERE doc_id % $DeltaMod = 0)
+            WHERE len(w) > 0)
+        )
+        SELECT db.doc_id, db.block_idx, db.nw,
+          CAST(sd.h IS NOT NULL AS BIGINT) AS is_dup
+        FROM db LEFT JOIN sd ON db.h = sd.h
+        ORDER BY db.doc_id, db.block_idx"""
       })
   )
+
+  /** st14 stream side (exposed for the state-contract spec): delta
+    * docs' blocks against the static corpus's distinct-block index —
+    * see the QueryDef comment. The index is built once per run by the
+    * same block expression the stream side uses (d23's block kernel,
+    * [[blockStructs]]), so the two sides cannot drift. */
+  private[streaming] def st14Stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.DeltaMod
+    import graft.text.Text
+    val staticIdx = Tables.table(s, dir, "documents")
+      .filter(col("doc_id") % DeltaMod =!= 0)
+      .select(Text.words(coalesce(col("text"), lit(""))).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(explode(blockStructs(col("w"))).as("blk"))
+      .select(col("blk.h").as("h")).distinct()
+    streamTable(s, dir, "documents")
+      .filter(col("doc_id") % DeltaMod === 0)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        Text.words(coalesce(col("text"), lit(""))).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        posexplode(blockStructs(col("w"))).as(Seq("block_idx", "blk")))
+      .select(col("doc_id"), col("block_idx").cast("long").as("block_idx"),
+        col("blk.nw").as("nw"), col("blk.h").as("h"))
+      .join(staticIdx.withColumnRenamed("h", "sh"),
+        col("h") === col("sh"), "left")
+      .select(col("doc_id"), col("block_idx"), col("nw"),
+        col("sh").isNotNull.cast("long").as("is_dup"))
+  }
+
+  /** d23's block kernel over a word array: one struct per
+    * non-overlapping [[graft.dedup.DedupQueries.ScrubBlockWords]]-word
+    * block — `h` = md5 hex of the space-joined block text, `nw` = its
+    * word count (the last block may be partial). Hex (not unhex'd)
+    * because st14's consumers probe sets/joins where the 2× key width
+    * is irrelevant; d23's batch explode compacts to binary itself. */
+  private def blockStructs(w: Column): Column = {
+    import graft.dedup.DedupQueries.{ScrubBlockWords => W}
+    transform(
+      sequence(lit(0), floor((size(w) - 1) / lit(W)).cast("int")),
+      i => struct(
+        md5(concat_ws(" ", slice(w, i * W + 1, lit(W))).cast("binary"))
+          .as("h"),
+        size(slice(w, i * W + 1, lit(W))).cast("long").as("nw")))
+  }
 
   /** st12 stream side (exposed for the state-contract spec): delta
     * docs scored row-locally against the collected fixed vocabulary —

@@ -1225,6 +1225,72 @@ object TextQueries {
           nullif(count(flesch_micro), 0) AS BIGINT) AS mean_flesch_micro,
         min(flesch_micro) AS min_flesch_micro,
         max(flesch_micro) AS max_flesch_micro
-      FROM scored GROUP BY source ORDER BY source"""))
+      FROM scored GROUP BY source ORDER BY source""")),
+
+    // ---- t18: tokenizer fertility — the "how many tokens does this
+    //      tokenizer spend per word / how many bytes does a token buy"
+    //      report, per (source, lang). Fertility (BPE-ish tokens per
+    //      whitespace word) is the standard multilingual-tokenizer cost
+    //      metric (high fertility = the language is expensive to train
+    //      on); bytes-per-token is the compression view the
+    //      byte-budgeting side of a 100-TB ingest plans with. One
+    //      corpus scan, three regex counts per row, one
+    //      map-side-combined groupBy — embarrassingly parallel.
+    //      OVERFLOW BOUNDS: per-source char/byte/token sums are LONG
+    //      (safe to ~9.2e18 bytes = 9 EB); the micro-ratio numerators
+    //      go through DECIMAL(38,0) (HUGEINT in the twin) so
+    //      sum*1e6 never overflows at any corpus size.
+    "t18_tokenizer_fertility" -> QueryDef(
+      (s, dir) => {
+        val perDoc = Tables.table(s, dir, "documents")
+          .select(coalesce(col("source"), lit("")).as("source"),
+            coalesce(col("lang"), lit("")).as("lang"),
+            size(Text.words(coalesce(col("text"), lit(""))))
+              .cast("long").as("n_words"),
+            Text.bpeTokenCount(coalesce(col("text"), lit("")))
+              .cast("long").as("n_tokens"),
+            length(coalesce(col("text"), lit("")))
+              .cast("long").as("n_chars"),
+            octet_length(coalesce(col("text"), lit("")))
+              .cast("long").as("n_bytes"))
+        perDoc.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("n_bytes")).as("n_bytes"))
+          .withColumn("fertility_micro", expr(
+            """CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+              div nullif(n_words, 0L) AS LONG)"""))
+          .withColumn("chars_per_token_micro", expr(
+            """CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000
+              div nullif(n_tokens, 0L) AS LONG)"""))
+          .withColumn("bytes_per_token_micro", expr(
+            """CAST(CAST(n_bytes AS DECIMAL(38,0)) * 1000000
+              div nullif(n_tokens, 0L) AS LONG)"""))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH perdoc AS (
+        SELECT coalesce(source, '') AS source, coalesce(lang, '') AS lang,
+          CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+            '[a-z0-9]+')) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(coalesce(text, ''),
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+          CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+          CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes
+        FROM documents
+      )
+      SELECT source, lang, count(*) AS n_docs,
+        CAST(sum(n_words) AS BIGINT) AS n_words,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+        CAST(sum(CAST(n_tokens AS HUGEINT)) * 1000000 //
+          nullif(sum(n_words), 0) AS BIGINT) AS fertility_micro,
+        CAST(sum(CAST(n_chars AS HUGEINT)) * 1000000 //
+          nullif(sum(n_tokens), 0) AS BIGINT) AS chars_per_token_micro,
+        CAST(sum(CAST(n_bytes AS HUGEINT)) * 1000000 //
+          nullif(sum(n_tokens), 0) AS BIGINT) AS bytes_per_token_micro
+      FROM perdoc GROUP BY source, lang ORDER BY source, lang"""))
   )
 }

@@ -53,6 +53,11 @@ import org.apache.spark.sql.types._
   * recall, d21 lsh recall, st13 quality monitor) pinned as pins
   * 20-28; full-portfolio sweep at 134 queries: 130/134 hash-exact,
   * same 4 documented sf0.01-pinned VALUES mismatches (2026-08-15).
+  * Round-12: the seven new operators (q33 funnel, q34 retention
+  * cohorts, s13 matryoshka recall, t18 tokenizer fertility, d23 block
+  * scrub, e10 resume manifest, st14 block-scrub admission) pinned as
+  * pins 29-35, each DuckDB hash-exact on this corpus on day one
+  * (2026-08-15).
   * Re-run the whole sweep with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
@@ -606,6 +611,134 @@ class AdversarialParitySpec extends SparkSpec {
       q0.getLong(4) === 483L)
   }
 
+  // ---- pin 29: q33's funnel on the fixture events — every one of the
+  //      15 users converts at every step (conv_*_micro saturate at 1e6,
+  //      step-1 lag is NULL), and the mean-gap second-truncation
+  //      arithmetic is exact
+  test("q33 funnel: full-conversion fixture pinned") {
+    val rows = run("q33_funnel").collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    assert(rows.size === 3)
+    rows.values.foreach(r => assert(r.getAs[Long]("n_users") === 15L &&
+      r.getAs[Long]("conv_first_micro") === 1000000L))
+    assert(rows("1_view").isNullAt(2) && rows("1_view").isNullAt(4))
+    assert(rows("2_click").getAs[Long]("conv_prev_micro") === 1000000L)
+    assert(rows("2_click").getAs[Long]("mean_gap_sec_micro")
+      === 159863866666L)
+    assert(rows("3_purchase").getAs[Long]("mean_gap_sec_micro")
+      === 169561000000L)
+  }
+
+  // ---- pin 30: q34's retention matrix — the day-0 diagonal is always
+  //      a full cohort by construction, later offsets decay exactly
+  test("q34 retention: cohort day-0 full, decay exact") {
+    val rows = run("q34_retention_cohorts").collect()
+    assert(rows.length === 30)
+    assert(rows.map(_.getAs[Long]("n_active")).sum === 397L)
+    val byKey = rows.map(r =>
+      (r.getAs[java.sql.Date]("cohort_date").toString,
+        r.getAs[Long]("day_offset")) -> r).toMap
+    val d0 = byKey(("2024-01-01", 0L))
+    assert(d0.getAs[Long]("n_active") === 15L &&
+      d0.getAs[Long]("cohort_n") === 15L &&
+      d0.getAs[Long]("retention_micro") === 1000000L)
+    assert(byKey(("2024-01-01", 1L)).getAs[Long]("retention_micro")
+      === 933333L)
+  }
+
+  // ---- pin 31: s13's truncated-dim recall on the clustered fixture —
+  //      recall is MONOTONE in prefix width and collapses hard at
+  //      8/64ths (the fixture's discriminating dims live in the tail)
+  test("s13 matryoshka recall: monotone in width, exact counts") {
+    val rows = run("s13_matryoshka_recall").collect()
+      .map(r => r.getAs[Long]("trunc_dims") -> r).toMap
+    assert(rows.keySet === Set(8L, 16L, 32L))
+    rows.values.foreach(r => assert(r.getAs[Long]("n_truth") === 100L &&
+      r.getAs[Long]("n_returned") === 100L))
+    assert(rows(8L).getAs[Long]("n_hits") === 10L)
+    assert(rows(16L).getAs[Long]("n_hits") === 22L)
+    assert(rows(32L).getAs[Long]("n_hits") === 30L)
+  }
+
+  // ---- pin 32: t18's fertility — the zero-word CJK doc yields NULL
+  //      fertility (never a divide-by-zero throw) with its 13 BPE-ish
+  //      tokens intact, multi-byte chars split bytes from chars
+  //      (ja: 40 bytes over 14 chars), and webB/en's 5000-char token
+  //      monster blows chars_per_token to ~89
+  test("t18 fertility: zero-word NULL, multibyte + monster-token exact") {
+    val rows = run("t18_tokenizer_fertility").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r)
+      .toMap
+    assert(rows.size === 7)
+    val ja = rows(("webA", "ja"))
+    assert(ja.getAs[Long]("n_words") === 0L &&
+      ja.isNullAt(ja.fieldIndex("fertility_micro")) &&
+      ja.getAs[Long]("n_tokens") === 13L &&
+      ja.getAs[Long]("n_chars") === 14L && ja.getAs[Long]("n_bytes") === 40L)
+    val en = rows(("webB", "en"))
+    assert(en.getAs[Long]("chars_per_token_micro") === 89068965L &&
+      en.getAs[Long]("fertility_micro") === 2230769L)
+  }
+
+  // ---- pin 33: d23's block scrub — the cross-source exact twins
+  //      (docs 4/5) and the repeated fox docs (14/15) are scrubbed to
+  //      retained=0; null/empty/whitespace docs stay in-frame with 0
+  //      blocks and NULL retained share; corpus totals exact
+  test("d23 block scrub: twins scrubbed, null docs in-frame, totals") {
+    val rows = run("d23_block_scrub").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size === 30)
+    assert(rows.values.map(_.getAs[Long]("n_dup_blocks")).sum === 4L)
+    assert(rows.values.map(_.getAs[Long]("removed_words")).sum === 20L)
+    for (id <- Seq(4L, 5L)) {
+      val r = rows(id)
+      assert(r.getAs[Long]("n_blocks") === 1L &&
+        r.getAs[Long]("removed_words") === 1L &&
+        r.getAs[Long]("retained_micro") === 0L)
+    }
+    for (id <- Seq(14L, 15L))
+      assert(rows(id).getAs[Long]("removed_words") === 9L &&
+        rows(id).getAs[Long]("retained_micro") === 0L)
+    val nullDoc = rows(1L)
+    assert(nullDoc.getAs[Long]("n_blocks") === 0L &&
+      nullDoc.isNullAt(nullDoc.fieldIndex("retained_micro")))
+  }
+
+  // ---- pin 34: e10's resume manifest — the 357-token fixture pool
+  //      fits in ONE shard, so every checkpoint lands in (0,0) with
+  //      zero shards/docs behind and tokens_into_shard = the target
+  //      itself (the inside-first-shard edge); grid exact
+  test("e10 resume manifest: single-shard pool, cursor arithmetic") {
+    val rows = run("e10_resume_manifest").collect()
+      .map(r => r.getAs[Long]("checkpoint_pct") -> r).toMap
+    assert(rows.keySet === Set(10L, 25L, 50L, 75L, 90L))
+    for ((pct, r) <- rows) {
+      assert(r.getAs[Long]("macro_shard") === 0L &&
+        r.getAs[Long]("shard_seq") === 0L &&
+        r.getAs[Long]("shards_done") === 0L &&
+        r.getAs[Long]("docs_done") === 0L &&
+        r.getAs[Long]("cum_start") === 0L)
+      assert(r.getAs[Long]("token_target") === 357L * pct / 100L &&
+        r.getAs[Long]("tokens_into_shard") ===
+          r.getAs[Long]("token_target"))
+    }
+  }
+
+  // ---- pin 35: st14's block admissions — only the 16 blocks of the
+  //      delta docs emit (empty/short docs emit nothing), and exactly
+  //      one block is a cross-corpus repeat: delta doc 4's lone "word"
+  //      block already lives in static doc 5
+  test("st14 block admissions: one cross-corpus repeat pinned") {
+    val rows = run("st14_stream_block_scrub").collect()
+    assert(rows.length === 16)
+    assert(rows.map(_.getAs[Long]("nw")).sum === 119L)
+    val dups = rows.filter(_.getAs[Long]("is_dup") === 1L)
+    assert(dups.length === 1)
+    assert(dups.head.getAs[Long]("doc_id") === 4L &&
+      dups.head.getAs[Long]("block_idx") === 0L &&
+      dups.head.getAs[Long]("nw") === 1L)
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {
@@ -650,6 +783,9 @@ class AdversarialParitySpec extends SparkSpec {
     "e7_effective_tokens", "e8_release_manifest",
     "st13_stream_quality_monitor", "d21_lsh_recall",
     "d22_containment_recall",
+    "q33_funnel", "q34_retention_cohorts", "s13_matryoshka_recall",
+    "t18_tokenizer_fertility", "d23_block_scrub", "e10_resume_manifest",
+    "st14_stream_block_scrub",
     "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
     "s10_range_search",
     // family battery (row-count pins)

@@ -76,7 +76,14 @@ class GlobalPlanSpec extends SparkSpec {
       "min-anchored LshEvalMaxId window, broadcast"),
     "s12_pq_recall" -> ("composes s1's whitelisted brute-force truth " +
       "plus s6/s7's config-bounded ADC frames — s9's rationale for " +
-      "the compressed indexes"))
+      "the compressed indexes"),
+    "s13_matryoshka_recall" -> ("s1's brute-force contract per prefix " +
+      "width (NumQueries-row broadcast query side) plus the 1-row " +
+      "truth-total crossJoin — s9's rationale at three widths"),
+    "e10_resume_manifest" -> ("5-literal checkpoint grid x 1-row " +
+      "token total, then a range join against the metadata-sized " +
+      "shard manifest (pool_tokens/budget rows by construction) — " +
+      "never data-proportional"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
     val offenders = plans.collect { case (name, plan)
@@ -107,6 +114,7 @@ class GlobalPlanSpec extends SparkSpec {
     // two broadcast totals); at runtime AQE stage reuse collapses the
     // duplicates (verified: 2 ReusedQueryStages, one corpus scan)
     "d19_source_overlap" -> 7,
+    "d23_block_scrub" -> 7,
     "d1_exact_dedup" -> 2,
     "d20_threshold_sweep" -> 4,
     "d2_minhash_lsh" -> 1,
@@ -123,6 +131,7 @@ class GlobalPlanSpec extends SparkSpec {
     "e4_mixture_manifest" -> 5,
     "e5_epoch_plan" -> 2,
     "e6_training_order" -> 4,
+    "e10_resume_manifest" -> 6,
     "g1_semantic_models" -> 1,
     "g2_alignment_graph" -> 1,
     "g3_model_evaluation" -> 0,
@@ -180,6 +189,8 @@ class GlobalPlanSpec extends SparkSpec {
     "q30_cube" -> 2,
     "q31_grouping_sets" -> 2,
     "q32_skyline" -> 5,
+    "q33_funnel" -> 8,
+    "q34_retention_cohorts" -> 6,
     "q3_top_customers" -> 1,
     "q5_nation_revenue" -> 2,
     "q6_revenue_delta" -> 1,
@@ -214,6 +225,7 @@ class GlobalPlanSpec extends SparkSpec {
     "t8_sequence_pack" -> 2,
     "t9_gopher_rules" -> 1,
     "t17_readability" -> 2,
+    "t18_tokenizer_fertility" -> 2,
     "e7_effective_tokens" -> 4,
     "e8_release_manifest" -> 2,
     "s10_range_search" -> 6,
@@ -223,7 +235,8 @@ class GlobalPlanSpec extends SparkSpec {
     "s11_cluster_report" -> 6,
     // 24 static = s1+s6+s7 composed whole (s9's rationale: the report
     // grades them); AQE stage reuse collapses the shared PQ subtrees
-    "s12_pq_recall" -> 24)
+    "s12_pq_recall" -> 24,
+    "s13_matryoshka_recall" -> 8)
 
   test("no query exceeds its pinned shuffle budget") {
     val breaches = plans.flatMap { case (name, plan) =>

@@ -142,8 +142,8 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.values.exists(_._3 == 1L), "no core flagged at this sf")
   }
 
-  test("st5/st6/st7/st8/st10/st11/st12/st13 state contract: the flag/" +
-      "admission/sampler/monitor queries run with ZERO stateful " +
+  test("st5/st6/st7/st8/st10/st11/st12/st13/st14 state contract: the " +
+      "flag/admission/sampler/monitor queries run with ZERO stateful " +
       "operators (append mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val frames = Seq(
@@ -154,7 +154,8 @@ class StreamingQueriesSpec extends SparkSpec {
       "st10" -> StreamingQueries.st10Stream(spark, sf),
       "st11" -> StreamingQueries.st11Stream(spark, sf),
       "st12" -> StreamingQueries.st12Stream(spark, sf),
-      "st13" -> StreamingQueries.st13Stream(spark, sf))
+      "st13" -> StreamingQueries.st13Stream(spark, sf),
+      "st14" -> StreamingQueries.st14Stream(spark, sf))
     for ((nm, df) <- frames) {
       val q = df.writeStream.format("memory")
         .queryName(s"${nm}_state_contract").outputMode("append")
@@ -241,6 +242,38 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.values.exists(_._3 == 1L),
       "no low-quality outlier flagged at this sf")
+  }
+
+  test("st14 per-block admissions equal a d23-kernel batch recount") {
+    import graft.text.Text
+    import graft.dedup.DedupQueries.{DeltaMod, ScrubBlockWords => W}
+    val streamed = run("st14_stream_block_scrub")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // independent batch recount: per-word explode -> block grouping in
+    // plain SQL (a different decomposition from the stream's array
+    // kernel, so a kernel bug can't hide on both sides)
+    val words = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        posexplode(Text.words(coalesce(col("text"), lit("")))))
+      .select(col("doc_id"), (col("pos") / W).cast("long").as("block_idx"),
+        col("pos"), col("col").as("word"))
+    val blocks = words.groupBy(col("doc_id"), col("block_idx"))
+      .agg(count(lit(1)).as("nw"),
+        concat_ws(" ", array_sort(
+          collect_list(struct(col("pos"), col("word"))))
+          .getField("word")).as("blk"))
+    val staticSet = blocks.filter(col("doc_id") % DeltaMod =!= 0)
+      .select(col("blk")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val batch = blocks.filter(col("doc_id") % DeltaMod === 0)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), if (staticSet(r.getString(3))) 1L else 0L)
+      }.toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.values.exists(_._2 == 1L),
+      "no duplicated block admitted at this sf — fixture too weak")
   }
 
   test("st7 stream fuzzy flags equal the batch band-collision backfill") {
