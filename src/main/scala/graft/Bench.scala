@@ -70,7 +70,7 @@ object Bench {
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
       "s7_ann_ivfadc", "s8_knn_graph", "s9_ann_recall",
       "s10_range_search", "s11_cluster_report", "s12_pq_recall",
-      "s13_matryoshka_recall"),
+      "s13_matryoshka_recall", "s14_sq_recall"),
     // matcher: m4 is charged the sample + feature matrix + model train;
     // the rest consume the materialized stages / cached model
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",

@@ -794,7 +794,8 @@ object SimilarityQueries {
       ("s12_pq_recall" -> QueryDef(
         (s, dir) => recallReport(s, dir, s12Methods),
         Some(recallSql(s12Methods)))) +
-      ("s13_matryoshka_recall" -> QueryDef(s13Matryoshka, Some(s13Sql)))
+      ("s13_matryoshka_recall" -> QueryDef(s13Matryoshka, Some(s13Sql))) +
+      ("s14_sq_recall" -> QueryDef(s14Sq, Some(s14Sql)))
 
   // ---- s13: Matryoshka / truncated-dimension recall — the adaptive-
   //      retrieval question: how much of the exact 64-dim top-k does a
@@ -843,6 +844,111 @@ object SimilarityQueries {
       .select(col("trunc_dims"), col("n_truth"), col("n_returned"),
         col("n_hits"), col("recall_micro"))
       .orderBy(col("trunc_dims"))
+  }
+
+  // ---- s14: scalar-quantization (SQ8) recall — the remaining member
+  //      of the compression family (s6 PQ / s7 IVFADC / s13 MRL): each
+  //      dimension independently quantized to a byte on its own
+  //      [min, max] grid, the FAISS SQ8 shape that cuts index bytes 4×
+  //      against float32 with no codebook training. Asymmetric search
+  //      (exact query vs reconstructed corpus — the served form),
+  //      graded against s1's exact truth in s9's report shape.
+  //      PORTABILITY: quantization runs entirely in integer micro
+  //      space — components land on the 1e-6 grid (p14's contract),
+  //      min/max/code/reconstruction are exact 64-bit arithmetic in
+  //      both engines, and only the final cosine is FP (s1's own
+  //      contract). Scale shape: one corpus melt (×Dims, p14's budget)
+  //      + a Dims-row broadcast grid join + one groupBy to reassemble
+  //      — no pairwise step beyond the whitelisted brute grade.
+  private def s14Sq(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+    val melt = e.select(col("vec_id"),
+      posexplode(col("xq")).as(Seq("pos", "x")))
+    val mm = melt.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val recon = melt.join(broadcast(mm), "pos")
+      .withColumn("rx", expr(
+        """mn + coalesce(((x - mn) * 255 div nullif(mx - mn, 0L))
+            * (mx - mn) div 255, 0L)"""))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("rx"))))
+        .getField("rx").as("rvl"))
+      .select(col("vec_id"),
+        transform(col("rvl"), x => x.cast("double")).as("rv"))
+      .withColumn("nrm", Text.norm(col("rv")))
+    val q = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("xq"), x => x.cast("double")).as("qv"))
+      .withColumn("qnrm", Text.norm(col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val found = q.join(recon, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(Text.dot(col("qv"), col("rv")) /
+        expr("nullif(qnrm * nrm, CAST(0 AS DOUBLE))"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    found.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("method", lit("sq8"))
+      .crossJoin(broadcast(tot))
+      .withColumn("recall_micro", expr("n_hits * 1000000 div n_truth"))
+      .select(col("method"), col("n_truth"), col("n_returned"),
+        col("n_hits"), col("recall_micro"))
+  }
+
+  private def s14Sql: String = {
+    val s1 = baseDefs("s1_ann_bruteforce").oracle.get
+    s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+        FROM embeddings WHERE embedding IS NOT NULL
+      ), m AS (
+        SELECT vec_id, generate_subscripts(xq, 1) - 1 AS pos,
+          unnest(xq) AS x
+        FROM e
+      ), mm AS (
+        SELECT pos, min(x) AS mn, max(x) AS mx FROM m GROUP BY 1
+      ), r AS (
+        SELECT vec_id,
+          list(CAST(mn + coalesce(((x - mn) * 255 // nullif(mx - mn, 0))
+              * (mx - mn) // 255, 0) AS DOUBLE) ORDER BY pos) AS rv
+        FROM m JOIN mm USING (pos) GROUP BY vec_id
+      ), q AS (
+        SELECT vec_id AS query_id,
+          list_transform(xq, x -> CAST(x AS DOUBLE)) AS qv
+        FROM e WHERE vec_id < $NumQueries
+      ), scored AS (
+        SELECT query_id, r.vec_id AS neighbor_id,
+          round(
+            list_sum(list_transform(list_zip(qv, rv), x -> x[1] * x[2])) /
+            nullif(sqrt(list_sum(list_transform(qv, x -> x*x))) *
+              sqrt(list_sum(list_transform(rv, x -> x*x))), 0), 6) AS cos
+        FROM q JOIN r ON query_id <> r.vec_id
+      ), found AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= $TopK
+      ), truth AS (SELECT query_id, neighbor_id FROM ($s1) t1),
+      tot AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT 'sq8' AS method, n_truth,
+      CAST(count(*) AS BIGINT) AS n_returned,
+      CAST(count(t.x) AS BIGINT) AS n_hits,
+      CAST(count(t.x) * 1000000 // n_truth AS BIGINT) AS recall_micro
+    FROM found LEFT JOIN (SELECT query_id, neighbor_id, 1 AS x FROM truth) t
+      USING (query_id, neighbor_id) CROSS JOIN tot
+    GROUP BY n_truth"""
   }
 
   private def s13Sql: String = {

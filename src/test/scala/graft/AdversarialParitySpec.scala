@@ -55,9 +55,9 @@ import org.apache.spark.sql.types._
   * same 4 documented sf0.01-pinned VALUES mismatches (2026-08-15).
   * Round-12: the seven new operators (q33 funnel, q34 retention
   * cohorts, s13 matryoshka recall, t18 tokenizer fertility, d23 block
-  * scrub, e10 resume manifest, st14 block-scrub admission) pinned as
-  * pins 29-35, each DuckDB hash-exact on this corpus on day one
-  * (2026-08-15).
+  * scrub, e10 resume manifest, st14 block-scrub admission, s14 SQ8
+  * recall) pinned as pins 29-36, each DuckDB hash-exact on this
+  * corpus on day one (2026-08-15).
   * Re-run the whole sweep with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
@@ -739,6 +739,21 @@ class AdversarialParitySpec extends SparkSpec {
       dups.head.getAs[Long]("nw") === 1L)
   }
 
+  // ---- pin 36: s14's SQ8 grade — the clustered fixture survives
+  //      byte quantization with PERFECT recall (contrast pin 31: the
+  //      same corpus loses 90% under 8-dim truncation — compression
+  //      by precision beats compression by dimension here)
+  test("s14 sq8 recall: perfect on the clustered fixture") {
+    val rows = run("s14_sq_recall").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("method") === "sq8" &&
+      r.getAs[Long]("n_truth") === 100L &&
+      r.getAs[Long]("n_returned") === 100L &&
+      r.getAs[Long]("n_hits") === 100L &&
+      r.getAs[Long]("recall_micro") === 1000000L)
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {
@@ -785,7 +800,7 @@ class AdversarialParitySpec extends SparkSpec {
     "d22_containment_recall",
     "q33_funnel", "q34_retention_cohorts", "s13_matryoshka_recall",
     "t18_tokenizer_fertility", "d23_block_scrub", "e10_resume_manifest",
-    "st14_stream_block_scrub",
+    "st14_stream_block_scrub", "s14_sq_recall",
     "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
     "s10_range_search",
     // family battery (row-count pins)

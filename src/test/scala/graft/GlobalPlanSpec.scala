@@ -80,6 +80,9 @@ class GlobalPlanSpec extends SparkSpec {
     "s13_matryoshka_recall" -> ("s1's brute-force contract per prefix " +
       "width (NumQueries-row broadcast query side) plus the 1-row " +
       "truth-total crossJoin — s9's rationale at three widths"),
+    "s14_sq_recall" -> ("s1's whitelisted brute-force contract on the " +
+      "reconstructed corpus (NumQueries-row broadcast query side) plus " +
+      "the 1-row truth-total crossJoin — s9's rationale for SQ8"),
     "e10_resume_manifest" -> ("5-literal checkpoint grid x 1-row " +
       "token total, then a range join against the metadata-sized " +
       "shard manifest (pool_tokens/budget rows by construction) — " +
@@ -236,7 +239,8 @@ class GlobalPlanSpec extends SparkSpec {
     // 24 static = s1+s6+s7 composed whole (s9's rationale: the report
     // grades them); AQE stage reuse collapses the shared PQ subtrees
     "s12_pq_recall" -> 24,
-    "s13_matryoshka_recall" -> 8)
+    "s13_matryoshka_recall" -> 8,
+    "s14_sq_recall" -> 7)
 
   test("no query exceeds its pinned shuffle budget") {
     val breaches = plans.flatMap { case (name, plan) =>
