@@ -37,14 +37,14 @@ object Bench {
       "q24_sessionize", "q25_bucketed_join", "q26_partition_pruned",
       "q27_percentiles", "q28_pivot", "q29_latest_snapshot", "q30_cube",
       "q31_grouping_sets", "q32_skyline", "q33_funnel",
-      "q34_retention_cohorts"),
+      "q34_retention_cohorts", "q35_attribution"),
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part",
       "p7_inclusion_deps", "p8_inclusion_deps_approx",
       "p9_functional_deps", "p10_column_correlation",
       "p11_quantile_profile", "p12_key_discovery", "p13_profile_drift",
-      "p14_embedding_profile"),
+      "p14_embedding_profile", "p15_heavy_hitters"),
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",
@@ -52,7 +52,7 @@ object Bench {
       "t10_word_rarity", "t11_importance_weights",
       "t12_lm_perplexity", "t13_boilerplate", "t14_bpe_pairs",
       "t15_context_fit", "t16_oov_rate", "t17_readability",
-      "t18_tokenizer_fertility"),
+      "t18_tokenizer_fertility", "t19_lang_label_noise"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
@@ -70,7 +70,8 @@ object Bench {
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
       "s7_ann_ivfadc", "s8_knn_graph", "s9_ann_recall",
       "s10_range_search", "s11_cluster_report", "s12_pq_recall",
-      "s13_matryoshka_recall", "s14_sq_recall"),
+      "s13_matryoshka_recall", "s14_sq_recall",
+      "s15_multiprobe_recall"),
     // matcher: m4 is charged the sample + feature matrix + model train;
     // the rest consume the materialized stages / cached model
     Seq("m4_semantic_type_predictions", "m6_matcher_eval",
@@ -83,13 +84,14 @@ object Bench {
       "g4_learned_types"),
     // multimodal plumbing
     Seq("mm1_media_features", "mm2_frame_samples", "mm3_resized",
-      "mm4_media_dedup"),
+      "mm4_media_dedup", "mm5_modality_manifest"),
     // composed end-to-end pipeline (quality -> dedup -> decontam -> split)
     // + the corpus-card datasheet and shard manifest off the same kernels
     Seq("e1_training_pipeline", "e2_corpus_card", "e3_shard_manifest",
       "e4_mixture_manifest", "e5_epoch_plan", "e6_training_order",
       "e7_effective_tokens", "e8_release_manifest",
-      "e9_curriculum_buckets", "e10_resume_manifest"),
+      "e9_curriculum_buckets", "e10_resume_manifest",
+      "e11_shard_integrity"),
     // structured streaming (file source -> AvailableNow -> memory sink)
     Seq("st1_stream_event_rollup", "st2_stream_sessions",
       "st3_stream_distinct_docs", "st4_stream_quality_scrub",

@@ -207,6 +207,62 @@ object MultimodalQueries {
         CAST(media_id <> min(media_id) OVER (PARTITION BY phash)
           AS BIGINT) AS is_percep_dup
       FROM fp ORDER BY media_id"""
-      })
+      }),
+
+    // ---- mm5: modality manifest — the storage-budget datasheet per
+    //      media type: asset counts, zero-byte (corrupt/truncated-
+    //      ingest) counts, byte volume, and each modality's share of
+    //      the release's total bytes. e8's release-manifest posture
+    //      for the multimodal side: one payload scan, a groupBy on the
+    //      BOUNDED mime key (output = #modalities rows at any corpus
+    //      size), and the share window runs over that tiny grouped
+    //      frame. total_bytes·1e6 overflows BIGINT at ~9 TB of media —
+    //      exactly the scale this report targets — so both micro
+    //      numerators accumulate in DECIMAL(38,0)/HUGEINT before the
+    //      truncating div (the e8-checksum posture).
+    "mm5_modality_manifest" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Multimodal.mediaTable(s, dir).toDF()
+          .select(col("mime"), length(col("payload")).cast("long").as("nb"))
+        m.groupBy(col("mime"))
+          .agg(
+            count(lit(1)).as("n_assets"),
+            sum(when(col("nb") === 0L, 1L).otherwise(0L)).as("n_empty"),
+            sum(col("nb")).as("total_bytes"),
+            max(col("nb")).as("max_bytes"))
+          .withColumn("grand",
+            sum(col("total_bytes")).over(Window.partitionBy()))
+          .withColumn("mean_bytes_micro", expr(
+            "CAST(CAST(total_bytes AS DECIMAL(38,0)) * 1000000 " +
+              "div n_assets AS LONG)"))
+          .withColumn("byte_share_micro", expr(
+            "CAST(CAST(total_bytes AS DECIMAL(38,0)) * 1000000 " +
+              "div nullif(grand, 0L) AS LONG)"))
+          .select(col("mime"), col("n_assets"), col("n_empty"),
+            col("total_bytes"), col("max_bytes"),
+            col("mean_bytes_micro"), col("byte_share_micro"))
+          .orderBy(col("mime"))
+      },
+      Some("""WITH m AS (
+        SELECT ['image/png','audio/wav','video/mp4']
+            [CAST(doc_id % 3 + 1 AS INT)] AS mime,
+          octet_length(encode(coalesce(text, ''))) AS nb
+        FROM documents
+      ), g AS (
+        SELECT mime, count(*) AS n_assets,
+          CAST(sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_empty,
+          CAST(sum(nb) AS BIGINT) AS total_bytes,
+          CAST(max(nb) AS BIGINT) AS max_bytes
+        FROM m GROUP BY mime
+      )
+      SELECT mime, n_assets, n_empty, total_bytes, max_bytes,
+        CAST(CAST(total_bytes AS HUGEINT) * 1000000 // n_assets
+          AS BIGINT) AS mean_bytes_micro,
+        CAST(CAST(total_bytes AS HUGEINT) * 1000000 //
+          nullif(sum(total_bytes) OVER (), 0) AS BIGINT)
+          AS byte_share_micro
+      FROM g ORDER BY mime"""))
   )
 }

@@ -1043,6 +1043,107 @@ object PipelineQueries {
       CROSS JOIN tot
       JOIN ord ON total * g.pct // 100 >= cum_start
         AND total * g.pct // 100 < cum_end
-      ORDER BY checkpoint_pct"""))
+      ORDER BY checkpoint_pct""")),
+
+    // ---- e11: shard-integrity audit — the pre-flight check a
+    //      training launch runs against e3's layout: does every
+    //      admitted doc land in exactly one shard (doc/token totals
+    //      reconcile against the pool), are shard id-ranges disjoint
+    //      within each macro shard, and how far past the token budget
+    //      does any shard run (a shard overruns by at most one doc BY
+    //      CONSTRUCTION — assignment is by starting offset — so
+    //      n_over_budget counts them and max_shard_tokens bounds the
+    //      overshoot; a zero-doc gap or an overlap means layout
+    //      corruption). All audit math runs on the MANIFEST
+    //      (metadata-sized: pool_tokens/budget rows) and the per-split
+    //      pool totals — the corpus is touched only through the shared
+    //      [[admittedSlim]] artifact, and the lag window partitions by
+    //      (split, macro_shard), never data-sized keys.
+    "e11_shard_integrity" -> QueryDef(
+      (s, dir) => {
+        val slim = admittedSlim(s, dir)
+          .select(col("doc_id"), col("split"), col("n_tokens"))
+        val m = shardManifest(slim, ShardTokenBudget, ShardMacroDocs)
+        val pool = slim.groupBy(col("split"))
+          .agg(count(lit(1)).as("pool_docs"),
+            sum(col("n_tokens")).as("pool_tokens"))
+        val wm = Window.partitionBy(col("split"), col("macro_shard"))
+          .orderBy(col("shard_seq"))
+        m.withColumn("prev_max", lag(col("max_doc_id"), 1).over(wm))
+          .withColumn("overlap", when(col("prev_max").isNotNull &&
+            col("min_doc_id") <= col("prev_max"), 1L).otherwise(0L))
+          .withColumn("over_budget",
+            when(col("n_tokens") > ShardTokenBudget, 1L).otherwise(0L))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_shards"),
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("over_budget")).as("n_over_budget"),
+            sum(col("overlap")).as("n_range_overlaps"),
+            max(col("n_tokens")).as("max_shard_tokens"))
+          .join(pool, "split")
+          .withColumn("docs_ok",
+            (col("n_docs") === col("pool_docs")).cast("long"))
+          .withColumn("tokens_ok",
+            (col("n_tokens") === col("pool_tokens")).cast("long"))
+          .select(col("split"), col("n_shards"), col("n_docs"),
+            col("n_tokens"), col("pool_docs"), col("pool_tokens"),
+            col("docs_ok"), col("tokens_ok"), col("n_over_budget"),
+            col("n_range_overlaps"), col("max_shard_tokens"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH $ledgerSqlCtes,
+      ledger AS ($ledgerSqlSelect),
+      adm AS (
+        SELECT l.doc_id, l.split,
+          coalesce(CAST(len(regexp_extract_all(d.text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT), 0) AS n_tokens,
+          l.doc_id // $ShardMacroDocs AS macro_shard
+        FROM ledger l JOIN documents d USING (doc_id)
+        WHERE l.final_keep = 1
+      ), c AS (
+        SELECT doc_id, split, macro_shard, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY split, macro_shard
+            ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM adm
+      ), mft AS (
+        SELECT split, CAST(macro_shard AS BIGINT) AS macro_shard,
+          CAST((cum - n_tokens) // $ShardTokenBudget AS BIGINT)
+            AS shard_seq,
+          count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          min(doc_id) AS min_doc_id,
+          max(doc_id) AS max_doc_id
+        FROM c GROUP BY 1, 2, 3
+      ), pool AS (
+        SELECT split, count(*) AS pool_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS pool_tokens
+        FROM adm GROUP BY 1
+      ), aud AS (
+        SELECT split, n_docs, n_tokens,
+          CASE WHEN n_tokens > $ShardTokenBudget THEN 1 ELSE 0 END
+            AS over_budget,
+          CASE WHEN lag(max_doc_id) OVER (PARTITION BY split, macro_shard
+              ORDER BY shard_seq) IS NOT NULL
+            AND min_doc_id <= lag(max_doc_id) OVER
+              (PARTITION BY split, macro_shard ORDER BY shard_seq)
+            THEN 1 ELSE 0 END AS overlap
+        FROM mft
+      ), agg AS (
+        SELECT split, count(*) AS n_shards,
+          CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          CAST(sum(over_budget) AS BIGINT) AS n_over_budget,
+          CAST(sum(overlap) AS BIGINT) AS n_range_overlaps,
+          CAST(max(n_tokens) AS BIGINT) AS max_shard_tokens
+        FROM aud GROUP BY 1
+      )
+      SELECT a.split, a.n_shards, a.n_docs, a.n_tokens,
+        p.pool_docs, p.pool_tokens,
+        CAST(a.n_docs = p.pool_docs AS BIGINT) AS docs_ok,
+        CAST(a.n_tokens = p.pool_tokens AS BIGINT) AS tokens_ok,
+        a.n_over_budget, a.n_range_overlaps, a.max_shard_tokens
+      FROM agg a JOIN pool p USING (split)
+      ORDER BY a.split"""))
   )
 }

@@ -998,6 +998,77 @@ object ProfileQueries {
         round(mean_d, 6) AS mean,
         round(msq - mean_d * mean_d, 6) AS var_pop,
         min_micro, max_micro
-      FROM s ORDER BY pos"""))
+      FROM s ORDER BY pos""")),
+
+    // ---- p15: heavy hitters — the exact top-5 most frequent values
+    //      per profiled column, with each value's share of the
+    //      column's non-null rows. The report every data card and
+    //      skew-hunt starts from (a 40%-one-value join key or a
+    //      "(null)"-string sentinel shows up HERE first). Scale shape:
+    //      ONE scan per table melts its profiled columns into
+    //      (col_name, value) pairs — the groupBy is map-side combined
+    //      so the shuffle carries distinct values only, and the
+    //      ranking window runs over per-column GROUPED counts (value
+    //      cardinality), never rows. NULLs are excluded (their share
+    //      is p1-p6's prop-missing metric); ties break on the value's
+    //      binary order in both engines.
+    "p15_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cols: Seq[(String, Seq[String])] = Seq(
+          "orders" -> Seq("o_orderstatus", "o_orderpriority"),
+          "customer" -> Seq("c_mktsegment"),
+          "part" -> Seq("p_brand", "p_type"),
+          "documents" -> Seq("lang", "source"))
+        val melted = cols.map { case (tab, cs) =>
+          Tables.table(s, dir, tab)
+            .select(explode(array(cs.map(c =>
+              struct(lit(c).as("col_name"),
+                col(c).cast("string").as("value"))): _*)).as("kv"))
+            .select(lit(tab).as("tab"), col("kv.col_name"),
+              col("kv.value"))
+            .filter(col("value").isNotNull)
+        }.reduce(_ unionByName _)
+        val g = melted.groupBy(col("tab"), col("col_name"), col("value"))
+          .agg(count(lit(1)).as("cnt"))
+        val byCol = Window.partitionBy(col("tab"), col("col_name"))
+        g.withColumn("rnk", row_number().over(
+            byCol.orderBy(col("cnt").desc, col("value"))).cast("long"))
+          .withColumn("tot", sum(col("cnt")).over(byCol))
+          .filter(col("rnk") <= 5)
+          .withColumn("share_micro", expr("cnt * 1000000 div tot"))
+          .select(col("tab"), col("col_name"), col("value"), col("cnt"),
+            col("rnk"), col("share_micro"))
+          .orderBy(col("tab"), col("col_name"), col("rnk"))
+      },
+      Some("""WITH m AS (
+        SELECT 'orders' AS tab, 'o_orderstatus' AS col_name,
+          CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+        UNION ALL SELECT 'orders', 'o_orderpriority',
+          CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL SELECT 'customer', 'c_mktsegment',
+          CAST(c_mktsegment AS VARCHAR) FROM customer
+        UNION ALL SELECT 'part', 'p_brand',
+          CAST(p_brand AS VARCHAR) FROM part
+        UNION ALL SELECT 'part', 'p_type',
+          CAST(p_type AS VARCHAR) FROM part
+        UNION ALL SELECT 'documents', 'lang',
+          CAST(lang AS VARCHAR) FROM documents
+        UNION ALL SELECT 'documents', 'source',
+          CAST(source AS VARCHAR) FROM documents
+      ), g AS (
+        SELECT tab, col_name, value, count(*) AS cnt FROM m
+        WHERE value IS NOT NULL GROUP BY 1, 2, 3
+      ), r AS (
+        SELECT tab, col_name, value, cnt,
+          row_number() OVER (PARTITION BY tab, col_name
+            ORDER BY cnt DESC, value) AS rnk,
+          sum(cnt) OVER (PARTITION BY tab, col_name) AS tot
+        FROM g
+      )
+      SELECT tab, col_name, value, CAST(cnt AS BIGINT) AS cnt,
+        CAST(rnk AS BIGINT) AS rnk,
+        CAST(cnt * 1000000 // tot AS BIGINT) AS share_micro
+      FROM r WHERE rnk <= 5 ORDER BY tab, col_name, rnk"""))
   )
 }

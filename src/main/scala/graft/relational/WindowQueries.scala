@@ -661,6 +661,79 @@ object WindowQueries {
         CAST(a.n_active * 1000000 // cn.cohort_n AS BIGINT)
           AS retention_micro
       FROM act a JOIN cn USING (cohort_date)
-      ORDER BY a.cohort_date, a.day_offset"""))
+      ORDER BY a.cohort_date, a.day_offset""")),
+
+    // ---- q35: last-touch attribution — each purchase is credited to
+    //      the user's most recent PRECEDING click within a 7-day
+    //      window (the standard marketing-attribution join). One
+    //      user-keyed shuffle total: the "last click before me" lookup
+    //      is a conditional running max over (ts, event_id) — no
+    //      purchases×clicks join, no per-user collect — and the daily
+    //      report is a map-side-combined groupBy on the bounded
+    //      calendar key. Ordering ties (same-timestamp events) break
+    //      on event_id in BOTH engines, so the window is
+    //      deterministic; second truncation via unix_timestamp =
+    //      floor(epoch()) is the q24/q33 contract; the double `value`
+    //      accumulates in DECIMAL(25,6) before one final rounding.
+    "q35_attribution" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val p = Tables.table(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+          .withColumn("last_click_ts",
+            max(when($"event_type" === "click", $"ts")).over(w))
+          .filter($"event_type" === "purchase")
+          .withColumn("lag_sec",
+            unix_timestamp($"ts") - unix_timestamp($"last_click_ts"))
+          .withColumn("attr",
+            when($"last_click_ts".isNotNull && $"lag_sec" <= 604800L, 1L)
+              .otherwise(0L))
+        p.groupBy(to_date($"ts").as("day"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            sum($"attr").as("n_attributed"),
+            round(coalesce(dsum(when($"attr" === 1L, $"value")),
+              lit(0).cast(DecimalType(25, 6))).cast("double"), 2)
+              .as("attr_value"),
+            sum(when($"attr" === 1L, $"lag_sec")).as("sum_lag_sec"))
+          .withColumn("attr_share_micro",
+            expr("n_attributed * 1000000 div n_purchases"))
+          .withColumn("mean_lag_sec_micro", expr(
+            "CAST(CAST(sum_lag_sec AS DECIMAL(38,0)) * 1000000 " +
+              "div nullif(n_attributed, 0L) AS LONG)"))
+          .select($"day", $"n_purchases", $"n_attributed",
+            $"attr_share_micro", $"attr_value", $"mean_lag_sec_micro")
+          .orderBy($"day")
+      },
+      Some("""WITH w AS (
+        SELECT event_id, user_id, ts, event_type, value,
+          max(CASE WHEN event_type = 'click' THEN ts END) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS last_click_ts
+        FROM events
+      ), p AS (
+        SELECT CAST(ts AS DATE) AS day, value,
+          CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS lag_sec,
+          CASE WHEN last_click_ts IS NOT NULL AND
+              CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(last_click_ts)) AS BIGINT) <= 604800
+            THEN 1 ELSE 0 END AS attr
+        FROM w WHERE event_type = 'purchase'
+      )
+      SELECT day, count(*) AS n_purchases,
+        CAST(sum(attr) AS BIGINT) AS n_attributed,
+        CAST(sum(attr) * 1000000 // count(*) AS BIGINT)
+          AS attr_share_micro,
+        round(CAST(coalesce(sum(CASE WHEN attr = 1
+            THEN CAST(value AS DECIMAL(25,6)) END), 0) AS DOUBLE), 2)
+          AS attr_value,
+        CAST(CAST(sum(CASE WHEN attr = 1 THEN lag_sec END) AS HUGEINT)
+          * 1000000 // nullif(sum(attr), 0) AS BIGINT)
+          AS mean_lag_sec_micro
+      FROM p GROUP BY day ORDER BY day"""))
   )
 }

@@ -795,7 +795,8 @@ object SimilarityQueries {
         (s, dir) => recallReport(s, dir, s12Methods),
         Some(recallSql(s12Methods)))) +
       ("s13_matryoshka_recall" -> QueryDef(s13Matryoshka, Some(s13Sql))) +
-      ("s14_sq_recall" -> QueryDef(s14Sq, Some(s14Sql)))
+      ("s14_sq_recall" -> QueryDef(s14Sq, Some(s14Sql))) +
+      ("s15_multiprobe_recall" -> QueryDef(s15Multiprobe, Some(s15Sql)))
 
   // ---- s13: Matryoshka / truncated-dimension recall — the adaptive-
   //      retrieval question: how much of the exact 64-dim top-k does a
@@ -1225,4 +1226,142 @@ object SimilarityQueries {
     )
     SELECT query_id, neighbor_id, cos, rank FROM ranked
     WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  // ---- s15: multi-probe LSH recall — the recall/cost knob that does
+  //      NOT cost more index: each query probes its exact band keys
+  //      (s2's candidates) PLUS the four 1-bit-flip neighbors of each
+  //      4-bit band value (the multi-probe LSH idea — a near-miss sign
+  //      bit is the most likely failure, so perturbed buckets hold the
+  //      lost neighbors). Both methods graded against s1's exact truth
+  //      in one report with the cost axis (n_cand_pairs) alongside —
+  //      the evidence for choosing probes-vs-bands at a given recall.
+  //      Scale shape: probe keys multiply the QUERY side only (x5 on a
+  //      NumQueries-bounded frame); the corpus-side index is s2's
+  //      unchanged, candidates stay key-equality joins, and both
+  //      rankings ride ONE window over the shared scored frame (the
+  //      band rank is a running count of unflipped-probe rows in the
+  //      same global order — no second shuffle, no union recompute).
+  private val ProbeMasks: Seq[Int] = Seq(0, 1, 2, 4, 8)
+
+  private def s15Multiprobe(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val sigd = e.withColumn("sig", sigCol(col("v")))
+    val bandE = sigd.select(col("vec_id"),
+      explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b),
+          expr(s"shiftright(sig, ${4 * b}) & 15"))): _*)).as("bk"))
+    val probes = (for { b <- 0 until 4; m <- ProbeMasks } yield
+      struct(lit(if (m == 0) 0L else 1L).as("probed"),
+        concat_ws(":", lit(b),
+          expr(s"(shiftright(sig, ${4 * b}) & 15) ^ $m")).as("pk"))).toSeq
+    val q = sigd.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(array(probes: _*)).as("p"))
+      .select(col("query_id"), col("p.probed").as("probed"),
+        col("p.pk").as("bk"))
+    // one row per candidate pair; probed = 0 iff reachable WITHOUT a flip
+    val pairs = q.join(bandE, Seq("bk"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("probed")).as("probed"))
+    val qv = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val ranked = pairs.join(qv, "query_id")
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cos", round(Text.dot(col("qv"), col("v")) /
+        (col("qnrm") * col("nrm")), 6))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("probed"), col("cos"))
+      .withColumn("rnk_multi", row_number().over(w).cast("long"))
+      .withColumn("rnk_band", sum(when(col("probed") === 0L, 1L)
+        .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    val one = ranked
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        sum(when(col("probed") === 0L, 1L).otherwise(0L)).as("bc"),
+        sum(when(col("probed") === 0L && col("rnk_band") <= TopK, 1L)
+          .otherwise(0L)).as("br"),
+        coalesce(sum(when(col("probed") === 0L &&
+          col("rnk_band") <= TopK, col("hit"))), lit(0L)).as("bh"),
+        count(lit(1)).as("mc"),
+        sum(when(col("rnk_multi") <= TopK, 1L).otherwise(0L)).as("mr"),
+        coalesce(sum(when(col("rnk_multi") <= TopK, col("hit"))),
+          lit(0L)).as("mh"))
+    one.select(explode(array(
+        struct(lit("lsh_band").as("method"), col("bc").as("n_cand_pairs"),
+          col("br").as("n_returned"), col("bh").as("n_hits")),
+        struct(lit("lsh_multiprobe").as("method"),
+          col("mc").as("n_cand_pairs"), col("mr").as("n_returned"),
+          col("mh").as("n_hits")))).as("r"))
+      .select(col("r.method").as("method"),
+        col("r.n_returned").as("n_returned"),
+        col("r.n_hits").as("n_hits"),
+        col("r.n_cand_pairs").as("n_cand_pairs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("recall_micro", expr("n_hits * 1000000 div n_truth"))
+      .select(col("method"), col("n_truth"), col("n_returned"),
+        col("n_hits"), col("recall_micro"), col("n_cand_pairs"))
+      .orderBy(col("method"))
+  }
+
+  private def s15Sql: String = {
+    val s1 = baseDefs("s1_ann_bruteforce").oracle.get
+    s"""WITH $lshSqlCtes, pr AS (
+      SELECT vec_id AS query_id,
+        CAST(t.b AS VARCHAR) || ':' ||
+          CAST(xor((s >> CAST(4 * t.b AS INT)) & 15, u.m) AS VARCHAR)
+          AS bk,
+        CASE WHEN u.m = 0 THEN 0 ELSE 1 END AS probed
+      FROM sig, range(0, 4) t(b), (VALUES (0), (1), (2), (4), (8)) u(m)
+      WHERE vec_id < $NumQueries
+    ), pairs AS (
+      SELECT p.query_id, b2.vec_id, min(p.probed) AS probed
+      FROM pr p JOIN banded b2 USING (bk)
+      WHERE p.query_id <> b2.vec_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT pa.query_id, pa.vec_id AS neighbor_id, pa.probed,
+        round(list_sum(list_transform(list_zip(eq.v, ev.v),
+            x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(eq.v, x -> x*x))) *
+           sqrt(list_sum(list_transform(ev.v, x -> x*x)))), 6) AS cos
+      FROM pairs pa JOIN e eq ON pa.query_id = eq.vec_id
+      JOIN e ev ON pa.vec_id = ev.vec_id
+    ), m AS (
+      SELECT 'lsh_band' AS method, query_id, neighbor_id, cos
+      FROM scored WHERE probed = 0
+      UNION ALL
+      SELECT 'lsh_multiprobe', query_id, neighbor_id, cos FROM scored
+    ), ranked AS (
+      SELECT method, query_id, neighbor_id,
+        row_number() OVER (PARTITION BY method, query_id
+          ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM m
+    ), topk AS (
+      SELECT method, query_id, neighbor_id FROM ranked
+      WHERE rnk <= $TopK
+    ), cands AS (
+      SELECT method, count(*) AS n_cand_pairs FROM m GROUP BY 1
+    ), truth AS (SELECT query_id, neighbor_id FROM ($s1) t1),
+    tot AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT k.method, tot.n_truth,
+      CAST(count(*) AS BIGINT) AS n_returned,
+      CAST(count(t.x) AS BIGINT) AS n_hits,
+      CAST(count(t.x) * 1000000 // tot.n_truth AS BIGINT) AS recall_micro,
+      CAST(c.n_cand_pairs AS BIGINT) AS n_cand_pairs
+    FROM topk k
+    LEFT JOIN (SELECT query_id, neighbor_id, 1 AS x FROM truth) t
+      USING (query_id, neighbor_id)
+    JOIN cands c ON c.method = k.method
+    CROSS JOIN tot
+    GROUP BY k.method, tot.n_truth, c.n_cand_pairs
+    ORDER BY k.method"""
+  }
 }

@@ -24,6 +24,56 @@ object TextQueries {
 
   val enStopwords: Seq[String] = langMarkers.head._2
 
+  /** t3/t19 shared language-ID kernel: marker-word scores per language
+    * plus the argmax with fixed precedence en > de > fr > es (ties go
+    * to the earlier language) as `pred_lang`. ONE Spark rendering and
+    * ONE SQL rendering ([[langPredSqlCtes]]) so a marker-list tweak
+    * cannot drift the confusion matrix (t3) and the label-noise audit
+    * (t19) apart. */
+  private def withPredLang(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("w", Text.words(col("text")))
+    val scored = langMarkers.foldLeft(d) { case (df, (l, ws)) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"score_$l",
+        expr(s"size(filter(w, x -> x IN ($list)))").cast("long"))
+    }
+    val (en, de, fr, es) =
+      (col("score_en"), col("score_de"), col("score_fr"), col("score_es"))
+    val pred =
+      when(en > 0 && en >= de && en >= fr && en >= es, "en")
+        .when(de > 0 && de > en && de >= fr && de >= es, "de")
+        .when(fr > 0 && fr > en && fr > de && fr >= es, "fr")
+        .when(es > 0 && es > en && es > de && es > fr, "es")
+        .otherwise("und")
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** DuckDB twin of [[withPredLang]]: CTE chain `d / scored / p`
+    * ending with (lang{extra}, pred_lang) rows; `extra` names
+    * additional documents columns to carry through (e.g. ", source"). */
+  private def langPredSqlCtes(extra: String): String = {
+    def list(l: String) =
+      langMarkers.find(_._1 == l).get._2.map(w => s"'$w'").mkString(", ")
+    def sc(l: String) =
+      s"CAST(len(list_filter(w, x -> x IN (${list(l)}))) AS BIGINT)"
+    s"""d AS (
+          SELECT doc_id, lang$extra, $wordsSqlDuck AS w FROM documents
+        ), scored AS (
+          SELECT lang$extra, ${sc("en")} AS score_en, ${sc("de")} AS score_de,
+                 ${sc("fr")} AS score_fr, ${sc("es")} AS score_es
+          FROM d
+        ), p AS (
+          SELECT lang$extra,
+            CASE
+              WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+              WHEN score_de > 0 AND score_de > score_en AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+              WHEN score_fr > 0 AND score_fr > score_en AND score_fr > score_de AND score_fr >= score_es THEN 'fr'
+              WHEN score_es > 0 AND score_es > score_en AND score_es > score_de AND score_es > score_fr THEN 'es'
+              ELSE 'und' END AS pred_lang
+          FROM scored
+        )"""
+  }
+
   /** t7 target sampling rates per language (English-heavy mixture);
     * languages not listed fall back to [[MixtureDefaultRate]]. Declared
     * before `defs` — the map (and its oracle SQL) is built eagerly. */
@@ -255,49 +305,13 @@ object TextQueries {
     // ---- t3: language-ID heuristic vs the labelled lang column
     "t3_lang_id" -> QueryDef(
       (s, dir) => {
-        val d = Tables.table(s, dir, "documents")
-          .withColumn("w", Text.words(col("text")))
-        val scored = langMarkers.foldLeft(d) { case (df, (l, ws)) =>
-          val list = ws.map(w => s"'$w'").mkString(", ")
-          df.withColumn(s"score_$l",
-            expr(s"size(filter(w, x -> x IN ($list)))").cast("long"))
-        }
-        // argmax with fixed precedence order en > de > fr > es (ties go to
-        // the earlier language) — mirrors the oracle CASE exactly
-        val (en, de, fr, es) =
-          (col("score_en"), col("score_de"), col("score_fr"), col("score_es"))
-        val pred =
-          when(en > 0 && en >= de && en >= fr && en >= es, "en")
-            .when(de > 0 && de > en && de >= fr && de >= es, "de")
-            .when(fr > 0 && fr > en && fr > de && fr >= es, "fr")
-            .when(es > 0 && es > en && es > de && es > fr, "es")
-            .otherwise("und")
-        scored.withColumn("pred_lang", pred)
+        withPredLang(Tables.table(s, dir, "documents"))
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("lang"), col("pred_lang"))
       },
       Some {
-        def list(l: String) =
-          langMarkers.find(_._1 == l).get._2.map(w => s"'$w'").mkString(", ")
-        def sc(l: String) =
-          s"CAST(len(list_filter(w, x -> x IN (${list(l)}))) AS BIGINT)"
-        s"""WITH d AS (
-          SELECT doc_id, lang, $wordsSqlDuck AS w FROM documents
-        ), scored AS (
-          SELECT lang, ${sc("en")} AS score_en, ${sc("de")} AS score_de,
-                 ${sc("fr")} AS score_fr, ${sc("es")} AS score_es
-          FROM d
-        ), p AS (
-          SELECT lang,
-            CASE
-              WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
-              WHEN score_de > 0 AND score_de > score_en AND score_de >= score_fr AND score_de >= score_es THEN 'de'
-              WHEN score_fr > 0 AND score_fr > score_en AND score_fr > score_de AND score_fr >= score_es THEN 'fr'
-              WHEN score_es > 0 AND score_es > score_en AND score_es > score_de AND score_es > score_fr THEN 'es'
-              ELSE 'und' END AS pred_lang
-          FROM scored
-        )
+        s"""WITH ${langPredSqlCtes("")}
         SELECT lang, pred_lang, count(*) AS n_docs FROM p
         GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
       }),
@@ -1291,6 +1305,53 @@ object TextQueries {
           nullif(sum(n_tokens), 0) AS BIGINT) AS chars_per_token_micro,
         CAST(sum(CAST(n_bytes AS HUGEINT)) * 1000000 //
           nullif(sum(n_tokens), 0) AS BIGINT) AS bytes_per_token_micro
-      FROM perdoc GROUP BY source, lang ORDER BY source, lang"""))
+      FROM perdoc GROUP BY source, lang ORDER BY source, lang""")),
+
+    // ---- t19: language-label noise audit — per source, how often the
+    //      n-gram language-ID (t3's exact kernel via [[withPredLang]])
+    //      DISAGREES with the corpus's `lang` label. Mislabelled
+    //      language is the classic upstream-metadata defect (a crawler
+    //      trusting HTML lang attributes): a source whose labels
+    //      disagree with content gets its mixture/fertility/OOV
+    //      numbers silently wrong, so this is the audit a team runs
+    //      BEFORE trusting any per-lang report. Row-local scoring +
+    //      one map-side-combined groupBy(source); the disagree share's
+    //      denominator excludes 'und' predictions (docs too short or
+    //      marker-free carry no evidence either way — they're reported
+    //      separately as und_share).
+    "t19_lang_label_noise" -> QueryDef(
+      (s, dir) => {
+        withPredLang(Tables.table(s, dir, "documents"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("pred_lang") === "und", 1L).otherwise(0L))
+              .as("n_und"),
+            sum(when(col("pred_lang") =!= "und" &&
+                (col("lang").isNull || col("pred_lang") =!= col("lang")),
+              1L).otherwise(0L)).as("n_disagree"))
+          .withColumn("und_share_micro",
+            expr("n_und * 1000000 div n_docs"))
+          .withColumn("disagree_share_micro", expr(
+            "n_disagree * 1000000 div nullif(n_docs - n_und, 0L)"))
+          .select(col("source"), col("n_docs"), col("n_und"),
+            col("n_disagree"), col("und_share_micro"),
+            col("disagree_share_micro"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ${langPredSqlCtes(", source")}
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_und,
+        CAST(sum(CASE WHEN pred_lang <> 'und' AND
+            (lang IS NULL OR pred_lang <> lang) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_disagree,
+        CAST(sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END)
+          * 1000000 // count(*) AS BIGINT) AS und_share_micro,
+        CAST(sum(CASE WHEN pred_lang <> 'und' AND
+            (lang IS NULL OR pred_lang <> lang) THEN 1 ELSE 0 END)
+          * 1000000 // nullif(count(*) - sum(CASE WHEN pred_lang = 'und'
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS disagree_share_micro
+      FROM p GROUP BY source ORDER BY source"""))
   )
 }

@@ -754,6 +754,68 @@ class AdversarialParitySpec extends SparkSpec {
       r.getAs[Long]("recall_micro") === 1000000L)
   }
 
+  // ---- pin 37: q35's attribution on the fixture events (copied from
+  //      sf0.001) — a zero-attribution day must carry NULL mean lag
+  //      (not 0), a fully-attributed day pins the decimal value sum,
+  //      and the totals pin the whole last-touch replay
+  test("q35 attribution: zero-day NULL mean, full-day pinned, totals") {
+    val rows = run("q35_attribution").collect()
+    assert(rows.length === 30)
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === 202L)
+    assert(rows.map(_.getAs[Long]("n_attributed")).sum === 173L)
+    val byDay = rows.map(r => r.getDate(0).toString -> r).toMap
+    val d1 = byDay("2024-01-01")
+    assert(d1.getAs[Long]("n_attributed") === 0L &&
+      d1.getAs[Long]("attr_share_micro") === 0L &&
+      d1.getAs[Double]("attr_value") === 0.0 &&
+      d1.isNullAt(d1.fieldIndex("mean_lag_sec_micro")))
+    val d8 = byDay("2024-01-08")
+    assert(d8.getAs[Long]("n_purchases") === 5L &&
+      d8.getAs[Long]("attr_share_micro") === 1000000L &&
+      d8.getAs[Double]("attr_value") === 441.09)
+  }
+
+  // ---- pin 38: t19's label-noise audit — the unicode/null corpus is
+  //      marker-poor (most docs predict 'und', which must NOT count as
+  //      disagreement), and webB's single real mislabel lands in the
+  //      disagree share with the und-excluded denominator
+  test("t19 label noise: und excluded from disagreement, webB mislabel") {
+    val rows = run("t19_lang_label_noise").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet === Set("webA", "webB"))
+    val a = rows("webA")
+    assert(a.getAs[Long]("n_docs") === 19L &&
+      a.getAs[Long]("n_und") === 15L &&
+      a.getAs[Long]("n_disagree") === 0L &&
+      a.getAs[Long]("und_share_micro") === 789473L &&
+      a.getAs[Long]("disagree_share_micro") === 0L)
+    val b = rows("webB")
+    assert(b.getAs[Long]("n_docs") === 11L &&
+      b.getAs[Long]("n_und") === 8L &&
+      b.getAs[Long]("n_disagree") === 1L &&
+      b.getAs[Long]("disagree_share_micro") === 333333L,
+      "1 of 3 evidence-bearing webB docs disagrees with its label")
+  }
+
+  // ---- pin 39: s15's multi-probe grade — the 1-bit-flip probes lift
+  //      recall 35% -> 61% at 2.6x the candidates on the fixture
+  //      embeddings (the report's reason to exist: the knob works and
+  //      its cost is visible)
+  test("s15 multiprobe: probes buy 26 points of recall at 2.6x pairs") {
+    val rows = run("s15_multiprobe_recall").collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    val band = rows("lsh_band")
+    assert(band.getAs[Long]("n_hits") === 35L &&
+      band.getAs[Long]("recall_micro") === 350000L &&
+      band.getAs[Long]("n_cand_pairs") === 1083L)
+    val multi = rows("lsh_multiprobe")
+    assert(multi.getAs[Long]("n_hits") === 61L &&
+      multi.getAs[Long]("recall_micro") === 610000L &&
+      multi.getAs[Long]("n_cand_pairs") === 2817L)
+    rows.values.foreach(r => assert(r.getAs[Long]("n_truth") === 100L &&
+      r.getAs[Long]("n_returned") === 100L))
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {
@@ -780,8 +842,9 @@ class AdversarialParitySpec extends SparkSpec {
   //         sweep mismatches + g4, same contract);
   //      3. sweep-covered: DuckDB hash-exact in the offline
   //         full-portfolio adversarial sweep (tools/make_adversarial.py
-  //         -> Verify -> check_oracle; last full run 2026-08-15,
-  //         130/134), with no committed per-value pin.
+  //         -> Verify -> check_oracle; last full run 2026-08-16,
+  //         145/150 — the 5 mismatches are exactly class 2), with no
+  //         committed per-value pin.
   //      Adding a query without classifying it fails this test.
 
   /** Queries a test above runs against this corpus (mirror of the
@@ -801,6 +864,7 @@ class AdversarialParitySpec extends SparkSpec {
     "q33_funnel", "q34_retention_cohorts", "s13_matryoshka_recall",
     "t18_tokenizer_fertility", "d23_block_scrub", "e10_resume_manifest",
     "st14_stream_block_scrub", "s14_sq_recall",
+    "q35_attribution", "t19_lang_label_noise", "s15_multiprobe_recall",
     "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
     "s10_range_search",
     // family battery (row-count pins)
@@ -815,6 +879,7 @@ class AdversarialParitySpec extends SparkSpec {
 
   /** Hash-exact in the offline sweep, no committed per-value pin. */
   private val sweepCovered: Set[String] = Set(
+    "p15_heavy_hitters", "mm5_modality_manifest", "e11_shard_integrity",
     "d10_substring_windows", "d11_semantic_dedup", "d12_fuzzy_decontamination",
     "d13_cluster_canonical", "d14_incremental_dedup", "d2_minhash_lsh",
     "d3_simhash", "d5_embedding_neardup", "d6_dup_clusters",
