@@ -1693,9 +1693,17 @@ object DedupQueries {
           .select(col("doc1"), col("doc2"),
             expr("least(greatest(n1, n2) div least(n1, n2), 4L)")
               .as("ratio_bucket"))
-        val found =
-          containmentVerify(containmentCandidates(s, dir), shingled(s, dir))
-          .filter(col("doc1") < hi && col("doc2") < hi)
+        // slice the CANDIDATES before the verify, not after: verify
+        // ships both shingle arrays per pair, and the audit only reads
+        // slice-internal pairs — pre-filtering makes the audit's
+        // marginal cost slice-bounded at any corpus size (the sf10
+        // day-one chain measured the post-filter form paying a
+        // corpus-wide verify it then threw away). Verify is row-local
+        // per pair, so the result set is identical by construction.
+        val found = containmentVerify(
+            containmentCandidates(s, dir)
+              .filter(col("doc1") < hi && col("doc2") < hi),
+            shingled(s, dir))
           .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
         truth.join(found, Seq("doc1", "doc2"), "left")
           .groupBy(col("ratio_bucket"))
