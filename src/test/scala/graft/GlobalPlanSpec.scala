@@ -86,7 +86,11 @@ class GlobalPlanSpec extends SparkSpec {
     "e10_resume_manifest" -> ("5-literal checkpoint grid x 1-row " +
       "token total, then a range join against the metadata-sized " +
       "shard manifest (pool_tokens/budget rows by construction) — " +
-      "never data-proportional"))
+      "never data-proportional"),
+    "s15_multiprobe_recall" -> ("composes s1's whitelisted brute-force " +
+      "truth (NumQueries-row broadcast query side) plus the 1-row " +
+      "truth-total crossJoin — s9's rationale; the probe candidates " +
+      "themselves are key-equality band joins"))
 
   test("no query plans an unlisted cartesian or nested-loop join") {
     val offenders = plans.collect { case (name, plan)
@@ -240,7 +244,16 @@ class GlobalPlanSpec extends SparkSpec {
     // grades them); AQE stage reuse collapses the shared PQ subtrees
     "s12_pq_recall" -> 24,
     "s13_matryoshka_recall" -> 8,
-    "s14_sq_recall" -> 7)
+    "s14_sq_recall" -> 7,
+    "q35_attribution" -> 3,
+    "p15_heavy_hitters" -> 3,
+    "t19_lang_label_noise" -> 2,
+    // 6 static = the s1 truth subtree + the probe-pair groupBy +
+    // ranking window; AQE stage reuse collapses the shared corpus
+    // scans at runtime (s9's pattern)
+    "s15_multiprobe_recall" -> 6,
+    "mm5_modality_manifest" -> 2,
+    "e11_shard_integrity" -> 6)
 
   test("no query exceeds its pinned shuffle budget") {
     val breaches = plans.flatMap { case (name, plan) =>
