@@ -121,26 +121,43 @@ object SimilarityQueries {
     // ---- s2: random-hyperplane LSH candidate generation + exact rerank
     "s2_ann_lsh" -> QueryDef(
       (s, dir) => {
-        val e = corpus(s, dir).withColumn("sig", sigCol(col("v")))
-        // 4 bands of 4 signature bits; candidates share any band value
-        val bandE = e.select(col("vec_id"), col("v"), col("nrm"),
+        // SLIM band index (the s10 shape, backported after the 150-query
+        // sf10 chain measured the old form at 47.3 s vs s15's 5.8 s
+        // doing 5x the probing): the candidate dedup runs on 16-byte id
+        // pairs, the persist holds ids instead of 64-double arrays, and
+        // the vectors join back only for the exact rerank — no exchange
+        // ever carries an embedding. 4 bands of 4 signature bits;
+        // candidates share any band value. Result identical: same
+        // candidate set, same rounded cosines, same rank order.
+        val bandSlim = corpus(s, dir).withColumn("sig", sigCol(col("v")))
+          .select(col("vec_id"),
             explode(array((0 until 4).map(b =>
               concat_ws(":", lit(b),
                 expr(s"shiftright(sig, ${4 * b}) & 15"))): _*)).as("bk"))
           .persist()
-        val q = bandE.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"), col("bk"))
-        val cands = q.join(bandE, Seq("bk"))
+        // eager checkpoint of the bounded id-pair frame lets bandSlim
+        // unpersist HERE instead of leaking a cached RDD (s10's
+        // lifecycle; every consumer below reads the checkpointed pairs)
+        val candIds = bandSlim.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("bk"))
+          .join(bandSlim, Seq("bk"))
           .filter(col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("qv"), col("qnrm"), col("vec_id"),
-            col("v"), col("nrm"))
+          .select(col("query_id"), col("vec_id"))
           .dropDuplicates("query_id", "vec_id")
+          .localCheckpoint(true)
+        bandSlim.unpersist()
+        val eSlim = corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+        val qv = broadcast(eSlim.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
-        cands
+        candIds
+          .join(qv, Seq("query_id"))
+          .join(eSlim, Seq("vec_id"))
           .withColumn("cos", round(Text.dot(col("qv"), col("v")) /
             (col("qnrm") * col("nrm")), 6))
+          .select(col("query_id"), col("vec_id"), col("cos"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
           .select(col("query_id"), col("vec_id").as("neighbor_id"),

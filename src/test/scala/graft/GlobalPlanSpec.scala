@@ -205,7 +205,7 @@ class GlobalPlanSpec extends SparkSpec {
     "q8_window_top_orders" -> 2,
     "q9_customers_with_open_orders" -> 1,
     "s1_ann_bruteforce" -> 2,
-    "s2_ann_lsh" -> 3,
+    "s2_ann_lsh" -> 2,
     "s3_ann_ivf" -> 4,
     "s4_kmeans_embeddings" -> 3,
     "s5_ann_ivf_kmeans" -> 8,
@@ -214,7 +214,7 @@ class GlobalPlanSpec extends SparkSpec {
     "s8_knn_graph" -> 2,
     // 12 static = s1+s2+s3 composed whole (the report grades them);
     // AQE stage reuse collapses shared subtrees at runtime
-    "s9_ann_recall" -> 12,
+    "s9_ann_recall" -> 11,
     "t10_word_rarity" -> 4,
     "t11_importance_weights" -> 11,
     "t12_lm_perplexity" -> 11,
