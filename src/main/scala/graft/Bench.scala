@@ -37,7 +37,7 @@ object Bench {
       "q24_sessionize", "q25_bucketed_join", "q26_partition_pruned",
       "q27_percentiles", "q28_pivot", "q29_latest_snapshot", "q30_cube",
       "q31_grouping_sets", "q32_skyline", "q33_funnel",
-      "q34_retention_cohorts", "q35_attribution"),
+      "q34_retention_cohorts", "q35_attribution", "q36_scd2_history"),
     // profiling
     Seq("p1_profile_customer", "p2_profile_documents", "p3_profile_orders",
       "p4_numeric_stats", "p5_inferred_types", "p6_profile_part",

@@ -734,6 +734,65 @@ object WindowQueries {
         CAST(CAST(sum(CASE WHEN attr = 1 THEN lag_sec END) AS HUGEINT)
           * 1000000 // nullif(sum(attr), 0) AS BIGINT)
           AS mean_lag_sec_micro
-      FROM p GROUP BY day ORDER BY day"""))
+      FROM p GROUP BY day ORDER BY day""")),
+
+    // ---- q36: SCD2 history reconstruction — the slowly-changing-
+    //      dimension table a warehouse derives from a change-event
+    //      stream: per user, contiguous validity intervals of the
+    //      "current event_type" with valid_from / valid_to /
+    //      is_current. Consecutive same-type events collapse via the
+    //      gaps-and-islands trick (island = row_number by time minus
+    //      row_number by (type, time) — pure window arithmetic, no
+    //      self-join, no per-user iteration). Every window and the
+    //      island groupBy ride ONE user-keyed partitioning, so the
+    //      whole reconstruction is a single shuffle family; ordering
+    //      ties break on event_id in both engines (the q35 contract),
+    //      and the interval chain is closed by a lead() over
+    //      (valid_from, first_event_id) — deterministic even when two
+    //      islands of one user share a timestamp.
+    "q36_scd2_history" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wt = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts", $"event_id")
+        val isl = Tables.table(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+          .withColumn("grp",
+            row_number().over(w) - row_number().over(wt))
+        val iv = isl.groupBy($"user_id", $"event_type", $"grp")
+          .agg(min($"ts").as("valid_from"),
+            min($"event_id").as("first_event_id"),
+            count(lit(1)).as("n_events"))
+        val wc = Window.partitionBy($"user_id")
+          .orderBy($"valid_from", $"first_event_id")
+        iv.withColumn("valid_to", lead($"valid_from", 1).over(wc))
+          .withColumn("is_current",
+            $"valid_to".isNull.cast("long"))
+          .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+            $"n_events", $"is_current")
+          .orderBy($"user_id", $"valid_from", $"first_event_id")
+      },
+      Some("""WITH isl AS (
+        SELECT user_id, event_id, ts, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)
+          - row_number() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS grp
+        FROM events
+      ), iv AS (
+        SELECT user_id, event_type, grp,
+          min(ts) AS valid_from, min(event_id) AS first_event_id,
+          count(*) AS n_events
+        FROM isl GROUP BY 1, 2, 3
+      )
+      SELECT user_id, event_type, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from, first_event_id) AS valid_to,
+        n_events,
+        CAST(lead(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from, first_event_id) IS NULL AS BIGINT)
+          AS is_current
+      FROM iv ORDER BY user_id, valid_from, first_event_id"""))
   )
 }

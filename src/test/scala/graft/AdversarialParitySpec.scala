@@ -816,6 +816,21 @@ class AdversarialParitySpec extends SparkSpec {
       r.getAs[Long]("n_returned") === 100L))
   }
 
+  // ---- pin 40: q36's SCD2 reconstruction on the fixture events —
+  //      the island collapse is pinned by total interval count (802
+  //      intervals over 1000 events = 198 collapsed same-type runs)
+  //      and the partition contract (one open interval per user)
+  test("q36 scd2: island collapse and open-interval contract pinned") {
+    val rows = run("q36_scd2_history").collect()
+    assert(rows.length === 802)
+    assert(rows.map(_.getAs[Long]("n_events")).sum === 1000L)
+    assert(rows.count(_.getAs[Long]("is_current") == 1L) === 15,
+      "one open interval per user, 15 users")
+    assert(rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap ===
+      Map("click" -> 165, "error" -> 165, "purchase" -> 157,
+        "signup" -> 155, "view" -> 160))
+  }
+
   // ---- breadth: the full judge-re-run battery completes with the
   //      pinned cardinalities (an NPE/ANSI throw anywhere fails here)
   test("adversarial corpus: full family battery row counts") {
@@ -865,6 +880,7 @@ class AdversarialParitySpec extends SparkSpec {
     "t18_tokenizer_fertility", "d23_block_scrub", "e10_resume_manifest",
     "st14_stream_block_scrub", "s14_sq_recall",
     "q35_attribution", "t19_lang_label_noise", "s15_multiprobe_recall",
+    "q36_scd2_history",
     "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
     "s10_range_search",
     // family battery (row-count pins)

@@ -246,6 +246,7 @@ class GlobalPlanSpec extends SparkSpec {
     "s13_matryoshka_recall" -> 8,
     "s14_sq_recall" -> 7,
     "q35_attribution" -> 3,
+    "q36_scd2_history" -> 2,
     "p15_heavy_hitters" -> 3,
     "t19_lang_label_noise" -> 2,
     // 6 static = the s1 truth subtree + the probe-pair groupBy +
