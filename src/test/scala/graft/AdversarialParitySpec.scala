@@ -858,7 +858,7 @@ class AdversarialParitySpec extends SparkSpec {
   //      3. sweep-covered: DuckDB hash-exact in the offline
   //         full-portfolio adversarial sweep (tools/make_adversarial.py
   //         -> Verify -> check_oracle; last full run 2026-08-16,
-  //         145/150 — the 5 mismatches are exactly class 2), with no
+  //         146/151 — the 5 mismatches are exactly class 2), with no
   //         committed per-value pin.
   //      Adding a query without classifying it fails this test.
 
