@@ -168,6 +168,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // One bench run is minutes long; the default 60s StateStore
+      // maintenance tick serves long-lived streaming jobs (snapshot
+      // compaction), not a bench, and its thread racing RpcEnv
+      // shutdown is what dumped a stack trace into the r12 stdout
+      // tail after the summary line (BENCH_r12.json "parsed": null).
+      // Park it beyond any plausible bench duration.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "6h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
@@ -265,8 +272,22 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json").toAbsolutePath,
       fullLine + "\n")
+    //  5. shutdown happens BEFORE the summary lines print. r12's
+    //     driver tail was a StateStore-maintenance vs RpcEnv-shutdown
+    //     stack trace that landed AFTER the summary because
+    //     spark.stop() ran last. Order now: stop any straggler
+    //     streaming query (each st run awaits AvailableNow
+    //     termination, so this is a safety net, not a workload step),
+    //     stop the session — any shutdown noise prints HERE — then
+    //     emit the two JSON records as the process's final output.
+    spark.streams.active.foreach { q =>
+      try { q.stop(); q.awaitTermination() }
+      catch { case e: Exception =>
+        System.err.println(s"BENCH stream shutdown: $e") }
+    }
+    spark.stop()
+    System.out.flush(); System.err.flush()
     println(fullLine)
     println(s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$Runs,"sf":"$sfDir","detail_file":"$file","top5":${jmap(collection.mutable.LinkedHashMap(top5: _*))}}""")
-    spark.stop()
   }
 }
