@@ -207,6 +207,14 @@ object ProfileQueries {
     * Expand-x21 agg wins (screen overhead > Expand cost — see the p12
     * doc comment's measurements); at or above, screen-verify-imply. */
   val KeyScreenMinRows = 1000000L
+  /** The gate p12 actually consults — a test seam. Production value is
+    * [[KeyScreenMinRows]]; the r12 verdict found the screened branch
+    * was never exercised by any committed check (the oracle, the
+    * adversarial sweep, and QuantileSpec all run under 1M rows, so an
+    * HLL 4-sigma miss of a true key would ship silently). ScreenPathSpec
+    * lowers this to force screen->verify->imply on a small corpus and
+    * asserts verdict-equality with the exact path, then restores it. */
+  @volatile private[graft] var keyScreenGateRows: Long = KeyScreenMinRows
   val KeyPairs: Seq[(Int, Int)] =
     for { i <- KeyCols.indices; j <- KeyCols.indices if i < j }
       yield (i, j)
@@ -712,7 +720,7 @@ object ProfileQueries {
             .orderBy(col("combo"))
         // the gate read is parquet-metadata cheap and n is needed anyway
         val n = base.count()
-        if (n < KeyScreenMinRows) {
+        if (n < keyScreenGateRows) {
           // small-table path: ONE exact Expand-x21 agg. The screen is a
           // net LOSS here — measured at sf0.1: exact 3.0-3.6 s vs
           // screen+verify 5.5-6.2 s warm (the 21-sketch agg alone costs
