@@ -19,7 +19,19 @@ import graft.core.{GraftService, Json}
   * graft.Cli <root> model train <modelId> <datasetId>
   * graft.Cli <root> model predict <modelId> <datasetId>
   * graft.Cli <root> model delete <id>
+  * graft.Cli <root> owl add <name> <format> <file> [description]
+  * graft.Cli <root> owl list
+  * graft.Cli <root> owl get <id>
+  * graft.Cli <root> owl file <id>
+  * graft.Cli <root> owl delete <id>
+  * graft.Cli <root> ssd add <name> <ontIds> <table> <col=Class.prop,...>
+  * graft.Cli <root> ssd list
+  * graft.Cli <root> ssd get <id>
+  * graft.Cli <root> ssd delete <id>
   * }}}
+  *
+  * `model add` takes an optional trailing owl id (the stored ontology
+  * the model's octopus aligns against).
   *
   * Output is one JSON object per line (machine-consumable, like the
   * reference's JSON responses). */
@@ -69,6 +81,9 @@ object Cli {
         case "model" :: "add" :: description :: Nil =>
           val ref = svc.createModel(description)
           println(s"""{"id":${ref.id},"state":"${ref.state}"}""")
+        case "model" :: "add" :: description :: owlId :: Nil =>
+          val ref = svc.createModel(description, Some(owlId.toInt))
+          println(s"""{"id":${ref.id},"state":"${ref.state}","owl":${owlId.toInt}}""")
         case "model" :: "list" :: Nil =>
           svc.modelKeys.flatMap(svc.getModel).foreach(m =>
             println(s"""{"id":${m.id},"state":"${m.state}"}"""))
@@ -98,6 +113,43 @@ object Cli {
           } finally s.stop()
         case "model" :: "delete" :: id :: Nil =>
           println(s"""{"deleted":${svc.deleteModel(id.toInt)}}""")
+        case "owl" :: "add" :: name :: format :: file :: rest if rest.size <= 1 =>
+          val doc = java.nio.file.Files.readString(java.nio.file.Paths.get(file))
+          val ref = svc.createOwl(name, rest.headOption.getOrElse(""), format, doc)
+          println(s"""{"id":${ref.id},"name":${Json.str(ref.name)},"format":"${ref.format}"}""")
+        case "owl" :: "list" :: Nil =>
+          svc.owlKeys.flatMap(svc.getOwl).foreach(o =>
+            println(s"""{"id":${o.id},"name":${Json.str(o.name)},"format":"${o.format}"}"""))
+        case "owl" :: "get" :: id :: Nil =>
+          svc.getOwl(id.toInt) match {
+            case Some(o) => println(s"""{"id":${o.id},"name":${Json.str(o.name)},"format":"${o.format}","description":${Json.str(o.description)}}""")
+            case None => println(s"""{"error":"owl $id not found"}""")
+          }
+        case "owl" :: "file" :: id :: Nil =>
+          svc.getOwlDocument(id.toInt) match {
+            case Some(doc) => print(doc)
+            case None => println(s"""{"error":"owl $id not found"}""")
+          }
+        case "owl" :: "delete" :: id :: Nil =>
+          println(s"""{"deleted":${svc.deleteOwl(id.toInt)}}""")
+        case "ssd" :: "add" :: name :: ontIds :: table :: mappings :: Nil =>
+          val onts = ontIds.split(",").toSeq.filter(_.nonEmpty).map(_.toInt)
+          val m = mappings.split(",").toSeq.filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+          val attrs = graft.core.Ssd
+            .identity(0, table, m.keys.toSeq.sorted).attributes
+          val ref = svc.createSsd(name, onts, attrs, m)
+          println(s"""{"id":${ref.id},"name":${Json.str(ref.name)}}""")
+        case "ssd" :: "list" :: Nil =>
+          svc.ssdKeys.flatMap(svc.getSsd).foreach(d =>
+            println(s"""{"id":${d.id},"name":${Json.str(d.name)}}"""))
+        case "ssd" :: "get" :: id :: Nil =>
+          svc.getSsd(id.toInt) match {
+            case Some(d) => println(s"""{"id":${d.id},"name":${Json.str(d.name)},"ontologies":[${d.ontologies.mkString(",")}],"mappings":${Json.str(d.mappings.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))}}""")
+            case None => println(s"""{"error":"ssd $id not found"}""")
+          }
+        case "ssd" :: "delete" :: id :: Nil =>
+          println(s"""{"deleted":${svc.deleteSsd(id.toInt)}}""")
         case _ =>
           System.err.println("unknown command; see Cli scaladoc")
           sys.exit(2)

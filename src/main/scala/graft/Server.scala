@@ -10,11 +10,14 @@ import graft.core.{GraftService, Json}
 
 /** Minimal REST transport over [[graft.core.GraftService]] — the HTTP
   * surface the reference boots in core Serene.scala:49-56 (Finch
-  * endpoints; api/DatasetAPI + api/ModelAPI.scala:153-193), rebuilt on
-  * the JDK's built-in `com.sun.net.httpserver` so the build takes no
-  * server dependency. One route per reference endpoint, same entity
-  * model as the CLI (every route is also a `graft.Cli` command over the
-  * same store — transports are thin, the service is the product):
+  * endpoints; api/DatasetAPI, api/ModelAPI.scala:153-193, api/OwlAPI,
+  * api/SsdAPI), rebuilt on the JDK's built-in `com.sun.net.httpserver`
+  * so the build takes no server dependency. One route group per
+  * reference route group — dataset, model (covering the reference's
+  * model+octopus pair: one entity here owns both the matcher and the
+  * alignment leg), owl, ssd — same entity model as the CLI (every
+  * route is also a `graft.Cli` command over the same store —
+  * transports are thin, the service is the product):
   *
   *   GET    /v1.0/dataset                     list datasets
   *   POST   /v1.0/dataset                     {"name","dir","tables"} (tables = "t:c1,c2|t2:c3")
@@ -29,6 +32,30 @@ import graft.core.{GraftService, Json}
   *            GET /model/{id} for Busy -> Complete/Error (the
   *            reference's ModelInterface.scala:219-275 contract)
   *   POST   /v1.0/model/{id}/predict?dataset={id}  column predictions + ranked suggestions
+  *   GET    /v1.0/owl                         list ontologies
+  *   POST   /v1.0/owl                         {"name","format","document","description"?}
+  *            (format = ttl | xml; the document text rides in the flat
+  *            JSON body where the reference takes multipart file
+  *            upload, OwlAPI.createOwl — same payload, simpler wire)
+  *   GET    /v1.0/owl/{id}
+  *   GET    /v1.0/owl/{id}/file               raw document (text/plain)
+  *   POST   /v1.0/owl/{id}                    {"description"?,"document"?} update
+  *   DELETE /v1.0/owl/{id}                    400 while SSDs/models reference it
+  *   GET    /v1.0/ssd                         list SSDs
+  *   POST   /v1.0/ssd                         {"name","ontologies":"1,2",
+  *            "table","mappings":"col=Class.prop,..."} — attributes are
+  *            auto-generated identity derivations over the mapped
+  *            columns, the reference's own posture (SsdAPI SsdRequest
+  *            "attributes ... automatically generated ... equal to the
+  *            original columns"); mappings are validated against the
+  *            referenced ontologies' data properties
+  *   GET    /v1.0/ssd/{id}
+  *   POST   /v1.0/ssd/{id}                    full-replace update (SsdAPI.ssdPatch)
+  *   DELETE /v1.0/ssd/{id}
+  *
+  *   POST /v1.0/model also takes optional "owl": a stored ontology id
+  *   the model's octopus aligns against (resolved at train; absent =
+  *   service default) — the upload-OWL-then-train-octopus lifecycle.
   *
   * Handlers run on the server's executor; Spark work reuses one shared
   * session (getOrCreate), matching the reference's single embedded
@@ -74,8 +101,40 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
     s"""{"id":${d.id},"name":${Json.str(d.name)},"dir":${Json.str(d.dir)},"tables":${Json.str(tables)}}"""
   }
 
-  private def modelJson(m: graft.core.ModelRef): String =
-    s"""{"id":${m.id},"description":${Json.str(m.description)},"state":"${m.state}"}"""
+  private def modelJson(m: graft.core.ModelRef): String = {
+    val owl = m.owlId.map(o => s""","owl":$o""").getOrElse("")
+    s"""{"id":${m.id},"description":${Json.str(m.description)},"state":"${m.state}"$owl}"""
+  }
+
+  private def owlJson(o: graft.core.OwlRef): String =
+    s"""{"id":${o.id},"name":${Json.str(o.name)},"format":"${o.format}","description":${Json.str(o.description)}}"""
+
+  private def ssdJson(d: graft.core.SsdRef): String = {
+    val mappings = d.mappings.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString(",")
+    val attrs = d.attributes.map(_.name).mkString(",")
+    s"""{"id":${d.id},"name":${Json.str(d.name)},"ontologies":[${d.ontologies.mkString(",")}],"attributes":${Json.str(attrs)},"mappings":${Json.str(mappings)}}"""
+  }
+
+  /** Wire -> store decode for the SSD POST body (identity attributes
+    * over the mapped columns, like the reference's SsdRequest.toSsd). */
+  private def ssdParts(b: Map[String, String])
+      : (Seq[Int], Seq[graft.core.SsdAttribute], Map[String, String]) = {
+    val onts = b.getOrElse("ontologies", "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    val mappings = b.getOrElse("mappings", "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case _ => throw new graft.core.GraftService.ClientError(
+            s"malformed mapping '$kv' (expected col=Class.property)")
+        }
+      }.toMap
+    val table = b.getOrElse("table", "")
+    val attrs = graft.core.Ssd
+      .identity(0, table, mappings.keys.toSeq.sorted).attributes
+    (onts, attrs, mappings)
+  }
 
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripPrefix("/v1.0/")
@@ -121,8 +180,10 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
         respond(ex, 200, svc.modelKeys.flatMap(svc.getModel)
           .map(modelJson).mkString("[", ",", "]"))
       case ("POST", "model" :: Nil) =>
-        body(ex).get("description") match {
-          case Some(d) => respond(ex, 200, modelJson(svc.createModel(d)))
+        val b = body(ex)
+        b.get("description") match {
+          case Some(d) => respond(ex, 200, modelJson(
+            svc.createModel(d, b.get("owl").map(_.toInt))))
           case None => err(ex, 400, "body must carry description")
         }
       case ("GET", "model" :: id :: Nil) =>
@@ -183,6 +244,67 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
           case None => err(ex, 400, "query param dataset required")
         }
 
+      case ("GET", "owl" :: Nil) =>
+        respond(ex, 200, svc.owlKeys.flatMap(svc.getOwl)
+          .map(owlJson).mkString("[", ",", "]"))
+      case ("POST", "owl" :: Nil) =>
+        val b = body(ex)
+        (b.get("name"), b.get("format"), b.get("document")) match {
+          case (Some(n), Some(f), Some(doc)) if n.trim.nonEmpty =>
+            respond(ex, 200, owlJson(
+              svc.createOwl(n, b.getOrElse("description", ""), f, doc)))
+          case _ =>
+            err(ex, 400, "body must carry name, format and document")
+        }
+      case ("GET", "owl" :: id :: Nil) =>
+        svc.getOwl(id.toInt) match {
+          case Some(o) => respond(ex, 200, owlJson(o))
+          case None => err(ex, 404, s"owl $id not found")
+        }
+      case ("GET", "owl" :: id :: "file" :: Nil) =>
+        svc.getOwlDocument(id.toInt) match {
+          case Some(doc) =>
+            val bytes = doc.getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "text/plain")
+            ex.sendResponseHeaders(200, bytes.length)
+            val os = ex.getResponseBody
+            try os.write(bytes) finally os.close()
+          case None => err(ex, 404, s"owl $id not found")
+        }
+      case ("POST", "owl" :: id :: Nil) =>
+        val b = body(ex)
+        respond(ex, 200, owlJson(
+          svc.updateOwl(id.toInt, b.get("description"), b.get("document"))))
+      case ("DELETE", "owl" :: id :: Nil) =>
+        respond(ex, 200, s"""{"deleted":${svc.deleteOwl(id.toInt)}}""")
+
+      case ("GET", "ssd" :: Nil) =>
+        respond(ex, 200, svc.ssdKeys.flatMap(svc.getSsd)
+          .map(ssdJson).mkString("[", ",", "]"))
+      case ("POST", "ssd" :: Nil) =>
+        val b = body(ex)
+        b.get("name") match {
+          case Some(n) if n.trim.nonEmpty =>
+            val (onts, attrs, mappings) = ssdParts(b)
+            respond(ex, 200,
+              ssdJson(svc.createSsd(n, onts, attrs, mappings)))
+          case _ => err(ex, 400, "body must carry name")
+        }
+      case ("GET", "ssd" :: id :: Nil) =>
+        svc.getSsd(id.toInt) match {
+          case Some(d) => respond(ex, 200, ssdJson(d))
+          case None => err(ex, 404, s"ssd $id not found")
+        }
+      case ("POST", "ssd" :: id :: Nil) =>
+        val b = body(ex)
+        val (onts, attrs, mappings) = ssdParts(b)
+        val cur = svc.getSsd(id.toInt)
+          .getOrElse(throw new NoSuchElementException(s"ssd $id"))
+        respond(ex, 200, ssdJson(svc.updateSsd(id.toInt,
+          b.getOrElse("name", cur.name), onts, attrs, mappings)))
+      case ("DELETE", "ssd" :: id :: Nil) =>
+        respond(ex, 200, s"""{"deleted":${svc.deleteSsd(id.toInt)}}""")
+
       case _ => err(ex, 404, "no such route")
     }
   } catch {
@@ -192,6 +314,10 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
     // type — a server-internal require()/Spark IllegalArgumentException
     // must keep surfacing as 500, not masquerade as a client error
     case e: Json.Malformed => err(ex, 400, String.valueOf(e.getMessage))
+    // service-side request validation (bad OWL format/document, dangling
+    // ontology reference, deleting a referenced owl): client's error
+    case e: GraftService.ClientError =>
+      err(ex, 400, String.valueOf(e.getMessage))
     // resource exists but is not in a state for the request (predict
     // before/while training): the client's conflict, not a server fault
     case e: IllegalStateException => err(ex, 409, String.valueOf(e.getMessage))

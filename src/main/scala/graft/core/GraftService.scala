@@ -13,9 +13,32 @@ final case class DatasetRef(
     id: Int, name: String, dir: String,
     tables: Seq[(String, Seq[String])], created: Long)
 
-/** Model registration record; `state` mirrors the Octopus train state. */
+/** Model registration record; `state` mirrors the Octopus train state.
+  * `owlId`, when set, names the stored ontology ([[OwlRef]]) the model's
+  * octopus aligns against — the reference's octopus carries its
+  * ontology list the same way (storage/OctopusStorage; an octopus
+  * `refers` to its owls, OwlInterface.dependents:52-57). Absent =
+  * the service's constructor-default ontology. */
 final case class ModelRef(id: Int, description: String, state: String,
-    created: Long)
+    created: Long, owlId: Option[Int] = None)
+
+/** Stored-ontology record (reference types SsdTypes.scala:128-140 `Owl`
+  * + storage/OwlStorage.scala): metadata beside the uploaded document.
+  * `format` is the reference's OwlDocumentFormat wire value — "ttl"
+  * (Turtle) or "xml" (RDF/XML), the two syntaxes
+  * [[graft.modeler.Ontology]] parses. */
+final case class OwlRef(id: Int, name: String, description: String,
+    format: String, created: Long)
+
+/** Stored semantic-source-description record (reference
+  * types/SsdTypes.scala:318-356 `Ssd` + storage/SsdStorage.scala):
+  * attribute derivations plus the attribute -> "Class.property"
+  * mappings into the referenced ontologies. */
+final case class SsdRef(id: Int, name: String, ontologies: Seq[Int],
+    attributes: Seq[SsdAttribute], mappings: Map[String, String],
+    created: Long) {
+  def ssd: Ssd = Ssd(id, name, attributes, ontologies)
+}
 
 /** Thin orchestration layer over the engine — capability parity with the
   * reference's user-facing surface (reference core Serene.scala:49-56
@@ -43,6 +66,8 @@ class GraftService(val rootDir: String,
 
   private def dsDir(id: Int): Path = Paths.get(rootDir, "datasets", id.toString)
   private def mdDir(id: Int): Path = Paths.get(rootDir, "models", id.toString)
+  private def owlDir(id: Int): Path = Paths.get(rootDir, "owls", id.toString)
+  private def ssdDir(id: Int): Path = Paths.get(rootDir, "ssds", id.toString)
   private val octopi = collection.concurrent.TrieMap.empty[Int, Octopus]
 
   /** Async trains currently owned by this service instance. Incremented
@@ -138,20 +163,210 @@ class GraftService(val rootDir: String,
     deleteRecursively(dsDir(id)); existed
   }
 
-  // ---- model CRUD + train/predict (reference api/ModelAPI:153-193) ----
-  def createModel(description: String): ModelRef = {
-    val id = nextId("models")
-    val ref = ModelRef(id, description, "Untrained", System.currentTimeMillis())
-    writeMeta(mdDir(id), "description" -> description, "state" -> ref.state,
+  // ---- owl CRUD (reference api/OwlAPI + storage/OwlStorage) -----------
+  // The document is stored verbatim beside the metadata (the reference
+  // keeps the uploaded file beside the Owl JSON the same way) and is
+  // parse-VALIDATED on the way in: a document graft.modeler.Ontology
+  // cannot read, or one with no classes, is the client's error (400),
+  // caught at upload rather than surfacing as a train-time Error state.
+
+  /** `format` -> document filename; also the wire-format gate. */
+  private def owlDocName(format: String): String = format match {
+    case "ttl" | "turtle" => "document.ttl"
+    case "xml" | "rdfxml" => "document.xml"
+    case other => throw new GraftService.ClientError(
+      s"OWL format '$other' not supported (ttl | xml)")
+  }
+  private def validateOwlDocument(format: String, document: String): Unit = {
+    val parsed =
+      try {
+        if (owlDocName(format) == "document.ttl")
+          Ontology.parseTurtle(document)
+        else Ontology.parseRdfXml(document)
+      } catch { case e: Exception =>
+        throw new GraftService.ClientError(
+          s"OWL document does not parse as $format: ${e.getMessage}")
+      }
+    if (parsed.classes.isEmpty)
+      throw new GraftService.ClientError(
+        "OWL document declares no classes")
+  }
+
+  def createOwl(name: String, description: String, format: String,
+      document: String): OwlRef = {
+    validateOwlDocument(format, document)
+    val id = nextId("owls")
+    val ref = OwlRef(id, name, description, format,
+      System.currentTimeMillis())
+    writeMeta(owlDir(id), "name" -> name, "description" -> description,
+      "format" -> format, "created" -> ref.created.toString)
+    Files.writeString(owlDir(id).resolve(owlDocName(format)), document)
+    ref
+  }
+  def owlKeys: Seq[Int] = keysUnder("owls")
+  def getOwl(id: Int): Option[OwlRef] =
+    if (!Files.exists(owlDir(id).resolve("meta.json"))) None
+    else {
+      val m = readMeta(owlDir(id))
+      Some(OwlRef(id, m("name"), m("description"), m("format"),
+        m("created").toLong))
+    }
+  def getOwlDocument(id: Int): Option[String] =
+    getOwl(id).map(ref =>
+      Files.readString(owlDir(id).resolve(owlDocName(ref.format))))
+  /** Update description and/or replace the document (reference
+    * OwlAPI.updateOwl — both parts optional). */
+  def updateOwl(id: Int, description: Option[String],
+      document: Option[String]): OwlRef = {
+    val ref = getOwl(id)
+      .getOrElse(throw new NoSuchElementException(s"owl $id"))
+    document.foreach { doc =>
+      validateOwlDocument(ref.format, doc)
+      Files.writeString(owlDir(id).resolve(owlDocName(ref.format)), doc)
+    }
+    val next = ref.copy(description = description.getOrElse(ref.description))
+    writeMeta(owlDir(id), "name" -> next.name,
+      "description" -> next.description, "format" -> next.format,
+      "created" -> next.created.toString)
+    // a replaced document must reach the next predict/train: drop any
+    // cached octopus built on the old parse (same invalidation posture
+    // as the reference's modified-date checkTraining)
+    if (document.isDefined) {
+      val stale = modelKeys.flatMap(getModel)
+        .filter(_.owlId.contains(id)).map(_.id)
+      stale.foreach(octopi.remove)
+    }
+    next
+  }
+  /** Refuses when the ontology is still referenced — the reference's
+    * dependent check (OwlInterface.dependents:44-60: SSDs and octopi
+    * that refer to the owl block deletion). */
+  def deleteOwl(id: Int): Boolean = {
+    val ssdRefs = ssdKeys.flatMap(getSsd).filter(_.ontologies.contains(id))
+    val modelRefs = modelKeys.flatMap(getModel)
+      .filter(_.owlId.contains(id))
+    if (ssdRefs.nonEmpty || modelRefs.nonEmpty)
+      throw new GraftService.ClientError(
+        s"owl $id is referenced by " +
+          (ssdRefs.map(s => s"ssd ${s.id}") ++
+            modelRefs.map(m => s"model ${m.id}")).mkString(", "))
+    val existed = Files.exists(owlDir(id))
+    deleteRecursively(owlDir(id)); existed
+  }
+
+  // ---- ssd CRUD (reference api/SsdAPI + storage/SsdStorage) -----------
+  // Mapping values are "Class.property" labels resolved against the
+  // union of the referenced ontologies' data properties — the
+  // reference's SsdInterface consistency check (mappings must land on
+  // semantic-model nodes drawn from the ontologies); a dangling class
+  // or property is the client's error.
+
+  // meta encoding: attributes/mappings are packed with the two
+  // information-separator control chars (record , field ),
+  // which Json.str escapes to \\u001e/\\u001f — safe for ANY payload
+  // text including '|', ':' and ',' inside attribute SQL
+  private val Rs = '\u001e'; private val Fs = '\u001f'
+  private def encodeAttrs(attrs: Seq[SsdAttribute]): String =
+    attrs.map(a => s"${a.id}$Fs${a.name}$Fs${a.sql}").mkString(Rs.toString)
+  private def decodeAttrs(s: String): Seq[SsdAttribute] =
+    s.split(Rs).toSeq.filter(_.nonEmpty).map { r =>
+      val Array(id, name, sql) = r.split(Fs.toString, 3)
+      SsdAttribute(id.toInt, name, sql)
+    }
+  private def encodeMappings(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k$Fs$v" }.mkString(Rs.toString)
+  private def decodeMappings(s: String): Map[String, String] =
+    s.split(Rs).toSeq.filter(_.nonEmpty).map { r =>
+      val Array(k, v) = r.split(Fs.toString, 2); k -> v
+    }.toMap
+
+  private def validateSsd(ontologies: Seq[Int],
+      mappings: Map[String, String]): Unit = {
+    val missing = ontologies.filterNot(o => getOwl(o).isDefined)
+    if (missing.nonEmpty)
+      throw new GraftService.ClientError(
+        s"unknown ontologies: ${missing.mkString(", ")}")
+    if (mappings.nonEmpty) {
+      val onts = ontologies.flatMap(o => getOwlDocument(o))
+        .map(Ontology.parse)
+      val props: Set[String] = onts.flatMap(o =>
+        o.dataProps.map(p => s"${p.domain}.${p.uri}")).toSet
+      val dangling = mappings.values.filterNot(props.contains).toSeq.distinct
+      if (dangling.nonEmpty)
+        throw new GraftService.ClientError(
+          "mappings name unknown Class.property targets: " +
+            dangling.mkString(", "))
+    }
+  }
+
+  def createSsd(name: String, ontologies: Seq[Int],
+      attributes: Seq[SsdAttribute],
+      mappings: Map[String, String]): SsdRef = {
+    validateSsd(ontologies, mappings)
+    val id = nextId("ssds")
+    val ref = SsdRef(id, name, ontologies, attributes, mappings,
+      System.currentTimeMillis())
+    writeMeta(ssdDir(id), "name" -> name,
+      "ontologies" -> ontologies.mkString(","),
+      "attributes" -> encodeAttrs(attributes),
+      "mappings" -> encodeMappings(mappings),
       "created" -> ref.created.toString)
     ref
   }
+  def ssdKeys: Seq[Int] = keysUnder("ssds")
+  def getSsd(id: Int): Option[SsdRef] =
+    if (!Files.exists(ssdDir(id).resolve("meta.json"))) None
+    else {
+      val m = readMeta(ssdDir(id))
+      Some(SsdRef(id, m("name"),
+        m("ontologies").split(",").toSeq.filter(_.nonEmpty).map(_.toInt),
+        decodeAttrs(m("attributes")), decodeMappings(m("mappings")),
+        m("created").toLong))
+    }
+  /** Full-replace update (reference SsdAPI.ssdPatch posts a complete
+    * SsdRequest at the resource). */
+  def updateSsd(id: Int, name: String, ontologies: Seq[Int],
+      attributes: Seq[SsdAttribute],
+      mappings: Map[String, String]): SsdRef = {
+    val old = getSsd(id)
+      .getOrElse(throw new NoSuchElementException(s"ssd $id"))
+    validateSsd(ontologies, mappings)
+    val ref = SsdRef(id, name, ontologies, attributes, mappings, old.created)
+    writeMeta(ssdDir(id), "name" -> name,
+      "ontologies" -> ontologies.mkString(","),
+      "attributes" -> encodeAttrs(attributes),
+      "mappings" -> encodeMappings(mappings),
+      "created" -> old.created.toString)
+    ref
+  }
+  def deleteSsd(id: Int): Boolean = {
+    val existed = Files.exists(ssdDir(id))
+    deleteRecursively(ssdDir(id)); existed
+  }
+
+  // ---- model CRUD + train/predict (reference api/ModelAPI:153-193) ----
+  def createModel(description: String,
+      owlId: Option[Int] = None): ModelRef = {
+    owlId.foreach(o => if (getOwl(o).isEmpty)
+      throw new GraftService.ClientError(s"unknown owl $o"))
+    val id = nextId("models")
+    val ref = ModelRef(id, description, "Untrained",
+      System.currentTimeMillis(), owlId)
+    writeModelMeta(ref)
+    ref
+  }
+  private def writeModelMeta(ref: ModelRef): Unit =
+    writeMeta(mdDir(ref.id),
+      (Seq("description" -> ref.description, "state" -> ref.state,
+        "created" -> ref.created.toString) ++
+        ref.owlId.map(o => "owl" -> o.toString)): _*)
   def modelKeys: Seq[Int] = keysUnder("models")
   def getModel(id: Int): Option[ModelRef] =
     if (!Files.exists(mdDir(id).resolve("meta.json"))) None
     else {
       val m = readMeta(mdDir(id))
-      Some(ModelRef(id, m("description"), m("state"), m("created").toLong))
+      Some(ModelRef(id, m("description"), m("state"), m("created").toLong,
+        m.get("owl").flatMap(_.toIntOption)))
     }
   def deleteModel(id: Int): Boolean = {
     octopi.remove(id)
@@ -161,7 +376,16 @@ class GraftService(val rootDir: String,
 
   private def octopus(id: Int): Octopus =
     octopi.getOrElseUpdate(id, {
-      val o = new Octopus(ontology, knownModels, mdDir(id).toString,
+      // the model's stored ontology wins over the constructor default —
+      // the "upload OWL, then train an octopus against it" lifecycle
+      // (reference OctopusInterface resolves its ontologies from
+      // OwlStorage by id the same way)
+      val ont = getModel(id).flatMap(_.owlId) match {
+        case Some(oid) => Ontology.parse(getOwlDocument(oid).getOrElse(
+          throw new NoSuchElementException(s"owl $oid")))
+        case None => ontology
+      }
+      val o = new Octopus(ont, knownModels, mdDir(id).toString,
         semanticTypeMap = semanticTypeMap)
       // rehydrate a model trained by a previous service instance/JVM:
       // artifacts on disk + Complete in the store -> reload both legs
@@ -179,8 +403,7 @@ class GraftService(val rootDir: String,
     val model = getModel(modelId)
       .getOrElse(throw new NoSuchElementException(s"model $modelId"))
     val st = octopus(modelId).train(spark, ds.dir)
-    writeMeta(mdDir(modelId), "description" -> model.description,
-      "state" -> st.toString, "created" -> model.created.toString)
+    writeModelMeta(model.copy(state = st.toString))
     st
   }
 
@@ -203,8 +426,7 @@ class GraftService(val rootDir: String,
       .getOrElse(throw new NoSuchElementException(s"model $modelId"))
     val oct = octopus(modelId)
     if (oct.trainState == Octopus.Busy) return Octopus.Busy
-    writeMeta(mdDir(modelId), "description" -> model.description,
-      "state" -> Octopus.Busy.toString, "created" -> model.created.toString)
+    writeModelMeta(model.copy(state = Octopus.Busy.toString))
     asyncTrains.incrementAndGet() // before submit — see field scaladoc
     scala.concurrent.Future {
       try {
@@ -213,8 +435,7 @@ class GraftService(val rootDir: String,
           catch { case e: Exception =>
             Octopus.Error(String.valueOf(e.getMessage)) }
         if (st != Octopus.Busy) { // Busy = a concurrent train owns the record
-          writeMeta(mdDir(modelId), "description" -> model.description,
-            "state" -> st.toString, "created" -> model.created.toString)
+          writeModelMeta(model.copy(state = st.toString))
           // train complete = end of a unit of work: drop pipeline-stage
           // caches so a long-lived server JVM doesn't accumulate them.
           // Inside the guard: a Busy-losing call must NOT sweep the
@@ -255,6 +476,13 @@ class GraftService(val rootDir: String,
 }
 
 object GraftService {
+  /** A request the CLIENT got wrong (unsupported OWL format, document
+    * that doesn't parse, dangling ontology/mapping reference, deleting
+    * a still-referenced owl). The HTTP layer maps this — and ONLY
+    * this — to 400; generic IllegalArgumentExceptions keep surfacing
+    * as 500 so server faults can't masquerade as client errors. */
+  final class ClientError(msg: String) extends RuntimeException(msg)
+
   /** Daemon dispatcher for async REST trains — deliberately SEPARATE
     * from [[Octopus.trainEc]]: the dispatching task blocks awaiting the
     * two leg futures, and parking it on the 2-thread leg pool would

@@ -145,8 +145,9 @@ object Ontology {
     else parseTurtle(t)
   }
 
-  /** Built-in TPC-H-domain ontology used by the modeler queries. */
-  val tpch: Ontology = parseTurtle("""
+  /** Turtle source of [[tpch]] — public so the service's owl-upload
+    * round-trip (ServerSpec) can POST the same document a user would. */
+  val tpchTurtle: String = ("""
     :Customer a owl:Class .
     :Order a owl:Class .
     :LineItem a owl:Class .
@@ -183,4 +184,7 @@ object Ontology {
     :suppNation a owl:ObjectProperty ; rdfs:domain :Supplier ; rdfs:range :Nation .
     :inRegion a owl:ObjectProperty ; rdfs:domain :Nation ; rdfs:range :Region .
   """)
+
+  /** Built-in TPC-H-domain ontology used by the modeler queries. */
+  val tpch: Ontology = parseTurtle(tpchTurtle)
 }

@@ -63,6 +63,76 @@ class GraftServiceSpec extends SparkSpec {
     assert(svc.getModel(model.id).isEmpty)
   }
 
+  test("owl + ssd CRUD: store round-trip, validation, dependent-delete " +
+      "refusal (reference OwlStorage/SsdStorage + OwlInterface.dependents)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-owl").toString
+    val svc = new GraftService(root)
+    import graft.modeler.Ontology
+
+    // validation at the door: unsupported format / unparseable document
+    intercept[GraftService.ClientError] {
+      svc.createOwl("bad", "", "jsonld", Ontology.tpchTurtle)
+    }
+    intercept[GraftService.ClientError] {
+      svc.createOwl("bad", "", "ttl", "this is not turtle")
+    }
+
+    val owl = svc.createOwl("tpch", "the tpch ontology", "ttl",
+      Ontology.tpchTurtle)
+    assert(svc.owlKeys === Seq(owl.id))
+    assert(svc.getOwl(owl.id).get.name === "tpch")
+    // the document round-trips VERBATIM (reference getOwlDocument
+    // serves the stored file, not a re-serialization)
+    assert(svc.getOwlDocument(owl.id).get === Ontology.tpchTurtle)
+    // and parses back to the same ontology
+    assert(Ontology.parse(svc.getOwlDocument(owl.id).get) === Ontology.tpch)
+
+    // update: description only, then document replacement w/ validation
+    val up = svc.updateOwl(owl.id, Some("v2"), None)
+    assert(up.description === "v2" &&
+      svc.getOwl(owl.id).get.description === "v2")
+    intercept[GraftService.ClientError] {
+      svc.updateOwl(owl.id, None, Some("<broken"))
+    }
+
+    // ssd referencing the owl; mappings validated against its data props
+    intercept[GraftService.ClientError] {
+      svc.createSsd("bad", Seq(999), Nil, Map.empty) // dangling ontology
+    }
+    intercept[GraftService.ClientError] {
+      svc.createSsd("bad", Seq(owl.id), Nil,
+        Map("c" -> "Nope.nothing")) // dangling mapping target
+    }
+    val attrs = Ssd.identity(0, "orders",
+      Seq("o_orderdate", "o_totalprice")).attributes
+    val ssd = svc.createSsd("orders-ssd", Seq(owl.id), attrs,
+      Map("o_orderdate" -> "Order.orderdate",
+        "o_totalprice" -> "Order.totalprice"))
+    assert(svc.ssdKeys === Seq(ssd.id))
+    val got = svc.getSsd(ssd.id).get
+    assert(got.name === "orders-ssd" && got.ontologies === Seq(owl.id))
+    assert(got.attributes === attrs, "attribute SQL survives the store " +
+      "(incl. ':' and ',' — the flat-meta packing must be payload-safe)")
+    assert(got.mappings === Map("o_orderdate" -> "Order.orderdate",
+      "o_totalprice" -> "Order.totalprice"))
+
+    // a model bound to the owl; unknown owl refused
+    intercept[GraftService.ClientError] { svc.createModel("m", Some(999)) }
+    val model = svc.createModel("owl-backed", Some(owl.id))
+    assert(svc.getModel(model.id).get.owlId === Some(owl.id))
+
+    // delete refusal while referenced (by the ssd AND the model)...
+    intercept[GraftService.ClientError] { svc.deleteOwl(owl.id) }
+    assert(svc.updateSsd(ssd.id, got.name, Nil, got.attributes,
+      Map.empty).ontologies.isEmpty)
+    intercept[GraftService.ClientError] { svc.deleteOwl(owl.id) } // model still
+    assert(svc.deleteModel(model.id))
+    // ...then allowed once nothing refers to it
+    assert(svc.deleteOwl(owl.id))
+    assert(svc.getOwl(owl.id).isEmpty)
+    assert(svc.deleteSsd(ssd.id) && svc.ssdKeys.isEmpty)
+  }
+
   test("train on a missing dataset fails loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-svc-err").toString
     val svc = new GraftService(root)

@@ -170,4 +170,115 @@ class ServerSpec extends SparkSpec {
       assert(okCode === 200 && okBody.contains("\"name\":\"Aok\""), okBody)
     } finally server.stop()
   }
+
+  test("owl/ssd lifecycle over HTTP: upload Turtle -> SSD mappings " +
+      "validated against it -> owl-backed octopus trains and suggests " +
+      "from the UPLOADED ontology (closes S11: the reference's first " +
+      "user workflow, Serene.scala:49-56 OwlAPI/SsdAPI)") {
+    import graft.modeler.Ontology
+    val root = java.nio.file.Files.createTempDirectory("graft-http-owl").toString
+    // the service default ontology is EMPTY on purpose: any ontology
+    // vocabulary that shows up in suggestions can then only have come
+    // from the uploaded owl document, proving the octopus resolved the
+    // model's owlId from the store rather than the constructor default
+    val svc = new GraftService(root,
+      ontology = Ontology(Set.empty, Nil, Nil, Map.empty),
+      knownModels = Seq(ModelerQueries.knownOrderModel),
+      semanticTypeMap = ModelerQueries.tpchTypeMap)
+    val server = new GraftHttpServer(svc, () => spark)
+    val port = server.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      assert(get(base, "/v1.0/owl") === (200, "[]"))
+      assert(get(base, "/v1.0/ssd") === (200, "[]"))
+
+      // upload rejects garbage at the door (reference BadRequest on
+      // unsupported format; our parse validation extends it to the body)
+      assert(post(base, "/v1.0/owl",
+        s"""{"name":"x","format":"jsonld","document":"irrelevant"}""")._1
+        === 400)
+      assert(post(base, "/v1.0/owl",
+        s"""{"name":"x","format":"ttl","document":"no classes here"}""")._1
+        === 400)
+
+      val doc = Json.str(Ontology.tpchTurtle)
+      val (co, bo) = post(base, "/v1.0/owl",
+        s"""{"name":"tpch.ttl","format":"ttl","description":"d","document":$doc}""")
+      assert(co === 200 && bo.contains("\"name\":\"tpch.ttl\""), bo)
+      val owlId = Json.parseFlat(bo.replaceAll(""""id":(\d+)""",
+        """"id":"$1"""")).apply("id")
+
+      // the document round-trips byte-identical through GET /file
+      val (cf, bf) = get(base, s"/v1.0/owl/$owlId/file")
+      assert(cf === 200 && bf === Ontology.tpchTurtle.trim, bf.take(120))
+
+      // ssd: mappings must resolve in the uploaded ontology
+      assert(post(base, "/v1.0/ssd",
+        s"""{"name":"bad","ontologies":"$owlId","table":"orders","mappings":"o_x=Nope.nope"}""")._1
+        === 400)
+      val (cs, bs) = post(base, "/v1.0/ssd",
+        s"""{"name":"orders-ssd","ontologies":"$owlId","table":"orders","mappings":"o_orderdate=Order.orderdate,o_totalprice=Order.totalprice"}""")
+      assert(cs === 200 && bs.contains("\"ontologies\":[" + owlId + "]"), bs)
+      // ssdJson carries an array field, so parseFlat (flat-contract
+      // parser) can't read it — lift the id by regex
+      val ssdId = """"id":(\d+)""".r.findFirstMatchIn(bs).get.group(1)
+      assert(get(base, s"/v1.0/ssd/$ssdId")._2
+        .contains("o_orderdate=Order.orderdate"))
+
+      // deleting the referenced owl is the client's error (400), like
+      // the reference's dependent check
+      assert(delete(base, s"/v1.0/owl/$owlId")._1 === 400)
+
+      // model bound to the uploaded owl; train; predict
+      val (cm, bm) = post(base, "/v1.0/model",
+        s"""{"description":"owl-backed","owl":$owlId}""")
+      assert(cm === 200 && bm.contains(s""""owl":$owlId"""), bm)
+      val modelId = Json.parseFlat(bm.replaceAll(""""id":(\d+)""",
+        """"id":"$1"""")).apply("id")
+      val trainTables = Labels.trainTables
+        .map { case (t, cs2) => s"$t:${cs2.mkString(",")}" }.mkString("|")
+      val holdTables = Labels.holdoutTables
+        .map { case (t, cs2) => s"$t:${cs2.mkString(",")}" }.mkString("|")
+      val trainId = Json.parseFlat(post(base, "/v1.0/dataset",
+        s"""{"name":"train","dir":"$sf","tables":"$trainTables"}""")._2
+        .replaceAll(""""id":(\d+)""", """"id":"$1"""")).apply("id")
+      val holdId = Json.parseFlat(post(base, "/v1.0/dataset",
+        s"""{"name":"holdout","dir":"$sf","tables":"$holdTables"}""")._2
+        .replaceAll(""""id":(\d+)""", """"id":"$1"""")).apply("id")
+      val (ct, bt) = post(base,
+        s"/v1.0/model/$modelId/train?dataset=$trainId", "")
+      assert(ct === 202, bt)
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var state = get(base, s"/v1.0/model/$modelId")._2
+      while (state.contains("\"state\":\"Busy\"") &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        state = get(base, s"/v1.0/model/$modelId")._2
+      }
+      assert(state.contains("\"state\":\"Complete\""), state)
+
+      val (cp, bp) = post(base,
+        s"/v1.0/model/$modelId/predict?dataset=$holdId", "")
+      assert(cp === 200, bp.take(300))
+      assert(bp.contains("\"suggestions\":[{"), "suggestions must be " +
+        s"non-empty — the empty default ontology yields none: ${bp.take(300)}")
+      // the proof: a tpch DATA PROPERTY in a suggested triple can only
+      // come from the uploaded document (known model carries only
+      // class-to-class links; the service default ontology is empty)
+      val dataProps = Ontology.tpch.dataProps.map(_.uri).toSet
+      val propRe = """\["[^"]+","([^"]+)","[^"]+"\]""".r
+      val suggested = propRe.findAllMatchIn(
+        bp.substring(bp.indexOf("\"suggestions\":"))).map(_.group(1)).toSet
+      assert(suggested.exists(dataProps.contains),
+        s"no uploaded-ontology data property in suggestions: $suggested")
+
+      // teardown order honors the dependency graph
+      assert(delete(base, s"/v1.0/model/$modelId")._1 === 200)
+      assert(delete(base, s"/v1.0/ssd/$ssdId") ===
+        (200, """{"deleted":true}"""))
+      assert(delete(base, s"/v1.0/owl/$owlId") ===
+        (200, """{"deleted":true}"""))
+      assert(get(base, s"/v1.0/owl/$owlId")._1 === 404)
+    } finally server.stop()
+  }
 }
