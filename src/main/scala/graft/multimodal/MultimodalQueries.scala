@@ -20,6 +20,21 @@ object MultimodalQueries {
               THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) - 256
               ELSE CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) END)"""
 
+  /** THE one DuckDB rendering of [[Multimodal.mediaTable]]'s synthesis
+    * (doc_id -> media_id, the 3-way mime rotation, payload =
+    * encode(coalesce(text,''))), interpolated into every mm oracle so
+    * a change to the synthesis cannot drift one oracle silently — the
+    * same single-rendering posture as the text family's
+    * langPredSqlCtes (r12 ADVICE item). Must-change-together partner:
+    * [[Multimodal.mediaTable]]. */
+  private def mediaSqlCte: String = """media AS (
+        SELECT doc_id AS media_id,
+          ['image/png','audio/wav','video/mp4']
+            [CAST(doc_id % 3 + 1 AS INT)] AS mime,
+          encode(coalesce(text, '')) AS payload
+        FROM documents
+      )"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- mm1: media feature extraction over binary payloads
@@ -34,12 +49,10 @@ object MultimodalQueries {
       // oracle re-derives the stub decode: Java Arrays.hashCode is the
       // 31-based rolling hash over signed bytes in 32-bit wraparound;
       // entropy is over the 16 high-nibble classes of the payload bytes
-      Some(s"""WITH m AS (
-        SELECT doc_id AS media_id,
-          ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
-          hex(encode(coalesce(text, ''))) AS hx,
-          octet_length(encode(coalesce(text, ''))) AS n
-        FROM documents
+      Some(s"""WITH $mediaSqlCte, m AS (
+        SELECT media_id, mime, hex(payload) AS hx,
+          octet_length(payload) AS n
+        FROM media
       ), hashed AS (
         SELECT media_id, mime, hx, n,
           list_reduce(list_prepend(CAST(1 AS BIGINT), $bytesSql),
@@ -85,9 +98,10 @@ object MultimodalQueries {
       // oracle re-derives the byte-window frame sampler: video payloads
       // are doc_id % 3 == 2 (mime array index 3), frame i spans
       // [len*i/4, min(len, len*i/4 + max(1, len/4))) in integer division
-      Some("""WITH v AS (
-        SELECT doc_id AS media_id, octet_length(encode(coalesce(text, ''))) AS len
-        FROM documents WHERE doc_id % 3 = 2
+      // video payloads are mime = 'video/mp4' (the rotation's index 3)
+      Some(s"""WITH $mediaSqlCte, v AS (
+        SELECT media_id, octet_length(payload) AS len
+        FROM media WHERE mime = 'video/mp4'
       ), f AS (
         SELECT media_id, unnest(range(0, 4)) AS i, len
         FROM v WHERE len > 0
@@ -117,11 +131,8 @@ object MultimodalQueries {
             md5(hex(col("payload"))).as("fp"))
           .orderBy(col("media_id"))
       },
-      Some("""WITH m AS (
-        SELECT doc_id AS media_id,
-          ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
-          encode(coalesce(text, '')) AS p
-        FROM documents
+      Some(s"""WITH $mediaSqlCte, m AS (
+        SELECT media_id, mime, payload AS p FROM media
       )
       SELECT media_id, mime,
         CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
@@ -183,11 +194,8 @@ object MultimodalQueries {
           s"(length(hi) - length(replace(hi, '$d', ''))) * 16" +
             s" // greatest(length(hi), 1)")
           .mkString(", ")
-        s"""WITH m AS (
-        SELECT doc_id AS media_id,
-          ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
-          hex(encode(coalesce(text, ''))) AS hx
-        FROM documents
+        s"""WITH $mediaSqlCte, m AS (
+        SELECT media_id, mime, hex(payload) AS hx FROM media
       ), hi AS (
         SELECT media_id, mime, hx,
           regexp_replace(hx, '(.).', '\\1', 'g') AS hi
@@ -244,11 +252,8 @@ object MultimodalQueries {
             col("mean_bytes_micro"), col("byte_share_micro"))
           .orderBy(col("mime"))
       },
-      Some("""WITH m AS (
-        SELECT ['image/png','audio/wav','video/mp4']
-            [CAST(doc_id % 3 + 1 AS INT)] AS mime,
-          octet_length(encode(coalesce(text, ''))) AS nb
-        FROM documents
+      Some(s"""WITH $mediaSqlCte, m AS (
+        SELECT mime, octet_length(payload) AS nb FROM media
       ), g AS (
         SELECT mime, count(*) AS n_assets,
           CAST(sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT)

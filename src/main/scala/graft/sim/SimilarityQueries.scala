@@ -1302,13 +1302,20 @@ object SimilarityQueries {
     val one = ranked
       .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
       .agg(
-        sum(when(col("probed") === 0L, 1L).otherwise(0L)).as("bc"),
-        sum(when(col("probed") === 0L && col("rnk_band") <= TopK, 1L)
-          .otherwise(0L)).as("br"),
+        // every sum coalesced: a degenerate corpus (no band collision
+        // at all — e.g. a single vector) leaves `pairs` EMPTY and a
+        // global agg over zero rows returns NULL sums; both method
+        // rows must then read 0, matching the oracle's VALUES-spine
+        // LEFT JOIN (the r12 ADVICE parity edge)
+        coalesce(sum(when(col("probed") === 0L, 1L).otherwise(0L)),
+          lit(0L)).as("bc"),
+        coalesce(sum(when(col("probed") === 0L &&
+          col("rnk_band") <= TopK, 1L).otherwise(0L)), lit(0L)).as("br"),
         coalesce(sum(when(col("probed") === 0L &&
           col("rnk_band") <= TopK, col("hit"))), lit(0L)).as("bh"),
         count(lit(1)).as("mc"),
-        sum(when(col("rnk_multi") <= TopK, 1L).otherwise(0L)).as("mr"),
+        coalesce(sum(when(col("rnk_multi") <= TopK, 1L).otherwise(0L)),
+          lit(0L)).as("mr"),
         coalesce(sum(when(col("rnk_multi") <= TopK, col("hit"))),
           lit(0L)).as("mh"))
     one.select(explode(array(
@@ -1367,18 +1374,32 @@ object SimilarityQueries {
     ), cands AS (
       SELECT method, count(*) AS n_cand_pairs FROM m GROUP BY 1
     ), truth AS (SELECT query_id, neighbor_id FROM ($s1) t1),
-    tot AS (SELECT count(*) AS n_truth FROM truth)
-    SELECT k.method, tot.n_truth,
-      CAST(count(*) AS BIGINT) AS n_returned,
-      CAST(count(t.x) AS BIGINT) AS n_hits,
-      CAST(count(t.x) * 1000000 // tot.n_truth AS BIGINT) AS recall_micro,
-      CAST(c.n_cand_pairs AS BIGINT) AS n_cand_pairs
-    FROM topk k
-    LEFT JOIN (SELECT query_id, neighbor_id, 1 AS x FROM truth) t
-      USING (query_id, neighbor_id)
-    JOIN cands c ON c.method = k.method
+    tot AS (SELECT count(*) AS n_truth FROM truth),
+    -- static method spine (r12 ADVICE): a method with ZERO candidates
+    -- has no topk/cands rows, so aggregating FROM topk would drop it
+    -- while the engine's static 2-struct explode still emits it; the
+    -- spine + coalesce pins both sides to the same zero row
+    spine AS (SELECT * FROM (VALUES ('lsh_band'), ('lsh_multiprobe'))
+      sp(method)),
+    stats AS (
+      SELECT k.method,
+        CAST(count(*) AS BIGINT) AS n_returned,
+        CAST(count(t.x) AS BIGINT) AS n_hits
+      FROM topk k
+      LEFT JOIN (SELECT query_id, neighbor_id, 1 AS x FROM truth) t
+        USING (query_id, neighbor_id)
+      GROUP BY k.method
+    )
+    SELECT spine.method, tot.n_truth,
+      coalesce(st.n_returned, 0) AS n_returned,
+      coalesce(st.n_hits, 0) AS n_hits,
+      CAST(coalesce(st.n_hits, 0) * 1000000 // tot.n_truth AS BIGINT)
+        AS recall_micro,
+      CAST(coalesce(c.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs
+    FROM spine
+    LEFT JOIN stats st ON st.method = spine.method
+    LEFT JOIN cands c ON c.method = spine.method
     CROSS JOIN tot
-    GROUP BY k.method, tot.n_truth, c.n_cand_pairs
-    ORDER BY k.method"""
+    ORDER BY spine.method"""
   }
 }
