@@ -52,7 +52,8 @@ object Bench {
       "t10_word_rarity", "t11_importance_weights",
       "t12_lm_perplexity", "t13_boilerplate", "t14_bpe_pairs",
       "t15_context_fit", "t16_oov_rate", "t17_readability",
-      "t18_tokenizer_fertility", "t19_lang_label_noise"),
+      "t18_tokenizer_fertility", "t19_lang_label_noise",
+      "t20_bpe_vocab"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",

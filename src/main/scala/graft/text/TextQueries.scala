@@ -140,6 +140,18 @@ object TextQueries {
     * pair per iteration; the top-K table is the inspectable artifact). */
   val BpeTopPairs = 200
 
+  /** t20: BPE induction knobs. The merge loop runs over the word-SHAPE
+    * dictionary, frequency-capped at [[BpeShapeWords]] (freq DESC, word
+    * ASC — deterministic): the corpus-sized work is the one distributed
+    * word count; the capped dict is the bounded-collect class the
+    * centroid loop (s4) established, and the cap is what production
+    * trainers do (HF tokenizers trains from a pruned word-count dict).
+    * [[BpeMinPairFreq]] stops induction before it memorizes singleton
+    * tails. */
+  val BpeShapeWords = 50000
+  val BpeMerges = 50
+  val BpeMinPairFreq = 2L
+
   /** t15: candidate context lengths a training run would choose
     * between (the max_seq_len sweep). */
   val ContextFitLens: Seq[Long] = Seq(128L, 512L, 2048L, 8192L)
@@ -1352,6 +1364,122 @@ object TextQueries {
             (lang IS NULL OR pred_lang <> lang) THEN 1 ELSE 0 END)
           * 1000000 // nullif(count(*) - sum(CASE WHEN pred_lang = 'und'
             THEN 1 ELSE 0 END), 0) AS BIGINT) AS disagree_share_micro
-      FROM p GROUP BY source ORDER BY source"""))
+      FROM p GROUP BY source ORDER BY source""")),
+
+    // ---- t20: BPE VOCAB INDUCTION — the actual iterative merge loop
+    //      (t14 reports only round-1 candidates; a tokenizer pipeline
+    //      ships the RANKED MERGE LIST). One distributed corpus scan
+    //      builds the word-frequency table; the k<=BpeMerges rounds run
+    //      over the BpeShapeWords-capped shape dictionary
+    //      ([[graft.text.Bpe.induce]] — see its scale note: 50 rounds
+    //      over a 50k dict is driver-trivial at any corpus size, and a
+    //      per-round Spark job would only add scheduler latency).
+    //      Output: (merge_rank, lhs, rhs, merged, pair_freq),
+    //      deterministic under any partitioning (count ties break
+    //      lexicographically; the dict cap orders freq DESC, word ASC).
+    //
+    //      Oracle: sf0.01-pinned VALUES generated by an INDEPENDENT
+    //      from-scratch implementation (tools/bpe_reference.py) — the
+    //      m4/q21 documented-pin class, because an iterative global
+    //      argmax is not expressible as one DuckDB statement (recursive
+    //      CTEs cannot aggregate over their own recursive reference).
+    //      Regenerate with:
+    //        python3 tools/bpe_reference.py /root/testdata/sf0.01 --sql
+    //      BpeSpec checks the live loop against hand-computed merges on
+    //      a fixture corpus and re-measures t18 fertility with the
+    //      induced vocab (the merge list must strictly beat chars).
+    "t20_bpe_vocab" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val shapes = Tables.table(s, dir, "documents")
+          .select(explode(Text.words(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("w"))
+          .limit(BpeShapeWords)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        Bpe.induce(shapes, BpeMerges, BpeMinPairFreq)
+          .map(m => (m.rank.toLong, m.left, m.right, m.merged, m.pairFreq))
+          .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
+      },
+      Some(s"""SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs,
+          merged, CAST(pair_freq AS BIGINT) AS pair_freq
+        FROM (VALUES
+          (1, 'e', 'r', 'er', 4568),
+          (2, 'i', 'n', 'in', 2760),
+          (3, 'o', 'w', 'ow', 2747),
+          (4, 'o', 'r', 'or', 2696),
+          (5, 's', 't', 'st', 2676),
+          (6, 'm', 'er', 'mer', 1852),
+          (7, 'a', 't', 'at', 1845),
+          (8, 'l', 'u', 'lu', 1831),
+          (9, 'a', 'r', 'ar', 1758),
+          (10, 'p', 'ar', 'par', 1758),
+          (11, 'j', 'o', 'jo', 964),
+          (12, 'jo', 'in', 'join', 964),
+          (13, 'a', 's', 'as', 947),
+          (14, 'as', 'h', 'ash', 947),
+          (15, 'h', 'ash', 'hash', 947),
+          (16, 'r', 'ow', 'row', 943),
+          (17, 'at', 'c', 'atc', 937),
+          (18, 'atc', 'h', 'atch', 937),
+          (19, 'b', 'atch', 'batch', 937),
+          (20, 'a', 'n', 'an', 936),
+          (21, 'c', 'an', 'can', 936),
+          (22, 's', 'can', 'scan', 936),
+          (23, 'c', 'o', 'co', 934),
+          (24, 'c', 'u', 'cu', 934),
+          (25, 'co', 'lu', 'colu', 934),
+          (26, 'colu', 'm', 'colum', 934),
+          (27, 'colum', 'n', 'column', 934),
+          (28, 'cu', 'st', 'cust', 934),
+          (29, 'cust', 'o', 'custo', 934),
+          (30, 'custo', 'mer', 'customer', 934),
+          (31, 'f', 'i', 'fi', 933),
+          (32, 'fi', 'l', 'fil', 933),
+          (33, 'fil', 't', 'filt', 933),
+          (34, 'filt', 'er', 'filter', 933),
+          (35, 'a', 'l', 'al', 928),
+          (36, 'al', 'l', 'all', 928),
+          (37, 'm', 'all', 'mall', 928),
+          (38, 's', 'mall', 'small', 928),
+          (39, 'g', 'e', 'ge', 918),
+          (40, 'l', 'ow', 'low', 918),
+          (41, 'mer', 'ge', 'merge', 918),
+          (42, 's', 'low', 'slow', 918),
+          (43, 'c', 't', 'ct', 912),
+          (44, 'ct', 'or', 'ctor', 912),
+          (45, 'd', 'er', 'der', 912),
+          (46, 'e', 'ctor', 'ector', 912),
+          (47, 'or', 'der', 'order', 912),
+          (48, 'v', 'ector', 'vector', 912),
+          (49, 'in', 'e', 'ine', 910),
+          (50, 'l', 'ine', 'line', 910)
+        ) AS t(merge_rank, lhs, rhs, merged, pair_freq)
+        ORDER BY merge_rank"""))
   )
+
+  /** The t18 fertility re-measure hook: tokens-per-word when the corpus
+    * is tokenized with t20's INDUCED vocab instead of t18's regex
+    * proxy. Distributed over the vocabulary-sized word-frequency frame
+    * (a typed map applying the broadcast merge ranks — not a per-doc
+    * UDF over the corpus): each distinct word is tokenized once and
+    * weighted by its count. Returns one row:
+    * (n_words, n_tokens, fertility_micro). */
+  def bpeFertilityMicro(s: org.apache.spark.sql.SparkSession, dir: String,
+      merges: Seq[Bpe.Merge]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = s.sparkContext.broadcast(ranks)
+    Tables.table(s, dir, "documents")
+      .select(explode(Text.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (f, Bpe.tokenize(w, bc.value).length * f) }
+      .toDF("w_count", "t_count")
+      .agg(sum(col("w_count")).as("n_words"),
+        sum(col("t_count")).as("n_tokens"))
+      .withColumn("fertility_micro", expr(
+        """CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+          div nullif(n_words, 0L) AS LONG)"""))
+  }
 }

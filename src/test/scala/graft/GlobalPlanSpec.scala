@@ -233,6 +233,10 @@ class GlobalPlanSpec extends SparkSpec {
     "t9_gopher_rules" -> 1,
     "t17_readability" -> 2,
     "t18_tokenizer_fertility" -> 2,
+    // t20: the corpus-sized word count runs inside the query fn (2
+    // exchanges: groupBy + the capped orderBy-limit); the RETURNED
+    // frame is the driver-induced merge list (local relation, 0)
+    "t20_bpe_vocab" -> 0,
     "e7_effective_tokens" -> 4,
     "e8_release_manifest" -> 2,
     "s10_range_search" -> 6,

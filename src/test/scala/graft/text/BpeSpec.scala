@@ -1,0 +1,79 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** t20 BPE vocab induction: hand-computed merges on a fixture corpus,
+  * trainer/tokenizer agreement, and the t18 fertility re-measure hook
+  * (the induced vocab must strictly beat character-level tokenization). */
+class BpeSpec extends SparkSpec {
+
+  test("induce reproduces the hand-computed merge list on a fixture") {
+    // corpus: aaab x2, ab x1.
+    // r1: (a,a)=4 (two positions in each aaab) beats (a,b)=3 -> aa
+    //     aaab -> [aa,a,b] (greedy left-to-right), ab -> [a,b]
+    // r2: (a,b)=3 (one in aaab's tail, one in ab) beats (aa,a)=2 -> ab
+    //     [aa,a,b] -> [aa,ab]
+    // r3: (aa,ab)=2 -> aaab; then no adjacent pairs remain -> stop
+    val merges = Bpe.induce(Seq("aaab" -> 2L, "ab" -> 1L), 50, 2L)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.merged, m.pairFreq))
+      === Seq((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 3L),
+        (3, "aa", "ab", "aaab", 2L)))
+    // minPairFreq stops before singleton-tail memorization
+    assert(Bpe.induce(Seq("xy" -> 1L), 50, 2L).isEmpty)
+    assert(Bpe.induce(Seq("xy" -> 1L), 50, 1L).map(_.merged) === Seq("xy"))
+  }
+
+  test("tokenize replays the merge list: training shapes reproduce; " +
+      "unseen words fall back gracefully") {
+    val merges = Bpe.induce(Seq("aaab" -> 2L, "ab" -> 1L), 50, 2L)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    assert(Bpe.tokenize("aaab", ranks) === Seq("aaab"))
+    assert(Bpe.tokenize("ab", ranks) === Seq("ab"))
+    // unseen word: rank order applies where it can — (a,a) first, and
+    // the leftover (aa,b) pair was never learned
+    assert(Bpe.tokenize("aab", ranks) === Seq("aa", "b"))
+    assert(Bpe.tokenize("zzz", ranks) === Seq("z", "z", "z"))
+    assert(Bpe.tokenize("", ranks).isEmpty)
+  }
+
+  test("t20 query emits the fixture merge list through the full path " +
+      "(word count -> capped dict -> induction)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t20").toString
+    Seq((1L, "aaab aaab"), (2L, "ab"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t20_bpe_vocab")(spark, dir)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_freq")))
+    assert(out.toSeq === Seq((1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L), (3L, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("fertility re-measure: the induced vocab strictly beats " +
+      "character-level tokenization on the corpus it was trained on") {
+    val sf = "/root/testdata/sf0.001"
+    val shapes = graft.sources.Tables.table(spark, sf, "documents")
+      .select(explode(Text.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(TextQueries.BpeShapeWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = Bpe.induce(shapes,
+      TextQueries.BpeMerges, TextQueries.BpeMinPairFreq)
+    assert(merges.nonEmpty)
+    def fert(ms: Seq[Bpe.Merge]): Long =
+      TextQueries.bpeFertilityMicro(spark, sf, ms)
+        .collect().head.getAs[Long]("fertility_micro")
+    val charLevel = fert(Nil) // no merges = one token per character
+    val induced = fert(merges)
+    assert(induced >= 1000000L, "every word is at least one token")
+    assert(induced < charLevel,
+      s"50 merges must compress: $induced !< $charLevel")
+    // each extra merge can only help on the training corpus
+    assert(fert(merges.take(10)) >= induced)
+  }
+}
