@@ -65,7 +65,8 @@ object Bench {
       "d15_bloom_decontamination", "d16_corpus_diff",
       "d17_contamination_report", "d18_containment",
       "d19_source_overlap", "d20_threshold_sweep", "d21_lsh_recall",
-      "d22_containment_recall", "d23_block_scrub"),
+      "d22_containment_recall", "d23_block_scrub",
+      "d24_substring_recall"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",

@@ -120,6 +120,12 @@ object DedupQueries {
   /** d10 repeated-window size in words (Lee et al. 2022 use 50 BPE
     * tokens; 8 words fits this corpus's 10-99-word documents). */
   val SubstringWindow = 8
+  /** d24 audit-slice bound (doc_id < min + this; the d21/d22
+    * min-anchored constant-size pattern) and the truth enumeration's
+    * length cap — lengths beyond it clip into the top bucket, which is
+    * all the report needs to grade the [[SubstringWindow]] boundary. */
+  val SubstrAuditMaxId = 200L
+  val SubstrAuditMaxLen = 16
 
   /** d23: words per non-overlapping scrub block (the "line" unit of
     * line-level dedup on a corpus without newlines). */
@@ -1841,7 +1847,111 @@ object DedupQueries {
         (CAST(len(w) AS BIGINT) - coalesce(s.removed_words, 0)) * 1000000
           // nullif(CAST(len(w) AS BIGINT), 0) AS retained_micro
       FROM d LEFT JOIN scrub s USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- d24: SUBSTRING-DEDUP FIDELITY AUDIT (the d22 posture, aimed
+    //      at d10) — the r12 verdict asked whether d10's fixed-W
+    //      sliding windows miss duplicated substrings at off-W lengths.
+    //      Answer, by construction AND measured here: d10 slides at
+    //      STRIDE 1 (every offset), so any shared word-run of length
+    //      >= W contains an aligned W-window in both docs and is
+    //      caught — recall is EXACTLY 1 for true length >= W, exactly
+    //      0 below W (a shorter run contains no W-window; that
+    //      blindness is the declared fidelity, finer than the
+    //      suffix-array industry threshold of 50 tokens). This query
+    //      makes the claim EMPIRICAL: over a min-anchored slice
+    //      ([[SubstrAuditMaxId]] docs), truth enumerates LITERAL
+    //      substrings at every length 1..[[SubstrAuditMaxLen]]
+    //      (clipped), detection runs d10's actual md5-window kernel,
+    //      and the report buckets recall by true max shared length. A
+    //      hash-collision or kernel bug shows up as a non-0/1000000
+    //      bucket; the planted-length fixture pin in
+    //      AdversarialParitySpec probes 5/6/7 (invisible) vs 8/9/20
+    //      (caught) around the boundary the bench corpus lacks.
+    //      Scale: everything after the doc_id-min lookup is
+    //      slice-bounded (truth rows <= slice docs x MaxLen x words).
+    "d24_substring_recall" -> QueryDef(
+      (s, dir) => {
+        val W = SubstringWindow
+        val base = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), Text.words(col("text")).as("w"))
+        val hiRow = base.agg(min(col("doc_id"))).collect().head
+        val hi = if (hiRow.isNullAt(0)) Long.MinValue
+          else hiRow.getLong(0) + SubstrAuditMaxId
+        val sliceDf = base.filter(col("doc_id") < hi && size(col("w")) > 0)
+          .pipelineCache()
+        // truth: per-doc distinct LITERAL substrings at each length
+        val dw = sliceDf
+          .select(col("doc_id"), col("w"), explode(array(
+            (1 to SubstrAuditMaxLen).map(lit): _*)).as("len"))
+          .filter(size(col("w")) >= col("len"))
+          .select(col("doc_id"), col("len"),
+            explode(array_distinct(transform(
+              sequence(lit(0), size(col("w")) - col("len")),
+              j => concat_ws(" ", slice(col("w"), j + 1, col("len"))))))
+              .as("sub"))
+        val sharedSub = dw.groupBy(col("len"), col("sub"))
+          .agg(count(lit(1)).as("n")) // per-doc distinct -> n = #docs
+          .filter(col("n") >= 2).select(col("len"), col("sub"))
+        val maxShared = dw.join(sharedSub, Seq("len", "sub"))
+          .groupBy(col("doc_id")).agg(max(col("len")).as("max_shared"))
+        // detection: d10's kernel verbatim (md5 -> 16B binary windows)
+        val wins = sliceDf.filter(size(col("w")) >= W)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(0), size(col("w")) - W),
+              j => unhex(md5(concat_ws(" ", slice(col("w"), j + 1, lit(W)))
+                .cast("binary")))))).as("h"))
+        val sharedW = wins.groupBy(col("h"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("h"))
+        val det = wins.join(sharedW, "h").select(col("doc_id")).distinct()
+          .withColumn("hit", lit(1L))
+        sliceDf.select(col("doc_id"))
+          .join(maxShared, Seq("doc_id"), "left")
+          .withColumn("max_shared",
+            coalesce(col("max_shared").cast("long"), lit(0L)))
+          .join(det, Seq("doc_id"), "left")
+          .withColumn("hit", coalesce(col("hit"), lit(0L)))
+          .groupBy(col("max_shared"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("hit")).as("n_detected"),
+            expr("sum(hit) * 1000000L div count(1)").as("recall_micro"))
+          .orderBy(col("max_shared"))
+      },
+      Some(s"""WITH base AS (
+        SELECT doc_id, $wordsSqlDuck AS w FROM documents
+      ), lo AS (
+        SELECT min(doc_id) + $SubstrAuditMaxId AS hi FROM base
+      ), slice AS (
+        SELECT doc_id, w FROM base, lo WHERE doc_id < hi AND len(w) > 0
+      ), dw AS (
+        SELECT doc_id, L, unnest(list_distinct(list_transform(
+          range(0, len(w) - L + 1),
+          j -> array_to_string(list_slice(w, j+1, j+L), ' ')))) AS sub
+        FROM slice, range(1, ${SubstrAuditMaxLen + 1}) t(L)
+        WHERE len(w) >= L
+      ), sharedsub AS (
+        SELECT L, sub FROM dw GROUP BY 1, 2 HAVING count(*) >= 2
+      ), mx AS (
+        SELECT d.doc_id, max(d.L) AS max_shared
+        FROM dw d JOIN sharedsub sh ON d.L = sh.L AND d.sub = sh.sub
+        GROUP BY 1
+      ), det AS (
+        -- literal W-window sharing == the engine's md5-window sharing
+        -- (the bijectivity d10's own oracle already rests on)
+        SELECT DISTINCT d.doc_id
+        FROM dw d JOIN sharedsub sh ON d.L = sh.L AND d.sub = sh.sub
+        WHERE d.L = $SubstringWindow
+      )
+      SELECT CAST(coalesce(mx.max_shared, 0) AS BIGINT) AS max_shared,
+        count(*) AS n_docs,
+        CAST(count(det.doc_id) AS BIGINT) AS n_detected,
+        CAST(count(det.doc_id) * 1000000 // count(*) AS BIGINT)
+          AS recall_micro
+      FROM slice
+      LEFT JOIN mx ON slice.doc_id = mx.doc_id
+      LEFT JOIN det ON slice.doc_id = det.doc_id
+      GROUP BY 1 ORDER BY 1"""))
   )
 
   /** d18's verify core over ANY `(doc_id, bk)` band index and

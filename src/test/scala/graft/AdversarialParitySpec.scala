@@ -880,7 +880,7 @@ class AdversarialParitySpec extends SparkSpec {
     "t18_tokenizer_fertility", "d23_block_scrub", "e10_resume_manifest",
     "st14_stream_block_scrub", "s14_sq_recall",
     "q35_attribution", "t19_lang_label_noise", "s15_multiprobe_recall",
-    "q36_scd2_history",
+    "q36_scd2_history", "d24_substring_recall",
     "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
     "s10_range_search",
     // family battery (row-count pins)
@@ -950,6 +950,48 @@ class AdversarialParitySpec extends SparkSpec {
         s"sweep run + listing: ${(all -- classified).toSeq.sorted}")
     assert((classified -- all).isEmpty,
       s"stale classification entries: ${(classified -- all).toSeq.sorted}")
+  }
+
+  // ---- pin 38: d24's W-boundary grade on PLANTED duplicate lengths —
+  //      the bench corpus has no shared runs in the 5..15 band
+  //      (measured sf0.01 buckets: 2/3/4/16+), so the critical
+  //      SubstringWindow boundary is probed here: pairs sharing
+  //      exactly 5/6/7 words are INVISIBLE to the stride-1 W=8 window
+  //      kernel (recall 0 — the declared fidelity bound), pairs at
+  //      8/9/20 are caught with recall exactly 1000000 (a shared run
+  //      >= W always contains an aligned W-window in both docs; 20
+  //      clips into the 16 truth bucket).
+  test("d24 substring recall: planted lengths grade the W boundary") {
+    import org.apache.spark.sql.functions.{col => c}
+    val lens = Seq(5, 6, 7, 8, 9, 20)
+    val pairDocs = lens.zipWithIndex.flatMap { case (l, k) =>
+      val run = (0 until l).map(i => s"p${k}s$i").mkString(" ")
+      Seq(
+        (100L + 2 * k, s"a${k}f0 a${k}f1 a${k}f2 $run a${k}f3 a${k}f4"),
+        (101L + 2 * k, s"b${k}f0 b${k}f1 $run b${k}f2 b${k}f3 b${k}f4"))
+    }
+    val singles = Seq(
+      (200L, "lone0 lone1 lone2 lone3 lone4 lone5 lone6 lone7 lone8"),
+      (201L, "solo0 solo1 solo2 solo3 solo4 solo5 solo6 solo7 solo8"),
+      (202L, "only0 only1 only2 only3 only4 only5 only6 only7 only8"))
+    val d = Files.createTempDirectory("graft-d24").toString
+    val sparkS = spark
+    import sparkS.implicits._
+    (pairDocs ++ singles).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("web"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(c("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("d24_substring_recall")(spark, d)
+      .collect().map(r => r.getAs[Long]("max_shared") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_detected"),
+          r.getAs[Long]("recall_micro"))).toMap
+    assert(rows === Map(
+      0L -> ((3L, 0L, 0L)),
+      5L -> ((2L, 0L, 0L)), 6L -> ((2L, 0L, 0L)), 7L -> ((2L, 0L, 0L)),
+      8L -> ((2L, 2L, 1000000L)), 9L -> ((2L, 2L, 1000000L)),
+      16L -> ((2L, 2L, 1000000L))))
   }
 
   override def afterAll(): Unit = {

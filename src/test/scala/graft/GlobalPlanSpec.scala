@@ -122,6 +122,9 @@ class GlobalPlanSpec extends SparkSpec {
     // duplicates (verified: 2 ReusedQueryStages, one corpus scan)
     "d19_source_overlap" -> 7,
     "d23_block_scrub" -> 7,
+    // d24: slice-bounded audit — truth enumeration groupBy + max, the
+    // W-window kernel groupBy + distinct, and the report groupBy
+    "d24_substring_recall" -> 6,
     "d1_exact_dedup" -> 2,
     "d20_threshold_sweep" -> 4,
     "d2_minhash_lsh" -> 1,
