@@ -44,7 +44,8 @@ object Bench {
       "p7_inclusion_deps", "p8_inclusion_deps_approx",
       "p9_functional_deps", "p10_column_correlation",
       "p11_quantile_profile", "p12_key_discovery", "p13_profile_drift",
-      "p14_embedding_profile", "p15_heavy_hitters"),
+      "p14_embedding_profile", "p15_heavy_hitters",
+      "p16_approx_fds"),
     // text analysis
     Seq("t1_token_stats", "t2_quality_scores", "t3_lang_id",
       "t4_fingerprints", "t5_pii_scrub", "t6_repetition",

@@ -224,6 +224,10 @@ object ProfileQueries {
     for { i <- CorrCols.indices; j <- CorrCols.indices if i < j }
       yield (i, j)
 
+  /** p16: approximate-FD admission threshold in micro units (1% — the
+    * TANE-paper g3 ballpark for "holds modulo dirty rows"). */
+  val ApproxFdTauMicro = 10000L
+
   val FdCandidates: Seq[(String, String, String)] = Seq(
     ("customer", "c_custkey", "c_mktsegment"),
     ("customer", "c_nationkey", "c_mktsegment"),
@@ -1077,6 +1081,80 @@ object ProfileQueries {
       SELECT tab, col_name, value, CAST(cnt AS BIGINT) AS cnt,
         CAST(rnk AS BIGINT) AS rnk,
         CAST(cnt * 1000000 // tot AS BIGINT) AS share_micro
-      FROM r WHERE rnk <= 5 ORDER BY tab, col_name, rnk"""))
+      FROM r WHERE rnk <= 5 ORDER BY tab, col_name, rnk""")),
+
+    // ---- p16: APPROXIMATE functional dependencies — the TANE g3
+    //      error for EVERY ordered pair of p12's candidate columns
+    //      (orders), where p9 only tests a hand-picked exact list. g3
+    //      is the standard "how dirty" measure (Huhtala et al.): the
+    //      minimum fraction of rows to delete for X -> Y to hold,
+    //      = (n - sum_x max_y |X=x, Y=y|) / n. Real corpora rarely
+    //      carry EXACT dependencies (one mistyped row kills p9's
+    //      fd_holds), so the approximate report with an explicit error
+    //      is the one profilers actually act on.
+    //      Shape: ONE corpus scan melts the 30 ordered pairs (struct
+    //      explode; values cast to string only to homogenize the
+    //      struct type — grouping structure is unchanged, which is all
+    //      g3 reads), then three shrinking key-equality groupBys:
+    //      (pair,x,y) counts -> per-(pair,x) max/sum -> per-pair
+    //      report. Map-side combine bounds the first shuffle by
+    //      distinct (x,y) per pair, the report is 30 rows at any
+    //      corpus size. 100-TB note: the x30 melt trades scan count
+    //      for shuffle volume exactly like p12's Expand-x21 (one pass
+    //      beats 30 passes until the per-pair distinct volume
+    //      dominates; shard the pair list across jobs at that point).
+    "p16_approx_fds" -> QueryDef(
+      (s, dir) => {
+        val cols = KeyCols
+        val base = Tables.table(s, dir, "orders")
+        val pairs = for { i <- cols.indices; j <- cols.indices if i != j }
+          yield (i, j)
+        val melt = base.select(explode(array(pairs.map { case (i, j) =>
+            struct(lit(s"orders.${cols(i)}").as("det_col"),
+              lit(s"orders.${cols(j)}").as("dep_col"),
+              col(cols(i)).cast("string").as("x"),
+              col(cols(j)).cast("string").as("y")) }: _*)).as("p"))
+          .select(col("p.*"))
+        val xy = melt
+          .groupBy(col("det_col"), col("dep_col"), col("x"), col("y"))
+          .agg(count(lit(1)).as("c"))
+        val perX = xy.groupBy(col("det_col"), col("dep_col"), col("x"))
+          .agg(max(col("c")).as("mx"), sum(col("c")).as("cnt"))
+        perX.groupBy(col("det_col"), col("dep_col"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("mx")).as("n_keep"),
+            sum(col("cnt")).as("n_rows"))
+          .withColumn("g3_error_micro",
+            expr("(n_rows - n_keep) * 1000000L div n_rows"))
+          .withColumn("holds_exact",
+            (col("n_keep") === col("n_rows")).cast("long"))
+          .withColumn("holds_approx",
+            (col("g3_error_micro") <= ApproxFdTauMicro).cast("long"))
+          .orderBy(col("det_col"), col("dep_col"))
+      },
+      Some {
+        val cols = KeyCols
+        val pairs = for { i <- cols.indices; j <- cols.indices if i != j }
+          yield (i, j)
+        val selects = pairs.map { case (i, j) =>
+          s"""SELECT 'orders.${cols(i)}' AS det_col,
+            'orders.${cols(j)}' AS dep_col, x, max(c) AS mx, sum(c) AS cnt
+          FROM (SELECT ${cols(i)} AS x, ${cols(j)} AS y, count(*) AS c
+                FROM orders GROUP BY 1, 2) GROUP BY 1, 2, 3"""
+        }.mkString("\n        UNION ALL ")
+        s"""WITH perx AS (
+        $selects
+      )
+      SELECT det_col, dep_col,
+        count(*) AS n_groups,
+        CAST(sum(mx) AS BIGINT) AS n_keep,
+        CAST(sum(cnt) AS BIGINT) AS n_rows,
+        CAST((sum(cnt) - sum(mx)) * 1000000 // sum(cnt) AS BIGINT)
+          AS g3_error_micro,
+        CAST(sum(mx) = sum(cnt) AS BIGINT) AS holds_exact,
+        CAST((sum(cnt) - sum(mx)) * 1000000 // sum(cnt)
+          <= $ApproxFdTauMicro AS BIGINT) AS holds_approx
+      FROM perx GROUP BY 1, 2 ORDER BY det_col, dep_col"""
+      })
   )
 }

@@ -58,6 +58,13 @@ import org.apache.spark.sql.types._
   * scrub, e10 resume manifest, st14 block-scrub admission, s14 SQ8
   * recall) pinned as pins 29-36, each DuckDB hash-exact on this
   * corpus on day one (2026-08-15).
+  * Round-13: d24 (substring-recall audit) pinned as pin 38
+  * (planted-length W-boundary grade) and hash-exact in the sweep on
+  * day one; t20 (BPE vocab induction) joins the sf-pin class (VALUES
+  * oracle from the independent tools/bpe_reference.py). Full-portfolio
+  * sweep at 153 queries: 147/153 hash-exact, the 6 mismatches exactly
+  * the documented sf0.01-pinned VALUES oracles
+  * (m4/m7/m8/q21/g4/t20) (2026-08-16).
   * Re-run the whole sweep with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
@@ -901,6 +908,7 @@ class AdversarialParitySpec extends SparkSpec {
 
   /** Hash-exact in the offline sweep, no committed per-value pin. */
   private val sweepCovered: Set[String] = Set(
+    "p16_approx_fds",
     "p15_heavy_hitters", "mm5_modality_manifest", "e11_shard_integrity",
     "d10_substring_windows", "d11_semantic_dedup", "d12_fuzzy_decontamination",
     "d13_cluster_canonical", "d14_incremental_dedup", "d2_minhash_lsh",

@@ -255,6 +255,9 @@ class GlobalPlanSpec extends SparkSpec {
     "q35_attribution" -> 3,
     "q36_scd2_history" -> 2,
     "p15_heavy_hitters" -> 3,
+    // p16: melt-x30 then three shrinking groupBys (xy counts, per-x
+    // max, per-pair report) + the 30-row sort
+    "p16_approx_fds" -> 4,
     "t19_lang_label_noise" -> 2,
     // 6 static = the s1 truth subtree + the probe-pair groupBy +
     // ranking window; AQE stage reuse collapses the shared corpus
