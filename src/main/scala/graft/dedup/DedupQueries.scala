@@ -101,6 +101,26 @@ object DedupQueries {
     * decision is bit-identical on any engine. */
   val ContainNum = 6L
   val ContainDenom = 10L
+  /** d18's second candidate channel: bottom-k shingle fingerprints per
+    * doc. Minhash banding recalls a contained pair with
+    * 1-(1-J²)^Bands, and containment's J shrinks as 1/size-gap — the
+    * decay d22 measures. Bottom-k exploits the SUBSET structure
+    * instead: if sh(S) ⊆ sh(L), any of L's k smallest shingle
+    * fingerprints that lies in S ranks within S's bottom-k
+    * automatically (its rank in S is ≤ its rank in L), so the pair
+    * collides with probability ≈ 1-(1-1/gap)^k — flat where banding
+    * collapses (gap 8: ~88% at k=16 vs ~40% banded).
+    *
+    * `final` AND declared ABOVE the defs map on purpose: the r13 sf1
+    * oracle leg caught this val rendering as 0 inside d18/d22's
+    * interpolated oracle SQL ("[1:0]" — an empty bottom-k channel)
+    * because the defs-map val initialized FIRST and read the
+    * not-yet-assigned field (Scala vals initialize in declaration
+    * order). The ENGINE was never wrong (bottomKeys is a def,
+    * evaluated after init); the ORACLE silently under-counted — 17
+    * bottom-k-only true pairs at sf1. OracleRenderSpec pins the
+    * rendered constants so a reordering can't regress this. */
+  final val ContainBottomK = 16
 
   /** d20 sweep grid, Jaccard-micro units. Floor = [[JaccardThreshold]]
     * (the shared pair table only holds verified pairs at or above
@@ -1974,17 +1994,6 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-
-  /** d18's second candidate channel: bottom-k shingle fingerprints per
-    * doc. Minhash banding recalls a contained pair with
-    * 1-(1-J²)^Bands, and containment's J shrinks as 1/size-gap — the
-    * decay d22 measures. Bottom-k exploits the SUBSET structure
-    * instead: if sh(S) ⊆ sh(L), any of L's k smallest shingle
-    * fingerprints that lies in S ranks within S's bottom-k
-    * automatically (its rank in S is ≤ its rank in L), so the pair
-    * collides with probability ≈ 1-(1-1/gap)^k — flat where banding
-    * collapses (gap 8: ~88% at k=16 vs ~40% banded). */
-  val ContainBottomK = 16
 
   /** Bottom-k fingerprint keys, hot-key capped like the band index
     * (a viral shingle's bucket would otherwise go quadratic). */
