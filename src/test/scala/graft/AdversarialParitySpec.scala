@@ -61,10 +61,13 @@ import org.apache.spark.sql.types._
   * Round-13: d24 (substring-recall audit) pinned as pin 38
   * (planted-length W-boundary grade) and hash-exact in the sweep on
   * day one; t20 (BPE vocab induction) joins the sf-pin class (VALUES
-  * oracle from the independent tools/bpe_reference.py). Full-portfolio
-  * sweep at 153 queries: 147/153 hash-exact, the 6 mismatches exactly
-  * the documented sf0.01-pinned VALUES oracles
-  * (m4/m7/m8/q21/g4/t20) (2026-08-16).
+  * oracle from the independent tools/bpe_reference.py); p16
+  * (approximate FDs) sweep-covered on day one. Full-portfolio sweep
+  * at 154 queries: 148/154 hash-exact, the 6 mismatches exactly the
+  * documented sf0.01-pinned VALUES oracles (m4/m7/m8/q21/g4/t20)
+  * (2026-08-16). The r13 sf1 ORACLE leg (PERF.md) additionally found
+  * and fixed the d18/d22 "[1:0]" init-order oracle bug the sweep
+  * could not see (band channel masks it below sf1).
   * Re-run the whole sweep with:
   *   python3 tools/make_adversarial.py
   *   sbt "runMain graft.Verify /tmp/adversarial /tmp/v_adv"
