@@ -14,6 +14,14 @@ libraryDependencies ++= Seq(
 ThisBuild / scalacOptions ++= Seq("-deprecation", "-unchecked")
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON. Two
+// sbt decorations used to break that: the "[info] " prefix on forked
+// program output (StdoutOutput passes it through verbatim instead)
+// and the "[success] Total time: ..." footer (showSuccess kills it).
+// With both, `sbt "runMain graft.Bench"` ends stdout with the bare
+// summary JSON line. tools/bench.sh wraps this for one-command runs.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,7 +54,7 @@ object Bench {
       "t12_lm_perplexity", "t13_boilerplate", "t14_bpe_pairs",
       "t15_context_fit", "t16_oov_rate", "t17_readability",
       "t18_tokenizer_fertility", "t19_lang_label_noise",
-      "t20_bpe_vocab"),
+      "t20_bpe_vocab", "t21_bpe_tokenize"),
     // dedup: d2 builds the shingle/signature/pair tables; d6 consumes
     // d2's verified pairs
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d6_dup_clusters",
@@ -67,7 +67,7 @@ object Bench {
       "d17_contamination_report", "d18_containment",
       "d19_source_overlap", "d20_threshold_sweep", "d21_lsh_recall",
       "d22_containment_recall", "d23_block_scrub",
-      "d24_substring_recall"),
+      "d24_substring_recall", "d25_embedding_lsh_recall"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",
@@ -288,7 +288,12 @@ object Bench {
       catch { case e: Exception =>
         System.err.println(s"BENCH stream shutdown: $e") }
     }
-    spark.stop()
+    // same guard as the stream shutdown above: a throwing stop() must
+    // not abort the process before the harness-parsed summary records
+    // are emitted (the exact symptom class this ordering was built for)
+    try spark.stop()
+    catch { case e: Exception =>
+      System.err.println(s"BENCH session shutdown: $e") }
     System.out.flush(); System.err.flush()
     println(fullLine)
     println(s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$Runs,"sf":"$sfDir","detail_file":"$file","top5":${jmap(collection.mutable.LinkedHashMap(top5: _*))}}""")

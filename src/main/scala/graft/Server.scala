@@ -296,12 +296,25 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
           case None => err(ex, 404, s"ssd $id not found")
         }
       case ("POST", "ssd" :: id :: Nil) =>
+        // existence FIRST: a malformed body on a nonexistent resource
+        // must 404, not 400 (and the 404 must not depend on parsing)
+        if (svc.getSsd(id.toInt).isEmpty)
+          throw new NoSuchElementException(s"ssd $id")
         val b = body(ex)
-        val (onts, attrs, mappings) = ssdParts(b)
-        val cur = svc.getSsd(id.toInt)
-          .getOrElse(throw new NoSuchElementException(s"ssd $id"))
-        respond(ex, 200, ssdJson(svc.updateSsd(id.toInt,
-          b.getOrElse("name", cur.name), onts, attrs, mappings)))
+        // the route is documented full-replace, so the full field set
+        // is REQUIRED: an omitted table/mappings would otherwise
+        // silently wipe attributes/mappings
+        val missing = Seq("name", "table", "mappings")
+          .filterNot(b.contains)
+        if (missing.nonEmpty)
+          err(ex, 400, "full-replace update requires " +
+            s"${missing.mkString(", ")} (ssd update replaces the " +
+            "whole resource)")
+        else {
+          val (onts, attrs, mappings) = ssdParts(b)
+          respond(ex, 200, ssdJson(svc.updateSsd(id.toInt,
+            b("name"), onts, attrs, mappings)))
+        }
       case ("DELETE", "ssd" :: id :: Nil) =>
         respond(ex, 200, s"""{"deleted":${svc.deleteSsd(id.toInt)}}""")
 

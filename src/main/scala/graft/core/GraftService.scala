@@ -192,6 +192,13 @@ class GraftService(val rootDir: String,
         "OWL document declares no classes")
   }
 
+  // Store mutations that CROSS-REFERENCE other stores (owl <- ssd/model)
+  // are serialized on the same monitor nextId uses: deleteOwl's
+  // dependent scan and a concurrent createSsd/createModel referencing
+  // the same owl would otherwise race check-then-act, leaving an SSD or
+  // model pointing at a deleted ontology (octopus resolution then
+  // throws -> 500). Document validation stays OUTSIDE the lock (it can
+  // parse a large ontology); only the reference-check + write is atomic.
   def createOwl(name: String, description: String, format: String,
       document: String): OwlRef = {
     validateOwlDocument(format, document)
@@ -217,7 +224,7 @@ class GraftService(val rootDir: String,
   /** Update description and/or replace the document (reference
     * OwlAPI.updateOwl — both parts optional). */
   def updateOwl(id: Int, description: Option[String],
-      document: Option[String]): OwlRef = {
+      document: Option[String]): OwlRef = synchronized {
     val ref = getOwl(id)
       .getOrElse(throw new NoSuchElementException(s"owl $id"))
     document.foreach { doc =>
@@ -241,7 +248,7 @@ class GraftService(val rootDir: String,
   /** Refuses when the ontology is still referenced — the reference's
     * dependent check (OwlInterface.dependents:44-60: SSDs and octopi
     * that refer to the owl block deletion). */
-  def deleteOwl(id: Int): Boolean = {
+  def deleteOwl(id: Int): Boolean = synchronized {
     val ssdRefs = ssdKeys.flatMap(getSsd).filter(_.ontologies.contains(id))
     val modelRefs = modelKeys.flatMap(getModel)
       .filter(_.owlId.contains(id))
@@ -301,7 +308,9 @@ class GraftService(val rootDir: String,
 
   def createSsd(name: String, ontologies: Seq[Int],
       attributes: Seq[SsdAttribute],
-      mappings: Map[String, String]): SsdRef = {
+      mappings: Map[String, String]): SsdRef = synchronized {
+    // validateSsd is INSIDE the lock here: its owl-existence check is
+    // the half of the check-then-act a concurrent deleteOwl races
     validateSsd(ontologies, mappings)
     val id = nextId("ssds")
     val ref = SsdRef(id, name, ontologies, attributes, mappings,
@@ -327,7 +336,7 @@ class GraftService(val rootDir: String,
     * SsdRequest at the resource). */
   def updateSsd(id: Int, name: String, ontologies: Seq[Int],
       attributes: Seq[SsdAttribute],
-      mappings: Map[String, String]): SsdRef = {
+      mappings: Map[String, String]): SsdRef = synchronized {
     val old = getSsd(id)
       .getOrElse(throw new NoSuchElementException(s"ssd $id"))
     validateSsd(ontologies, mappings)
@@ -339,14 +348,14 @@ class GraftService(val rootDir: String,
       "created" -> old.created.toString)
     ref
   }
-  def deleteSsd(id: Int): Boolean = {
+  def deleteSsd(id: Int): Boolean = synchronized {
     val existed = Files.exists(ssdDir(id))
     deleteRecursively(ssdDir(id)); existed
   }
 
   // ---- model CRUD + train/predict (reference api/ModelAPI:153-193) ----
   def createModel(description: String,
-      owlId: Option[Int] = None): ModelRef = {
+      owlId: Option[Int] = None): ModelRef = synchronized {
     owlId.foreach(o => if (getOwl(o).isEmpty)
       throw new GraftService.ClientError(s"unknown owl $o"))
     val id = nextId("models")

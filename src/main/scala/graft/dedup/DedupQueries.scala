@@ -69,6 +69,20 @@ object DedupQueries {
     * bands 12: recall 0.9996). */
   val NdTargetBucket = 125L
 
+  /** d25 audit slice width in vec_ids (min-anchored, so the exact
+    * all-pairs truth stays a constant <=125k-pair probe at any corpus
+    * size — [[LshEvalMaxId]]'s posture for the embedding channel).
+    * NOTE: final vals, declared ABOVE the defs maps that interpolate
+    * them (OracleRenderSpec / the d18 init-order lesson). */
+  final val NdEvalMaxIds = 500L
+
+  /** d25 band geometry: bits-per-band pinned to [[ndBitsFor]](20000)
+    * = 8 — the sf1 PRODUCTION value — instead of the audit corpus's
+    * own (smaller) value, so the audit grades the geometry the branch
+    * actually runs at scale AND the DuckDB twin can be a static SQL
+    * string (a runtime-sized plane set cannot). Bands stay [[NdBands]]. */
+  final val D25Bits = 8
+
   /** Smallest bits >= [[NdBits]] with 2^bits * NdTargetBucket >= n
     * (integer arithmetic — no float log2 edge cases). n = 2000 (the
     * largest bench corpus at sf0.1, and everything below) yields
@@ -1971,7 +1985,196 @@ object DedupQueries {
       FROM slice
       LEFT JOIN mx ON slice.doc_id = mx.doc_id
       LEFT JOIN det ON slice.doc_id = det.doc_id
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- d25: EMBEDDING-LSH RECALL AUDIT — d21's posture for the
+    //      hyperplane-LSH pair channel ([[embeddingPairsLsh]]), the
+    //      branch d5/d9/s8 take above [[NearDupBruteMax]] and the one
+    //      approximate channel that previously had neither an oracle
+    //      nor a graded audit (it is also the branch that runs at any
+    //      production scale; the r13 verdict's top item). Ground truth
+    //      is the exact all-pairs cosine over a min-anchored constant
+    //      slice ([[NdEvalMaxIds]] vec_ids, so the quadratic stays a
+    //      <=125k-pair probe forever); found = candidates from the SAME
+    //      decision mechanism the production branch runs — the
+    //      [[graft.text.Text.planeWeight]] plane family, mean-centered
+    //      signing, [[NdBands]] bands, the [[NdMaxBucket]] hot-bucket
+    //      cap — at the sf1 production geometry ([[D25Bits]] bits).
+    //      Report: recall per cosine-decile band (cos in [0.4..1.0] ->
+    //      bands 4..10), grid-anchored so empty bands read as explicit
+    //      zero rows. The expected shape is the LSH contract itself:
+    //      recall ~1 in the top bands (where near-dup targets live),
+    //      decaying toward the 0.4 edge — this query MEASURES that
+    //      curve instead of narrating the 1-(1-p^bits)^bands formula.
+    //
+    //      ORACLE EXACTNESS: candidate generation here is pure integer
+    //      arithmetic — vectors quantized to micro units (round(v*1e6)
+    //      longs), and the centered sign bit computed in the cleared
+    //      form n*(w_p . qv) >= (w_p . qsum), which is exactly
+    //      sign(dot(qv - mean(qv), plane)) with no FP anywhere — so the
+    //      DuckDB twin reproduces the found-set bit-for-bit (an FP
+    //      center would make candidacy hinge on summation order). The
+    //      REAL FP branch is graded against this audit's curve in
+    //      EmbeddingLshRecallSpec, which forces [[embeddingPairsLsh]]
+    //      itself (production n => production geometry) with a
+    //      deterministic center and pins its recall per band.
+    //
+    //      Scale: after the 1-row min(vec_id) lookup and the 1-row
+    //      (n, 64 component sums) stats collect (both the d21/d7
+    //      bounded-collect class), every stage is slice-bounded —
+    //      the audit costs the same at sf0.01 and at 100 TB.
+    "d25_embedding_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        val dims = 64
+        val planes = NdBands * D25Bits
+        val e0 = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
+        val hiRow = e0.agg(min(col("vec_id"))).collect().head
+        val hi = if (hiRow.isNullAt(0)) Long.MinValue
+          else hiRow.getLong(0) + NdEvalMaxIds
+        val slice = e0.filter(col("vec_id") < hi)
+          .withColumn("qv",
+            transform(col("v"), x => round(x * 1e6).cast("long")))
+          .withColumn("nrm", Text.norm(col("v")))
+          .pipelineCache()
+        // one bounded 1-row collect: slice size + 64 quantized sums
+        val st = slice.agg(count(lit(1)).as("n"),
+          (0 until dims).map(d =>
+            sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
+          .collect().head
+        val n = st.getLong(0)
+        val qsum = (0 until dims).map(d =>
+          if (st.isNullAt(d + 1)) 0L else st.getLong(d + 1))
+        val poff: IndexedSeq[Long] = (0 until planes).map(p =>
+          (0 until dims).map(d =>
+            if (Text.planeWeight(p, d) > 0) qsum(d) else -qsum(d)).sum)
+        def pdot(p: Int): Column = {
+          val w = typedLit((0 until dims).map(d =>
+            Text.planeWeight(p, d).toLong))
+          aggregate(zip_with(col("qv"), w, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x)
+        }
+        // key projection materialized BEFORE the explode (the
+        // embeddingPairsLsh codegen note); 3 consumers share it
+        val keyed = slice.select(col("vec_id") +:
+          (0 until NdBands).map { b =>
+            (0 until D25Bits).map { i =>
+              val p = b * D25Bits + i
+              when(pdot(p) * lit(n) >= lit(poff(p)), lit(1L << i))
+                .otherwise(lit(0L))
+            }.reduce(_ + _).as(s"bk$b")
+          }: _*)
+          .pipelineCache()
+        val banded = keyed.select(col("vec_id"),
+          posexplode(array((0 until NdBands).map(b => col(s"bk$b")): _*)))
+          .toDF("vec_id", "band", "bk")
+        val hot = banded.groupBy(col("band"), col("bk"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > NdMaxBucket)
+          .select(col("band"), col("bk"))
+        val capped = banded.join(broadcast(hot),
+          Seq("band", "bk"), "left_anti")
+        val cands = capped.as("x").join(capped.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bk") === col("y.bk") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec1"), col("y.vec_id").as("vec2"))
+          .distinct()
+          .withColumn("hit", lit(1L))
+        val truth = slice.as("a")
+          .join(slice.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+            round(Text.dot(col("a.v"), col("b.v")) /
+              (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+          .filter(col("cos") >= NearDupCosThreshold)
+          .withColumn("cband",
+            expr("cast(round(cos * 1e6) as bigint) div 100000"))
+        val agged = truth.join(cands, Seq("vec1", "vec2"), "left")
+          .groupBy(col("cband"))
+          .agg(count(lit(1)).as("nt"),
+            coalesce(sum(col("hit")), lit(0L)).as("nf"))
+        val grid = s.range(4, 11).select(col("id").as("cband"))
+        grid.join(agged, Seq("cband"), "left")
+          .select(col("cband").as("cos_band"),
+            coalesce(col("nt"), lit(0L)).as("n_truth"),
+            coalesce(col("nf"), lit(0L)).as("n_found"),
+            (coalesce(col("nt"), lit(0L)) - coalesce(col("nf"), lit(0L)))
+              .as("n_missed"),
+            expr("""coalesce(nf, 0L) * 1000000L
+              div nullif(coalesce(nt, 0L), 0L)""").as("recall_micro"))
+          .orderBy(col("cos_band"))
+      },
+      Some(s"""-- integer-exact twin of the audit's candidate channel:
+      -- plane weights are graft.text.Text.planeWeight's formula,
+      -- centering is the cleared integer form n*(w.qv) >= (w.qsum)
+      WITH lo AS (
+        SELECT min(vec_id) + $NdEvalMaxIds AS hi FROM embeddings
+      ), e AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+        FROM embeddings, lo WHERE vec_id < hi
+      ), nn AS (SELECT count(*) AS n FROM e),
+      qs AS (
+        SELECT d, sum(qv[d + 1]) AS s
+        FROM e, range(64) t(d) GROUP BY d
+      ), planes AS (
+        -- planeWeight: parity of md5("p:d")'s first byte == parity of
+        -- its second hex digit
+        SELECT p, d,
+          CASE WHEN strpos('13579bdf', substr(md5(p || ':' || d), 2, 1)) > 0
+            THEN -1 ELSE 1 END AS w
+        FROM range(${NdBands * D25Bits}) tp(p), range(64) td(d)
+      ), poff AS (
+        SELECT p, sum(w * s) AS off FROM planes JOIN qs USING (d)
+        GROUP BY p
+      ), pdot AS (
+        SELECT e.vec_id, pl.p, sum(pl.w * e.qv[pl.d + 1]) AS dt
+        FROM e, planes pl GROUP BY 1, 2
+      ), bits AS (
+        SELECT pd.vec_id, pd.p // $D25Bits AS band,
+          CASE WHEN pd.dt * nn.n >= po.off
+            THEN CAST(1 AS BIGINT) << (pd.p % $D25Bits)
+            ELSE 0 END AS bit
+        FROM pdot pd JOIN poff po ON pd.p = po.p CROSS JOIN nn
+      ), keys AS (
+        SELECT vec_id, band, sum(bit) AS bk FROM bits GROUP BY 1, 2
+      ), hot AS (
+        SELECT band, bk FROM keys GROUP BY 1, 2
+        HAVING count(*) > $NdMaxBucket
+      ), capped AS (
+        SELECT k.vec_id, k.band, k.bk FROM keys k
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+          WHERE h.band = k.band AND h.bk = k.bk)
+      ), cands AS (
+        SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2, 1 AS hit
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+      ), truth AS (
+        SELECT vec1, vec2,
+          CAST(round(cos * 1e6) AS BIGINT) // 100000 AS cband
+        FROM (
+          SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+            round(list_sum(list_transform(list_zip(a.v, b.v),
+                x -> x[1] * x[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        WHERE cos >= $NearDupCosThreshold
+      ), agged AS (
+        SELECT cband, count(*) AS nt,
+          coalesce(sum(hit), 0) AS nf
+        FROM truth LEFT JOIN cands USING (vec1, vec2) GROUP BY 1
+      ), grid(cband) AS (VALUES (4),(5),(6),(7),(8),(9),(10))
+      SELECT CAST(grid.cband AS BIGINT) AS cos_band,
+        CAST(coalesce(nt, 0) AS BIGINT) AS n_truth,
+        CAST(coalesce(nf, 0) AS BIGINT) AS n_found,
+        CAST(coalesce(nt, 0) - coalesce(nf, 0) AS BIGINT) AS n_missed,
+        CAST(coalesce(nf, 0) * 1000000 //
+          nullif(coalesce(nt, 0), 0) AS BIGINT) AS recall_micro
+      FROM grid LEFT JOIN agged USING (cband)
+      ORDER BY cos_band"""))
   )
 
   /** d18's verify core over ANY `(doc_id, bk)` band index and
@@ -2052,9 +2255,18 @@ object DedupQueries {
     * instead of re-deriving the whole gate + LSH build + rerank (the
     * sf10 rehearsal measured the re-derivation at ~half of d9's 95 s).
     * Brute below [[NearDupBruteMax]] vectors, banded LSH above — the
-    * same gate the two queries previously ran independently. */
-  def embeddingPairs(s: SparkSession, dir: String): DataFrame =
-    graft.core.Materialize(s, s"d5-pairs|$dir") {
+    * same gate the two queries previously ran independently.
+    *
+    * `bruteMax` is the brute/LSH gate, a PARAMETER (production default
+    * [[NearDupBruteMax]], baked into the production cache key) so
+    * specs can force the banded branch on a small corpus without a
+    * mutable global (the seam style the r13 ADVICE flagged on p12's
+    * `keyScreenGateRows`); the d25 audit grades the same branch with
+    * an oracle. Non-default gates get their own Materialize key so a
+    * forced-branch spec never poisons the shared d5/d9/s8 checkpoint. */
+  def embeddingPairs(s: SparkSession, dir: String,
+      bruteMax: Long = NearDupBruteMax): DataFrame =
+    graft.core.Materialize(s, s"d5-pairs|$bruteMax|$dir") {
       // rebalance: the sf vector table is ONE parquet file — without
       // it the whole signature build runs in a single task
       val e = Tables.rebalance(Tables.table(s, dir, "embeddings")
@@ -2062,7 +2274,7 @@ object DedupQueries {
         .withColumn("nrm", Text.norm(col("v")))
         .pipelineCache()
       val n = e.count()
-      val pairs = if (n <= NearDupBruteMax)
+      val pairs = if (n <= bruteMax)
         embeddingPairsBrute(e) else embeddingPairsLsh(e, n)
       pairs
     }
@@ -2095,13 +2307,22 @@ object DedupQueries {
     *    bounding the skew tail the expectation argument can't.
     * Approximate: recall of a pair at CENTERED angular similarity p is
     * 1-(1-p^bits)^bands. `n` is the corpus size the caller already
-    * counted for the brute/LSH gate. */
-  def embeddingPairsLsh(e: DataFrame, n: Long): DataFrame = {
+    * counted for the brute/LSH gate — it is a PARAMETER (not re-counted
+    * here) and also sets the band geometry, so a spec can run the
+    * production sf1 geometry (bits=8) on a small audit corpus by
+    * passing the production n. `centerOverride` replaces the corpus
+    * mean (an FP aggregate whose summation order Spark does not pin)
+    * with a caller-computed center, making a forced-branch run
+    * bit-deterministic for recall pins; production passes None. */
+  def embeddingPairsLsh(e: DataFrame, n: Long,
+      centerOverride: Option[Seq[Double]] = None): DataFrame = {
     val dims = 64
     val bits = ndBitsFor(n)
-    val meanRow = e.select((0 until dims).map(i =>
-      avg(element_at(col("v"), i + 1)).as(s"m$i")): _*).head()
-    val center = (0 until dims).map(meanRow.getDouble)
+    val center = centerOverride.getOrElse {
+      val meanRow = e.select((0 until dims).map(i =>
+        avg(element_at(col("v"), i + 1)).as(s"m$i")): _*).head()
+      (0 until dims).map(meanRow.getDouble)
+    }
     // The key projection is persisted BEFORE the explode: a Generate
     // subtree never enters whole-stage codegen, so a generator carrying
     // the bands*bits dot products evaluates them INTERPRETED per row

@@ -207,14 +207,6 @@ object ProfileQueries {
     * Expand-x21 agg wins (screen overhead > Expand cost — see the p12
     * doc comment's measurements); at or above, screen-verify-imply. */
   val KeyScreenMinRows = 1000000L
-  /** The gate p12 actually consults — a test seam. Production value is
-    * [[KeyScreenMinRows]]; the r12 verdict found the screened branch
-    * was never exercised by any committed check (the oracle, the
-    * adversarial sweep, and QuantileSpec all run under 1M rows, so an
-    * HLL 4-sigma miss of a true key would ship silently). ScreenPathSpec
-    * lowers this to force screen->verify->imply on a small corpus and
-    * asserts verdict-equality with the exact path, then restores it. */
-  @volatile private[graft] var keyScreenGateRows: Long = KeyScreenMinRows
   val KeyPairs: Seq[(Int, Int)] =
     for { i <- KeyCols.indices; j <- KeyCols.indices if i < j }
       yield (i, j)
@@ -249,6 +241,109 @@ object ProfileQueries {
   /** p13: |relative delta| in micro-units at or above which a metric
     * is flagged as drifted (50000 = 5%). */
   val DriftFlagMicro = 50000L
+
+  /** p12's engine body, extracted so the screen/exact path gate is a
+    * PARAMETER with a production default instead of a mutable global
+    * test seam (the r13 ADVICE item on `keyScreenGateRows`):
+    * ScreenPathSpec forces the screened branch by passing gateRows=1;
+    * production always runs with [[KeyScreenMinRows]]. */
+  def keyDiscovery(s: org.apache.spark.sql.SparkSession, dir: String,
+      gateRows: Long = KeyScreenMinRows): org.apache.spark.sql.DataFrame = {
+    val cols = KeyCols
+    val base = Tables.table(s, dir, "orders")
+    val nullLong = lit(null).cast("long")
+    def report(m: org.apache.spark.sql.DataFrame,
+        singleRows: Seq[org.apache.spark.sql.Column],
+        pairRows: Seq[org.apache.spark.sql.Column]) =
+      m.select(inline(array((singleRows ++ pairRows): _*)))
+        .orderBy(col("combo"))
+    // the gate read is parquet-metadata cheap and n is needed anyway
+    val n = base.count()
+    if (n < gateRows) {
+      // small-table path: ONE exact Expand-x21 agg. The screen is a
+      // net LOSS here — measured at sf0.1: exact 3.0-3.6 s vs
+      // screen+verify 5.5-6.2 s warm (the 21-sketch agg alone costs
+      // ~2-3 s); it only pays once the Expand's dedup state
+      // dominates (sf1: 22 vs 16.5 s; sf10: 324 vs ~165 s).
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        cols.indices.map(i =>
+          countDistinct(col(cols(i))).as(s"s_$i")) ++
+        KeyPairs.map { case (i, j) =>
+          countDistinct(col(cols(i)), col(cols(j))).as(s"p_${i}_$j") }
+      val m = base.agg(aggs.head, aggs.tail: _*)
+      def uniqS(i: Int) = col(s"s_$i") === col("n")
+      val singleRows = cols.indices.map { i =>
+        struct(lit(cols(i)).as("combo"),
+          when(uniqS(i), col("n")).otherwise(nullLong).as("n_distinct"),
+          uniqS(i).cast("long").as("is_unique"),
+          uniqS(i).cast("long").as("is_minimal_unique"))
+      }
+      val pairRows = KeyPairs.map { case (i, j) =>
+        val u = col(s"p_${i}_$j") === col("n")
+        struct(lit(s"${cols(i)}+${cols(j)}").as("combo"),
+          when(u, col("n")).otherwise(nullLong).as("n_distinct"),
+          u.cast("long").as("is_unique"),
+          (u && !uniqS(i) && !uniqS(j)).cast("long")
+            .as("is_minimal_unique"))
+      }
+      report(m, singleRows, pairRows)
+    } else {
+      // scale path: screen -> verify -> imply
+      // stage 1: HLL screen — one scan, no Expand
+      val screenAggs =
+        cols.indices.map(i =>
+          approx_count_distinct(col(cols(i)), KeyScreenRsd)
+            .as(s"s_$i")) ++
+        KeyPairs.map { case (i, j) =>
+          approx_count_distinct(struct(col(cols(i)), col(cols(j))),
+            KeyScreenRsd).as(s"p_${i}_$j") }
+      val sc = base.agg(screenAggs.head, screenAggs.tail: _*)
+        .collect().head
+      def pass(est: Long): Boolean = est * 100L >= n * KeyScreenFrac
+      val candS = cols.indices
+        .filter(i => pass(sc.getLong(sc.fieldIndex(s"s_$i")))).toSet
+      // stage 2: exact verify of candidate singles
+      val uniqueS: Set[Int] =
+        if (candS.isEmpty) Set.empty
+        else {
+          val sAggs = candS.toSeq.sorted
+            .map(i => countDistinct(col(cols(i))).as(s"s_$i"))
+          val sr = base.agg(count(lit(1)).as("n"), sAggs: _*)
+            .collect().head
+          candS.filter(i => sr.getLong(sr.fieldIndex(s"s_$i")) == n)
+        }
+      // stage 3: pair implication + exact verify of the remainder
+      val impliedP = KeyPairs.filter { case (i, j) =>
+        uniqueS(i) || uniqueS(j) }.toSet
+      val candP = KeyPairs.filter { case (i, j) =>
+        !impliedP((i, j)) &&
+          pass(sc.getLong(sc.fieldIndex(s"p_${i}_$j"))) }.toSet
+      val exactAggs = Seq(count(lit(1)).as("n")) ++
+        candP.toSeq.sorted.map { case (i, j) =>
+          countDistinct(col(cols(i)), col(cols(j))).as(s"p_${i}_$j") }
+      val m = base.agg(exactAggs.head, exactAggs.tail: _*)
+      val singleRows = cols.indices.map { i =>
+        val u = lit(uniqueS(i))
+        struct(lit(cols(i)).as("combo"),
+          when(u, col("n")).otherwise(nullLong).as("n_distinct"),
+          u.cast("long").as("is_unique"),
+          u.cast("long").as("is_minimal_unique"))
+      }
+      val pairRows = KeyPairs.map { case (i, j) =>
+        val u = if (impliedP((i, j))) lit(true)
+          else if (candP((i, j))) col(s"p_${i}_$j") === col("n")
+          else lit(false)
+        struct(lit(s"${cols(i)}+${cols(j)}").as("combo"),
+          when(u, col("n")).otherwise(nullLong).as("n_distinct"),
+          u.cast("long").as("is_unique"),
+          // minimal iff unique and neither member is itself a key;
+          // implied pairs are by construction non-minimal
+          (u && lit(!uniqueS(i) && !uniqueS(j))).cast("long")
+            .as("is_minimal_unique"))
+      }
+      report(m, singleRows, pairRows)
+    }
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "p1_profile_customer" -> prof("customer",
@@ -713,102 +808,7 @@ object ProfileQueries {
     //      member; orders has no nulls, a null-bearing table would
     //      coalesce to sentinels first.
     "p12_key_discovery" -> QueryDef(
-      (s, dir) => {
-        val cols = KeyCols
-        val base = Tables.table(s, dir, "orders")
-        val nullLong = lit(null).cast("long")
-        def report(m: org.apache.spark.sql.DataFrame,
-            singleRows: Seq[org.apache.spark.sql.Column],
-            pairRows: Seq[org.apache.spark.sql.Column]) =
-          m.select(inline(array((singleRows ++ pairRows): _*)))
-            .orderBy(col("combo"))
-        // the gate read is parquet-metadata cheap and n is needed anyway
-        val n = base.count()
-        if (n < keyScreenGateRows) {
-          // small-table path: ONE exact Expand-x21 agg. The screen is a
-          // net LOSS here — measured at sf0.1: exact 3.0-3.6 s vs
-          // screen+verify 5.5-6.2 s warm (the 21-sketch agg alone costs
-          // ~2-3 s); it only pays once the Expand's dedup state
-          // dominates (sf1: 22 vs 16.5 s; sf10: 324 vs ~165 s).
-          val aggs = Seq(count(lit(1)).as("n")) ++
-            cols.indices.map(i =>
-              countDistinct(col(cols(i))).as(s"s_$i")) ++
-            KeyPairs.map { case (i, j) =>
-              countDistinct(col(cols(i)), col(cols(j))).as(s"p_${i}_$j") }
-          val m = base.agg(aggs.head, aggs.tail: _*)
-          def uniqS(i: Int) = col(s"s_$i") === col("n")
-          val singleRows = cols.indices.map { i =>
-            struct(lit(cols(i)).as("combo"),
-              when(uniqS(i), col("n")).otherwise(nullLong).as("n_distinct"),
-              uniqS(i).cast("long").as("is_unique"),
-              uniqS(i).cast("long").as("is_minimal_unique"))
-          }
-          val pairRows = KeyPairs.map { case (i, j) =>
-            val u = col(s"p_${i}_$j") === col("n")
-            struct(lit(s"${cols(i)}+${cols(j)}").as("combo"),
-              when(u, col("n")).otherwise(nullLong).as("n_distinct"),
-              u.cast("long").as("is_unique"),
-              (u && !uniqS(i) && !uniqS(j)).cast("long")
-                .as("is_minimal_unique"))
-          }
-          report(m, singleRows, pairRows)
-        } else {
-          // scale path: screen -> verify -> imply
-          // stage 1: HLL screen — one scan, no Expand
-          val screenAggs =
-            cols.indices.map(i =>
-              approx_count_distinct(col(cols(i)), KeyScreenRsd)
-                .as(s"s_$i")) ++
-            KeyPairs.map { case (i, j) =>
-              approx_count_distinct(struct(col(cols(i)), col(cols(j))),
-                KeyScreenRsd).as(s"p_${i}_$j") }
-          val sc = base.agg(screenAggs.head, screenAggs.tail: _*)
-            .collect().head
-          def pass(est: Long): Boolean = est * 100L >= n * KeyScreenFrac
-          val candS = cols.indices
-            .filter(i => pass(sc.getLong(sc.fieldIndex(s"s_$i")))).toSet
-          // stage 2: exact verify of candidate singles
-          val uniqueS: Set[Int] =
-            if (candS.isEmpty) Set.empty
-            else {
-              val sAggs = candS.toSeq.sorted
-                .map(i => countDistinct(col(cols(i))).as(s"s_$i"))
-              val sr = base.agg(count(lit(1)).as("n"), sAggs: _*)
-                .collect().head
-              candS.filter(i => sr.getLong(sr.fieldIndex(s"s_$i")) == n)
-            }
-          // stage 3: pair implication + exact verify of the remainder
-          val impliedP = KeyPairs.filter { case (i, j) =>
-            uniqueS(i) || uniqueS(j) }.toSet
-          val candP = KeyPairs.filter { case (i, j) =>
-            !impliedP((i, j)) &&
-              pass(sc.getLong(sc.fieldIndex(s"p_${i}_$j"))) }.toSet
-          val exactAggs = Seq(count(lit(1)).as("n")) ++
-            candP.toSeq.sorted.map { case (i, j) =>
-              countDistinct(col(cols(i)), col(cols(j))).as(s"p_${i}_$j") }
-          val m = base.agg(exactAggs.head, exactAggs.tail: _*)
-          val singleRows = cols.indices.map { i =>
-            val u = lit(uniqueS(i))
-            struct(lit(cols(i)).as("combo"),
-              when(u, col("n")).otherwise(nullLong).as("n_distinct"),
-              u.cast("long").as("is_unique"),
-              u.cast("long").as("is_minimal_unique"))
-          }
-          val pairRows = KeyPairs.map { case (i, j) =>
-            val u = if (impliedP((i, j))) lit(true)
-              else if (candP((i, j))) col(s"p_${i}_$j") === col("n")
-              else lit(false)
-            struct(lit(s"${cols(i)}+${cols(j)}").as("combo"),
-              when(u, col("n")).otherwise(nullLong).as("n_distinct"),
-              u.cast("long").as("is_unique"),
-              // minimal iff unique and neither member is itself a key;
-              // implied pairs are by construction non-minimal
-              (u && lit(!uniqueS(i) && !uniqueS(j))).cast("long")
-                .as("is_minimal_unique"))
-          }
-          report(m, singleRows, pairRows)
-        }
-      },
+      (s, dir) => keyDiscovery(s, dir),
       Some {
         val cols = KeyCols
         val moments = Seq("count(*) AS n") ++
@@ -1137,9 +1137,13 @@ object ProfileQueries {
         val pairs = for { i <- cols.indices; j <- cols.indices if i != j }
           yield (i, j)
         val selects = pairs.map { case (i, j) =>
+          // CAST to VARCHAR mirrors the engine's cast-to-string melt:
+          // grouping native values would diverge on numerically-equal
+          // but distinct string forms (-0.0 vs 0.0 in o_totalprice)
           s"""SELECT 'orders.${cols(i)}' AS det_col,
             'orders.${cols(j)}' AS dep_col, x, max(c) AS mx, sum(c) AS cnt
-          FROM (SELECT ${cols(i)} AS x, ${cols(j)} AS y, count(*) AS c
+          FROM (SELECT CAST(${cols(i)} AS VARCHAR) AS x,
+                  CAST(${cols(j)} AS VARCHAR) AS y, count(*) AS c
                 FROM orders GROUP BY 1, 2) GROUP BY 1, 2, 3"""
         }.mkString("\n        UNION ALL ")
         s"""WITH perx AS (

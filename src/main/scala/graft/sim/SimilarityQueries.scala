@@ -56,10 +56,11 @@ object SimilarityQueries {
   private def sigCol(v: Column): Column = Text.hyperplaneSig(v, Planes, Dims)
 
   /** DuckDB CTE chain `e / sig / banded` reproducing the hyperplane
-    * LSH index arithmetic (planeWeight's (p*73 + d*179) % 7 signs, 4
-    * bands of 4 signature bits) — THE one SQL rendering, shared by
-    * s2's and s10's oracles so a hyperplane tweak cannot drift them
-    * apart. */
+    * LSH index arithmetic (planeWeight's md5("p:d") first-byte parity
+    * signs, 4 bands of 4 signature bits) — THE one SQL rendering,
+    * shared by s2's and s10's oracles so a hyperplane tweak cannot
+    * drift them apart. Parity of the digest's first byte == parity of
+    * its second hex digit, hence the strpos('13579bdf', ...) test. */
   private def lshSqlCtes: String = s"""e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -67,8 +68,10 @@ object SimilarityQueries {
         SELECT vec_id, v,
           list_sum(list_transform(range(0, $Planes), p ->
             CASE WHEN list_sum(list_transform(range(0, $Dims), d ->
-              v[CAST(d+1 AS INT)] * (CASE WHEN ((p*73 + d*179) % 7) % 2 = 0
-                THEN 1.0 ELSE -1.0 END))) >= 0
+              v[CAST(d+1 AS INT)] *
+                (CASE WHEN strpos('13579bdf',
+                    substr(md5(p || ':' || d), 2, 1)) > 0
+                  THEN -1.0 ELSE 1.0 END))) >= 0
             THEN (1 << p) ELSE 0 END)) AS s
         FROM e
       ), banded AS (

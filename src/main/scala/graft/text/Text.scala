@@ -169,9 +169,26 @@ object Text {
 
   /** Deterministic pseudo-random +/-1 hyperplane weight for random-
     * hyperplane (sign) LSH — shared by the ANN and near-dup operators so
-    * their signatures agree. */
-  def planeWeight(p: Int, d: Int): Double =
-    if (((p * 73 + d * 179) % 7) % 2 == 0) 1.0 else -1.0
+    * their signatures agree.
+    *
+    * md5-based (parity of the digest's first byte of "p:d"), like every
+    * other engine-portable hash here, so DuckDB twins reproduce it as
+    * `md5(p || ':' || d)`. The PREVIOUS formula —
+    * `((p*73 + d*179) % 7) % 2` — was structurally degenerate: it
+    * depends only on (3p + 4d) mod 7, so the whole family contained
+    * SEVEN distinct hyperplanes (plane p == plane p+7, each biased 4:3
+    * toward +1), every >=7-plane band covered the same 7 residues, and
+    * all bands induced the SAME partition — multi-band LSH collapsed to
+    * one 7-bit band (recall p^7 instead of 1-(1-p^bits)^bands; the d25
+    * audit measured 5.2% where the independent-plane formula predicts
+    * 26%). Caught by d25_embedding_lsh_recall in round 14; md5 parity
+    * bits are unbiased and independent across (p, d), so the banding
+    * math the operators document actually holds. */
+  def planeWeight(p: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
 
   /** Random-hyperplane LSH signature: sign bits of v . plane_p packed
     * into a long (lowest bit = plane 0). `planes` must be <= 62.

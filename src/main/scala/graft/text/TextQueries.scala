@@ -1391,13 +1391,7 @@ object TextQueries {
     "t20_bpe_vocab" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val shapes = Tables.table(s, dir, "documents")
-          .select(explode(Text.words(col("text"))).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-          .orderBy(col("freq").desc, col("w"))
-          .limit(BpeShapeWords)
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        Bpe.induce(shapes, BpeMerges, BpeMinPairFreq)
+        inducedMerges(s, dir)
           .map(m => (m.rank.toLong, m.left, m.right, m.merged, m.pairFreq))
           .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
       },
@@ -1455,8 +1449,109 @@ object TextQueries {
           (49, 'in', 'e', 'ine', 910),
           (50, 'l', 'ine', 'line', 910)
         ) AS t(merge_rank, lhs, rhs, merged, pair_freq)
-        ORDER BY merge_rank"""))
+        ORDER BY merge_rank""")),
+
+    // ---- t21: TOKENIZER APPLY — t20's vocab given its first-class
+    //      consumer (the r13 verdict item): encode the corpus with the
+    //      induced merge list through the SAME [[graft.text.Bpe]]
+    //      kernel the trainer used, and report per-source tokens/word
+    //      against the character baseline. This is the artifact a
+    //      tokenizer team ships alongside the merge list: fertility by
+    //      source (does the vocab trained on the whole corpus serve
+    //      every source?), with the beats-chars verdict promoted from
+    //      spec level (BpeSpec) to an oracle-checked column.
+    //
+    //      Scale shape: the corpus-sized work is ONE (source, word)
+    //      count scan (map-side combined); tokenization applies to the
+    //      per-source DISTINCT-word frame (vocabulary-sized), each
+    //      word encoded once and weighted by its count — the same
+    //      posture as [[bpeFertilityMicro]] and production tokenizer
+    //      eval (never a per-document re-encode). Output rows =
+    //      #sources. Induction itself is shared with t20 via
+    //      [[inducedMerges]] (memoized per dir, so the pipeline pays
+    //      the word-count scan + 50-round loop once per corpus).
+    //
+    //      Oracle: same documented class as t20 — the merge list is an
+    //      iterative global argmax, so the twin is an sf0.01 VALUES
+    //      pin generated by the INDEPENDENT tools/bpe_reference.py
+    //      (--apply mode re-implements tokenize from scratch too).
+    //      Regenerate: python3 tools/bpe_reference.py <sf> --apply
+    "t21_bpe_tokenize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ranks = inducedMerges(s, dir)
+          .map(m => (m.left, m.right) -> m.rank).toMap
+        val bc = s.sparkContext.broadcast(ranks)
+        Tables.table(s, dir, "documents")
+          .select(col("source"), explode(Text.words(col("text"))).as("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+          .as[(String, String, Long)]
+          .map { case (src, w, f) =>
+            (src, f, Bpe.tokenize(w, bc.value).length * f, w.length * f) }
+          .toDF("source", "wc", "tc", "cc")
+          .groupBy(col("source"))
+          .agg(sum(col("wc")).as("n_words"),
+            sum(col("tc")).as("n_tokens"),
+            sum(col("cc")).as("n_chars"))
+          .withColumn("fertility_micro",
+            expr("n_tokens * 1000000L div nullif(n_words, 0L)"))
+          .withColumn("char_fertility_micro",
+            expr("n_chars * 1000000L div nullif(n_words, 0L)"))
+          .withColumn("beats_chars",
+            (col("n_tokens") < col("n_chars")).cast("long"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(n_words AS BIGINT) AS n_words,
+          CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(fertility_micro AS BIGINT) AS fertility_micro,
+          CAST(char_fertility_micro AS BIGINT) AS char_fertility_micro,
+          CAST(beats_chars AS BIGINT) AS beats_chars
+        FROM (VALUES
+          ('src0', 1435, 3172, 6539, 2210452, 4556794, 1),
+          ('src1', 1540, 3453, 7055, 2242207, 4581168, 1),
+          ('src10', 1303, 3000, 5883, 2302379, 4514965, 1),
+          ('src11', 1522, 3409, 6890, 2239816, 4526938, 1),
+          ('src12', 1272, 2813, 5680, 2211477, 4465408, 1),
+          ('src13', 1553, 3431, 6934, 2209272, 4464906, 1),
+          ('src14', 1318, 3013, 5923, 2286039, 4493930, 1),
+          ('src15', 1298, 2906, 5827, 2238828, 4489214, 1),
+          ('src16', 1351, 3004, 6158, 2223538, 4558105, 1),
+          ('src17', 1373, 3036, 6129, 2211216, 4463947, 1),
+          ('src18', 1364, 3047, 6217, 2233870, 4557917, 1),
+          ('src19', 1147, 2500, 5184, 2179598, 4519616, 1),
+          ('src2', 1407, 3232, 6307, 2297085, 4482587, 1),
+          ('src3', 1384, 3082, 6261, 2226878, 4523843, 1),
+          ('src4', 1294, 2991, 5829, 2311437, 4504636, 1),
+          ('src5', 1329, 2974, 5950, 2237772, 4477050, 1),
+          ('src6', 1266, 2738, 5723, 2162717, 4520537, 1),
+          ('src7', 1507, 3340, 6719, 2216323, 4458526, 1),
+          ('src8', 1136, 2583, 5166, 2273767, 4547535, 1),
+          ('src9', 1366, 3083, 6135, 2256954, 4491215, 1)
+        ) AS t(source, n_words, n_tokens, n_chars, fertility_micro,
+               char_fertility_micro, beats_chars)
+        ORDER BY source"""))
   )
+
+  /** t20/t21's shared induction: the distributed word-count scan +
+    * the driver-side merge loop, memoized per data dir so the two
+    * queries (and [[bpeFertilityMicro]] callers) pay it once per
+    * corpus per JVM — the Materialize posture for a driver-sized
+    * artifact (a <=50-row merge list does not need a parquet
+    * round-trip). */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  def inducedMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Bpe.Merge] =
+    mergeCache.computeIfAbsent(dir, _ => {
+      val shapes = Tables.table(s, dir, "documents")
+        .select(explode(Text.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w"))
+        .limit(BpeShapeWords)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      Bpe.induce(shapes, BpeMerges, BpeMinPairFreq)
+    })
 
   /** The t18 fertility re-measure hook: tokens-per-word when the corpus
     * is tokenized with t20's INDUCED vocab instead of t18's regex

@@ -475,8 +475,11 @@ class AdversarialParitySpec extends SparkSpec {
   test("s9 ann recall: index quality pinned") {
     val rows = run("s9_ann_recall").collect()
       .map(r => r.getAs[String]("method") -> r).toMap
-    assert(rows("lsh").getAs[Long]("n_hits") === 35L)
-    assert(rows("lsh").getAs[Long]("recall_micro") === 350000L)
+    // 35 -> 43 hits when the degenerate 7-plane family was replaced
+    // with independent md5 planes (r14, the d25 finding): the 16-bit
+    // signature previously carried only 7 informative bits
+    assert(rows("lsh").getAs[Long]("n_hits") === 43L)
+    assert(rows("lsh").getAs[Long]("recall_micro") === 430000L)
     assert(rows("ivf").getAs[Long]("n_hits") === 31L)
     assert(rows("ivf").getAs[Long]("recall_micro") === 310000L)
     rows.values.foreach(r => assert(r.getAs[Long]("n_truth") === 100L &&
@@ -615,10 +618,13 @@ class AdversarialParitySpec extends SparkSpec {
     for (((_, radius), r) <- rows if radius >= 500000L) {
       assert(r.getLong(2) === 0L && r.isNullAt(3) && r.getLong(4) === -1L)
     }
-    assert(rows.values.map(_.getLong(2)).sum === 79L)
+    // 79 -> 105 candidate-tail neighbors under the independent md5
+    // plane family (r14): more genuine buckets -> more low-cos
+    // candidates surviving into the 0.2 shell
+    assert(rows.values.map(_.getLong(2)).sum === 105L)
     val q0 = rows((0L, 200000L))
-    assert(q0.getLong(2) === 10L && q0.getDouble(3) === 0.300451 &&
-      q0.getLong(4) === 483L)
+    assert(q0.getLong(2) === 14L && q0.getDouble(3) === 0.315127 &&
+      q0.getLong(4) === 225L)
   }
 
   // ---- pin 29: q33's funnel on the fixture events — every one of the
@@ -808,20 +814,24 @@ class AdversarialParitySpec extends SparkSpec {
   }
 
   // ---- pin 39: s15's multi-probe grade — the 1-bit-flip probes lift
-  //      recall 35% -> 61% at 2.6x the candidates on the fixture
+  //      recall 43% -> 95% at 3.4x the candidates on the fixture
   //      embeddings (the report's reason to exist: the knob works and
-  //      its cost is visible)
-  test("s15 multiprobe: probes buy 26 points of recall at 2.6x pairs") {
+  //      its cost is visible). Under the r14 independent-plane fix the
+  //      probe lift is dramatically larger than under the degenerate
+  //      family (35%->61% before): with only 7 real planes, flipping a
+  //      bit often reproduced an existing bucket; with 16 independent
+  //      bits every probe reaches genuinely new candidates.
+  test("s15 multiprobe: probes buy 52 points of recall at 3.4x pairs") {
     val rows = run("s15_multiprobe_recall").collect()
       .map(r => r.getAs[String]("method") -> r).toMap
     val band = rows("lsh_band")
-    assert(band.getAs[Long]("n_hits") === 35L &&
-      band.getAs[Long]("recall_micro") === 350000L &&
-      band.getAs[Long]("n_cand_pairs") === 1083L)
+    assert(band.getAs[Long]("n_hits") === 43L &&
+      band.getAs[Long]("recall_micro") === 430000L &&
+      band.getAs[Long]("n_cand_pairs") === 1119L)
     val multi = rows("lsh_multiprobe")
-    assert(multi.getAs[Long]("n_hits") === 61L &&
-      multi.getAs[Long]("recall_micro") === 610000L &&
-      multi.getAs[Long]("n_cand_pairs") === 2817L)
+    assert(multi.getAs[Long]("n_hits") === 95L &&
+      multi.getAs[Long]("recall_micro") === 950000L &&
+      multi.getAs[Long]("n_cand_pairs") === 3842L)
     rows.values.foreach(r => assert(r.getAs[Long]("n_truth") === 100L &&
       r.getAs[Long]("n_returned") === 100L))
   }
@@ -891,6 +901,7 @@ class AdversarialParitySpec extends SparkSpec {
     "st14_stream_block_scrub", "s14_sq_recall",
     "q35_attribution", "t19_lang_label_noise", "s15_multiprobe_recall",
     "q36_scd2_history", "d24_substring_recall",
+    "d25_embedding_lsh_recall",
     "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
     "s10_range_search",
     // family battery (row-count pins)
@@ -902,12 +913,13 @@ class AdversarialParitySpec extends SparkSpec {
   private val sfPinnedOracles: Set[String] = Set(
     "m4_semantic_type_predictions", "m7_pairwise_features",
     "m8_bagged_predictions", "q21_approx_distinct", "g4_learned_types",
-    // t20: iterative global-argmax induction is not one DuckDB
-    // statement (recursive CTEs cannot aggregate over their own
-    // recursive reference); the oracle is an sf0.01 VALUES pin
-    // generated by the INDEPENDENT tools/bpe_reference.py, and
-    // BpeSpec pins a hand-computed fixture merge list
-    "t20_bpe_vocab")
+    // t20/t21: iterative global-argmax induction (and its application)
+    // is not one DuckDB statement (recursive CTEs cannot aggregate over
+    // their own recursive reference); the oracles are sf0.01 VALUES
+    // pins generated by the INDEPENDENT tools/bpe_reference.py
+    // (--sql / --apply), and BpeSpec pins a hand-computed fixture
+    // merge list + tokenize round-trip
+    "t20_bpe_vocab", "t21_bpe_tokenize")
 
   /** Hash-exact in the offline sweep, no committed per-value pin. */
   private val sweepCovered: Set[String] = Set(
@@ -963,6 +975,55 @@ class AdversarialParitySpec extends SparkSpec {
       s"stale classification entries: ${(classified -- all).toSeq.sorted}")
   }
 
+  // ---- SCALE-behavior register (the r13 verdict's "name the sf-pin
+  //      class in one place"): at corpus scales ABOVE the driver's
+  //      correctness sf (the PERF.md sf1 oracle legs), every query is
+  //      either SCALE-STABLE (its oracle twin recomputes from the data,
+  //      so hash-exact at any sf — 141/150 measured hash-exact at sf1
+  //      in r13) or an EXPECTED MISMATCH with a documented reason.
+  //      The register below holds the second class; everything not in
+  //      it claims scale-stability, and the invariant test forces any
+  //      NEW sf-pinned oracle to classify its scale behavior here
+  //      before it can ship.
+  private val sfExpectedMismatch: Map[String, String] = Map(
+    "m4_semantic_type_predictions" -> ("RF model + bounded sample are " +
+      "corpus-dependent; the oracle pins the sf0.01 predictions"),
+    "m6_matcher_eval" -> ("evaluates the sf-trained model — accuracy " +
+      "rows pinned at the driver sf"),
+    "m7_pairwise_features" -> ("pairwise features of the sf-trained " +
+      "model's sample — VALUES pin at the driver sf"),
+    "m8_bagged_predictions" -> ("bag scores of the sf-trained model — " +
+      "VALUES pin at the driver sf"),
+    "q21_approx_distinct" -> ("HLL estimates are sketch-exact but " +
+      "data-dependent; the oracle pins the sf0.01 estimates (DuckDB's " +
+      "HLL differs structurally)"),
+    "g4_learned_types" -> ("learned candidates of the sf-trained " +
+      "matcher — VALUES pin at the driver sf"),
+    "t20_bpe_vocab" -> ("merge list induced from the sf0.01 dict — " +
+      "VALUES pin from tools/bpe_reference.py"),
+    "t21_bpe_tokenize" -> ("per-source fertility under the sf0.01 " +
+      "vocab — VALUES pin from tools/bpe_reference.py --apply"),
+    "d5_embedding_neardup" -> ("brute-force twin DECLARED valid only " +
+      "<= NearDupBruteMax vectors; above the gate the engine is " +
+      "approximate by design (graded by d25 + EmbeddingLshRecallSpec)"),
+    "s8_knn_graph" -> ("same declared brute bound as d5 — the shared " +
+      "embedding pair channel is approximate above the gate"))
+
+  test("every sf-pinned oracle classifies its scale behavior in the " +
+      "sfExpectedMismatch register") {
+    val all = SparkEntry.queries.keySet
+    assert((sfExpectedMismatch.keySet -- all).isEmpty,
+      s"stale register entries: ${(sfExpectedMismatch.keySet -- all).toSeq.sorted}")
+    // every VALUES-pinned oracle MUST declare its scale class — an
+    // sf-pinned oracle that silently claims scale-stability would turn
+    // the next sf1 leg's mismatch into an undiagnosed failure
+    val unclassifiedPins = sfPinnedOracles -- sfExpectedMismatch.keySet
+    assert(unclassifiedPins.isEmpty,
+      s"sf-pinned oracles with no scale classification: $unclassifiedPins")
+    // reasons are real sentences, not placeholders
+    sfExpectedMismatch.values.foreach(r => assert(r.length > 20))
+  }
+
   // ---- pin 38: d24's W-boundary grade on PLANTED duplicate lengths —
   //      the bench corpus has no shared runs in the 5..15 band
   //      (measured sf0.01 buckets: 2/3/4/16+), so the critical
@@ -1003,6 +1064,41 @@ class AdversarialParitySpec extends SparkSpec {
       5L -> ((2L, 0L, 0L)), 6L -> ((2L, 0L, 0L)), 7L -> ((2L, 0L, 0L)),
       8L -> ((2L, 2L, 1000000L)), 9L -> ((2L, 2L, 1000000L)),
       16L -> ((2L, 2L, 1000000L))))
+  }
+
+  // ---- pin 41: d25's top-band recall on PLANTED exact-duplicate
+  //      vectors — the bench embeddings corpus has no pairs above
+  //      cos 0.6 (measured sf0.01: bands 6..10 empty), so the band
+  //      where near-dup targets actually live is probed here: ten
+  //      anchor/copy pairs (cos exactly 1.0 after 6dp rounding ->
+  //      band 10) MUST all be found (identical vectors share every
+  //      sign bit, so candidacy is structural, not probabilistic),
+  //      while the random cross pairs stay in the low bands.
+  test("d25 embedding-LSH recall: planted exact duplicates are " +
+      "fully recalled in the top band") {
+    val rnd = new scala.util.Random(7)
+    val dims = 64
+    val anchors = (0 until 10).map(_ =>
+      Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val singles = (0 until 30).map(_ =>
+      Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val rows =
+      anchors.zipWithIndex.flatMap { case (v, i) =>
+        Seq((i.toLong, v.toSeq, 0), (100L + i, v.toSeq, 0)) } ++
+      singles.zipWithIndex.map { case (v, i) => (200L + i, v.toSeq, 1) }
+    val d = Files.createTempDirectory("graft-d25").toString
+    val sparkS = spark
+    import sparkS.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("d25_embedding_lsh_recall")(spark, d)
+      .collect().map(r => r.getAs[Long]("cos_band") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_found"))).toMap
+    assert(out(10L) === ((10L, 10L)),
+      s"planted duplicate pairs not fully recalled: $out")
+    // found is truth-joined by construction: n_found <= n_truth per band
+    out.values.foreach { case (nt, nf) => assert(nf <= nt) }
   }
 
   override def afterAll(): Unit = {

@@ -74,6 +74,10 @@ class GlobalPlanSpec extends SparkSpec {
     "d22_containment_recall" -> ("same bounded audit-slice contract " +
       "as d21: exact all-pairs containment truth over the constant " +
       "min-anchored LshEvalMaxId window, broadcast"),
+    "d25_embedding_lsh_recall" -> ("d21's contract for the embedding " +
+      "channel: exact all-pairs cosine truth over the constant " +
+      "min-anchored NdEvalMaxIds slice (<=125k pairs at any corpus " +
+      "size, broadcast); the FOUND side is key-equality band joins"),
     "s12_pq_recall" -> ("composes s1's whitelisted brute-force truth " +
       "plus s6/s7's config-bounded ADC frames — s9's rationale for " +
       "the compressed indexes"),
@@ -240,11 +244,20 @@ class GlobalPlanSpec extends SparkSpec {
     // exchanges: groupBy + the capped orderBy-limit); the RETURNED
     // frame is the driver-induced merge list (local relation, 0)
     "t20_bpe_vocab" -> 0,
+    // t21: (source, word) count groupBy, the per-source report groupBy
+    // after the typed tokenize map, and the final orderBy range
+    // exchange; the tokenize map rides the vocabulary-sized frame
+    "t21_bpe_tokenize" -> 3,
     "e7_effective_tokens" -> 4,
     "e8_release_manifest" -> 2,
     "s10_range_search" -> 6,
     "d21_lsh_recall" -> 1,
     "d22_containment_recall" -> 4,
+    // d25: slice-bounded audit — hot-bucket groupBy, band self-join
+    // (both sides of the exploded key frame), candidate distinct,
+    // truth-vs-found band groupBy + the 7-row grid join; every
+    // shuffled frame is slice-bounded (NdEvalMaxIds)
+    "d25_embedding_lsh_recall" -> 7,
     "e9_curriculum_buckets" -> 3,
     "s11_cluster_report" -> 6,
     // 24 static = s1+s6+s7 composed whole (s9's rationale: the report

@@ -1,0 +1,126 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.Text
+
+/** d25's companion: grades the REAL FP [[DedupQueries.embeddingPairsLsh]]
+  * branch (the code path d5/d9/s8 run above [[DedupQueries.NearDupBruteMax]])
+  * — the oracle-checked d25 query grades an integer-exact replica of the
+  * same decision mechanism so DuckDB can reproduce it; this spec forces
+  * the production function itself, at the production sf1 geometry
+  * (n=20000 => bits=8), with a deterministic center
+  * (`centerOverride`) so the pinned curve cannot flap on Spark's FP
+  * aggregation order.
+  *
+  * Also pins the non-degeneracy of the hyperplane family itself: the
+  * pre-round-14 `planeWeight` depended only on (3p + 4d) mod 7, so the
+  * whole family held SEVEN distinct hyperplanes and all bands induced
+  * the same partition (measured: 86 identical keys in every one of the
+  * 12 bands at sf0.01; band-4 recall 5.2% where independent planes give
+  * 29.3%). The family tests below fail on any formula in that class.
+  */
+class EmbeddingLshRecallSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+  private val Dims = 64
+
+  test("plane family is non-degenerate: 96 pairwise-distinct, " +
+      "roughly balanced hyperplanes") {
+    val planes = (0 until DedupQueries.NdBands * DedupQueries.D25Bits)
+      .map(p => (0 until Dims).map(d => Text.planeWeight(p, d)))
+    assert(planes.distinct.size === planes.size,
+      "duplicate hyperplanes: the family has fewer distinct planes " +
+        "than slots (the pre-r14 degeneracy class)")
+    // each plane's +1 share within a 4-sigma binomial window of 1/2
+    // (the old formula was biased 4:7 and perfectly periodic)
+    planes.zipWithIndex.foreach { case (w, p) =>
+      val pos = w.count(_ > 0)
+      assert(pos >= 16 && pos <= 48, s"plane $p biased: $pos/+64")
+    }
+    // and no two bands induce the same partition-by-construction:
+    // band b's plane block (8 planes) differs from every other band's
+    val bands = (0 until DedupQueries.NdBands).map(b =>
+      (0 until DedupQueries.D25Bits).map(i =>
+        planes(b * DedupQueries.D25Bits + i)))
+    assert(bands.distinct.size === bands.size,
+      "two bands share an identical plane block")
+  }
+
+  /** The corpus frame embeddingPairs builds, plus the deterministic
+    * micro-quantized center (the same center form d25's audit uses). */
+  private def corpus() = {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Text.norm(col("v")))
+      .persist()
+    val st = e
+      .withColumn("qv", transform(col("v"), x => round(x * 1e6).cast("long")))
+      .agg(count(lit(1)).as("n"),
+        (0 until Dims).map(d =>
+          sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
+      .collect().head
+    val n = st.getLong(0)
+    val center = (0 until Dims).map(d => st.getLong(d + 1) / (n * 1e6))
+    (e, n, center)
+  }
+
+  test("forced FP branch at production sf1 geometry: pinned recall " +
+      "curve vs exact truth") {
+    val (e, n, center) = corpus()
+    assert(n === 500L)
+    // force the banded branch with bits = ndBitsFor(20000) = 8 — the
+    // geometry the branch runs at sf1 scale — on the full 500-vector
+    // corpus (which the production gate would send to brute force)
+    assert(DedupQueries.ndBitsFor(20000L) === 8)
+    val found = DedupQueries.embeddingPairsLsh(e, 20000L, Some(center))
+      .select(col("vec1"), col("vec2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = DedupQueries.embeddingPairsBrute(e)
+      .filter(col("cos") >= DedupQueries.NearDupCosThreshold)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2) * 1e6).round / 100000L)).toMap
+    val byBand = truth.groupBy(_._2).map { case (band, m) =>
+      band -> (m.size, m.keys.count(found.contains))
+    }
+    info(s"forced-branch recall by cos-decile band: $byBand")
+    // pinned curve (deterministic: fixed data, fixed planes, fixed
+    // center): 58 truth pairs at band 4, 1 at band 5 — recall ~0.29
+    // at the 0.4 edge, consistent with 1-(1-p^8)^12 for p ~ 0.63 and
+    // ~6x the degenerate family's 5.2%
+    val (n4, f4) = byBand(4L)
+    assert(n4 === 58, s"truth drifted: $byBand")
+    assert(f4 === 17,
+      s"band-4 recall ${f4}/58 drifted from the pinned curve " +
+        "(independent planes: 17/58 = 29.3%; the degenerate family " +
+        "found 3/58 = 5.2%) — and it matches d25's integer audit " +
+        "(17/58) exactly on this corpus")
+    e.unpersist()
+  }
+
+  test("planted near-duplicates at high cosine are all recalled by " +
+      "the forced FP branch") {
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 40).map(_ =>
+      Array.fill(Dims)(rnd.nextGaussian()))
+    // 40 anchors + 40 near-copies (0.5% relative noise, cos > 0.99)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => x + 0.005 * rnd.nextGaussian())
+      Seq((i.toLong, v.toSeq), (1000L + i, twin.toSeq))
+    }
+    val sparkS = spark
+    import sparkS.implicits._
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("nrm", Text.norm(col("v")))
+      .persist()
+    val center = Seq.fill(Dims)(0.0)
+    val found = DedupQueries.embeddingPairsLsh(e, 20000L, Some(center))
+      .filter(col("cos") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (i.toLong, 1000L + i)).toSet
+    assert(planted.subsetOf(found),
+      s"missed planted near-dups: ${(planted -- found).toSeq.sorted}")
+    e.unpersist()
+  }
+}

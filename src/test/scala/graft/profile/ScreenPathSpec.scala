@@ -74,15 +74,15 @@ class ScreenPathSpec extends SparkSpec {
       "decoy must clear the screen fraction or the verify stage is idle")
 
     val exact = run(dir) // default gate: N << 1M -> exact Expand path
-    assert(ProfileQueries.keyScreenGateRows ===
-      ProfileQueries.KeyScreenMinRows)
-    val screened =
-      try {
-        ProfileQueries.keyScreenGateRows = 1L
-        run(dir)
-      } finally {
-        ProfileQueries.keyScreenGateRows = ProfileQueries.KeyScreenMinRows
-      }
+    // the gate is a parameter with a production default (no mutable
+    // global to restore — parallel suites can't observe a forced gate)
+    val screened = ProfileQueries.keyDiscovery(spark, dir, gateRows = 1L)
+      .collect().map { r =>
+        r.getAs[String]("combo") ->
+          (if (r.isNullAt(r.fieldIndex("n_distinct"))) None
+           else Some(r.getAs[Long]("n_distinct")),
+            r.getAs[Long]("is_unique"), r.getAs[Long]("is_minimal_unique"))
+      }.toMap
 
     // the contract: identical report rows — n_distinct exact-or-NULL,
     // is_unique, is_minimal_unique — regardless of path

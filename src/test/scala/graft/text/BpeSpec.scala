@@ -76,4 +76,25 @@ class BpeSpec extends SparkSpec {
     // each extra merge can only help on the training corpus
     assert(fert(merges.take(10)) >= induced)
   }
+
+  test("t21 query: per-source fertility on a hand-computed fixture " +
+      "(global vocab, per-source application)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t21").toString
+    // global dict: aaab(x2), ab(x1) -> merges (a,a),(a,b),(aa,ab);
+    // tokenize: aaab -> [aaab] (1 token), ab -> [ab] (1 token)
+    Seq((1L, "aaab aaab", "x"), (2L, "ab", "y"),
+        (3L, null.asInstanceOf[String], "y"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t21_bpe_tokenize")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"), r.getAs[Long]("fertility_micro"),
+          r.getAs[Long]("char_fertility_micro"),
+          r.getAs[Long]("beats_chars"))).toMap
+    assert(out === Map(
+      "x" -> ((2L, 2L, 8L, 1000000L, 4000000L, 1L)),
+      "y" -> ((1L, 1L, 2L, 1000000L, 2000000L, 1L))))
+  }
 }

@@ -13,8 +13,11 @@ from the engine's documented semantics:
     fuse greedy left-to-right; stop at BPE_MERGES merges or when the
     best count < BPE_MIN_PAIR_FREQ
 
-Usage: python3 tools/bpe_reference.py <sf_dir> [--scala|--sql]
-  --sql    print the DuckDB VALUES rows for the oracle pin
+Usage: python3 tools/bpe_reference.py <sf_dir> [--scala|--sql|--apply]
+  --sql    print the DuckDB VALUES rows for the t20 oracle pin
+  --apply  tokenize the corpus per source with the induced merges and
+           print the t21 VALUES rows (source, n_words, n_tokens,
+           n_chars, fertility_micro, char_fertility_micro, beats_chars)
   (default) print TSV rank/left/right/merged/freq
 """
 import re
@@ -66,9 +69,59 @@ def induce(sf_dir):
     return merges
 
 
+def tokenize(word, ranks):
+    syms = list(word)
+    while len(syms) >= 2:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, syms[i], syms[i + 1])
+        if best is None:
+            break
+        _, a, b = best
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def apply_rows(sf_dir, merges):
+    ranks = {(a, b): r for r, a, b, _, _ in merges}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    per_src = {}
+    for src, t in zip(docs["source"], docs["text"]):
+        if t is None or isinstance(t, float):
+            continue
+        freq = per_src.setdefault(src, Counter())
+        freq.update(WORD_RE.findall(t.lower()))
+    rows = []
+    for src in sorted(per_src):
+        nw = nt = nc = 0
+        for w, f in per_src[src].items():
+            nw += f
+            nt += len(tokenize(w, ranks)) * f
+            nc += len(w) * f
+        fert = nt * 1000000 // nw
+        cfert = nc * 1000000 // nw
+        rows.append((src, nw, nt, nc, fert, cfert, int(nt < nc)))
+    return rows
+
+
 def main():
     sf_dir = sys.argv[1]
     merges = induce(sf_dir)
+    if "--apply" in sys.argv:
+        for src, nw, nt, nc, f, cf, b in apply_rows(sf_dir, merges):
+            print(f"          ('{src}', {nw}, {nt}, {nc}, {f}, {cf}, {b}),")
+        return
     if "--sql" in sys.argv:
         rows = ",\n          ".join(
             f"({r}, '{a}', '{b}', '{m}', {c})" for r, a, b, m, c in merges)
