@@ -345,6 +345,67 @@ object ProfileQueries {
     }
   }
 
+  /** p16's engine body, with the 100-TB mitigation the r13 verdict
+    * asked to build (not just document): the x30 melt replicates the
+    * orders scan thirty-fold INSIDE ONE JOB — the documented cost
+    * driver (95.9 s at sf100) and, at petabyte scale, a single shuffle
+    * carrying 30x the table's rows. `meltShards` > 1 splits the pair
+    * list into that many SEQUENTIAL jobs: each job scans orders once,
+    * melts only its pairs/meltShards slice (bounding in-flight shuffle
+    * volume at rows x pairs/G), and reduces to its <=|slice| final
+    * rows, which are collected (30 rows total across all shards — the
+    * d7 bounded-collect class) and reassembled. Verdict-equal by
+    * construction: the pair groups are disjoint and every downstream
+    * aggregate is keyed by (det_col, dep_col), so sharding the melt
+    * cannot change any group's rows. ApproxFdSpec forces the branch
+    * and asserts row-set equality with the single-job plan.
+    * Production default stays 1 (one job wins until the per-pair
+    * distinct volume dominates the shuffle — the p12 Expand trade). */
+  def approxFds(s: org.apache.spark.sql.SparkSession, dir: String,
+      meltShards: Int = 1): org.apache.spark.sql.DataFrame = {
+    val cols = KeyCols
+    val base = Tables.table(s, dir, "orders")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i != j }
+      yield (i, j)
+    def shardPlan(group: Seq[(Int, Int)]): org.apache.spark.sql.DataFrame = {
+      val melt = base.select(explode(array(group.map { case (i, j) =>
+          struct(lit(s"orders.${cols(i)}").as("det_col"),
+            lit(s"orders.${cols(j)}").as("dep_col"),
+            col(cols(i)).cast("string").as("x"),
+            col(cols(j)).cast("string").as("y")) }: _*)).as("p"))
+        .select(col("p.*"))
+      val xy = melt
+        .groupBy(col("det_col"), col("dep_col"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val perX = xy.groupBy(col("det_col"), col("dep_col"), col("x"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("cnt"))
+      perX.groupBy(col("det_col"), col("dep_col"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("mx")).as("n_keep"),
+          sum(col("cnt")).as("n_rows"))
+        .withColumn("g3_error_micro",
+          expr("(n_rows - n_keep) * 1000000L div n_rows"))
+        .withColumn("holds_exact",
+          (col("n_keep") === col("n_rows")).cast("long"))
+        .withColumn("holds_approx",
+          (col("g3_error_micro") <= ApproxFdTauMicro).cast("long"))
+    }
+    if (meltShards <= 1) shardPlan(pairs)
+      .orderBy(col("det_col"), col("dep_col"))
+    else {
+      // collect() per shard is what MAKES them separate jobs — a lazy
+      // union would hand Catalyst one plan with every subtree and
+      // reproduce exactly the single-job x30 melt this mode bounds
+      val groups = pairs.grouped(
+        math.max(1, (pairs.size + meltShards - 1) / meltShards)).toSeq
+      val schema = shardPlan(pairs).schema
+      val rows = groups.flatMap(g => shardPlan(g).collect())
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+        .orderBy(col("det_col"), col("dep_col"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "p1_profile_customer" -> prof("customer",
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
@@ -1104,34 +1165,7 @@ object ProfileQueries {
     //      beats 30 passes until the per-pair distinct volume
     //      dominates; shard the pair list across jobs at that point).
     "p16_approx_fds" -> QueryDef(
-      (s, dir) => {
-        val cols = KeyCols
-        val base = Tables.table(s, dir, "orders")
-        val pairs = for { i <- cols.indices; j <- cols.indices if i != j }
-          yield (i, j)
-        val melt = base.select(explode(array(pairs.map { case (i, j) =>
-            struct(lit(s"orders.${cols(i)}").as("det_col"),
-              lit(s"orders.${cols(j)}").as("dep_col"),
-              col(cols(i)).cast("string").as("x"),
-              col(cols(j)).cast("string").as("y")) }: _*)).as("p"))
-          .select(col("p.*"))
-        val xy = melt
-          .groupBy(col("det_col"), col("dep_col"), col("x"), col("y"))
-          .agg(count(lit(1)).as("c"))
-        val perX = xy.groupBy(col("det_col"), col("dep_col"), col("x"))
-          .agg(max(col("c")).as("mx"), sum(col("c")).as("cnt"))
-        perX.groupBy(col("det_col"), col("dep_col"))
-          .agg(count(lit(1)).as("n_groups"),
-            sum(col("mx")).as("n_keep"),
-            sum(col("cnt")).as("n_rows"))
-          .withColumn("g3_error_micro",
-            expr("(n_rows - n_keep) * 1000000L div n_rows"))
-          .withColumn("holds_exact",
-            (col("n_keep") === col("n_rows")).cast("long"))
-          .withColumn("holds_approx",
-            (col("g3_error_micro") <= ApproxFdTauMicro).cast("long"))
-          .orderBy(col("det_col"), col("dep_col"))
-      },
+      (s, dir) => approxFds(s, dir),
       Some {
         val cols = KeyCols
         val pairs = for { i <- cols.indices; j <- cols.indices if i != j }

@@ -143,6 +143,53 @@ object StreamingQueries {
     * arrives; state at any instant is the OPEN windows only —
     * O(#event_types × 1-2 days) regardless of how long the stream has
     * been running. */
+  /** st2 stream side: session_window sessionization (append,
+    * watermark-gated emission) — named so StreamingPlanSpec can gate
+    * the micro-batch plan like every other st frame. */
+  private[streaming] def st2Stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    StreamingSessions.sessionize(
+      streamTable(s, dir, "events").select($"user_id", $"ts"),
+      "30 minutes", "0 seconds")
+  }
+
+  /** st3 stream side: streaming exact-dedup via dropDuplicates
+    * (state = fingerprint keys only). */
+  private[streaming] def st3Stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    streamTable(s, dir, "documents")
+      .select(md5($"text").as("fingerprint"))
+      .dropDuplicates("fingerprint")
+  }
+
+  /** st4 stream side: stateless quality gate + PII scrub. */
+  private[streaming] def st4Stream(s: SparkSession, dir: String): DataFrame =
+    StreamingQuality.qualityScrub(streamTable(s, dir, "documents"))
+
+  /** st9 stream side: baseline-enriched watermarked daily drift agg
+    * (the baseline rides in the grouping key — no post-aggregation
+    * join, which streaming forbids). */
+  private[streaming] def st9Stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.table(s, dir, "events")
+      .groupBy($"event_type")
+      .agg((dsum($"value").cast("double") /
+        count(lit(1))).as("base_mean"))
+    val enriched = streamTable(s, dir, "events")
+      .withWatermark("ts", "0 seconds")
+      .join(broadcast(base), "event_type")
+    enriched
+      .groupBy(window($"ts", "1 day"), $"event_type", $"base_mean")
+      .agg(count(lit(1)).as("n_events"),
+        (dsum($"value").cast("double") / count(lit(1))).as("mean_raw"))
+      .withColumn("rel_dev",
+        round(abs($"mean_raw" - $"base_mean") / abs($"base_mean"), 6))
+      .select($"window.start".cast("date").as("day"), $"event_type",
+        $"n_events", round($"mean_raw", 6).as("mean_value"),
+        round($"base_mean", 6).as("base_mean"), $"rel_dev",
+        ($"rel_dev" > DriftTol).cast("long").as("drift"))
+  }
+
   private[streaming] def st1Stream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     streamTable(s, dir, "events")
@@ -445,13 +492,7 @@ object StreamingQueries {
     // when the gap is >= 30 min, exact microseconds) and the emission
     // gate (only sessions whose end the final watermark passed are out).
     "st2_stream_sessions" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val out = StreamingSessions.sessionize(
-          streamTable(s, dir, "events").select($"user_id", $"ts"),
-          "30 minutes", "0 seconds")
-        runStream(out, "append")
-      },
+      (s, dir) => runStream(st2Stream(s, dir), "append"),
       Some(s"""WITH g AS (
           SELECT user_id, ts,
             CASE WHEN lag(ts) OVER w IS NULL
@@ -477,22 +518,12 @@ object StreamingQueries {
     // ---- st3: streaming exact-dedup — distinct content fingerprints
     // via streaming dropDuplicates (state = fingerprint keys only)
     "st3_stream_distinct_docs" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val out = streamTable(s, dir, "documents")
-          .select(md5($"text").as("fingerprint"))
-          .dropDuplicates("fingerprint")
-        runStream(out, "append")
-      },
+      (s, dir) => runStream(st3Stream(s, dir), "append"),
       Some("SELECT DISTINCT md5(text) AS fingerprint FROM documents")),
 
     // ---- st4: streaming quality gate + PII scrub (stateless pass)
     "st4_stream_quality_scrub" -> QueryDef(
-      (s, dir) => {
-        val out = StreamingQuality.qualityScrub(
-          streamTable(s, dir, "documents"))
-        runStream(out, "append")
-      },
+      (s, dir) => runStream(st4Stream(s, dir), "append"),
       Some(s"""WITH d AS (
           SELECT doc_id, text,
             regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
@@ -678,28 +709,8 @@ object StreamingQueries {
     //      stays open and is not emitted). Numerics: decimal-exact
     //      sums, one IEEE division per side, identical in DuckDB.
     "st9_stream_drift_monitor" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val base = Tables.table(s, dir, "events")
-          .groupBy($"event_type")
-          .agg((dsum($"value").cast("double") /
-            count(lit(1))).as("base_mean"))
-        val enriched = streamTable(s, dir, "events")
-          .withWatermark("ts", "0 seconds")
-          .join(broadcast(base), "event_type")
-        val out = enriched
-          .groupBy(window($"ts", "1 day"), $"event_type", $"base_mean")
-          .agg(count(lit(1)).as("n_events"),
-            (dsum($"value").cast("double") / count(lit(1))).as("mean_raw"))
-          .withColumn("rel_dev",
-            round(abs($"mean_raw" - $"base_mean") / abs($"base_mean"), 6))
-          .select($"window.start".cast("date").as("day"), $"event_type",
-            $"n_events", round($"mean_raw", 6).as("mean_value"),
-            round($"base_mean", 6).as("base_mean"), $"rel_dev",
-            ($"rel_dev" > DriftTol).cast("long").as("drift"))
-        runStream(out, "append")
-          .orderBy(col("day"), col("event_type"))
-      },
+      (s, dir) => runStream(st9Stream(s, dir), "append")
+        .orderBy(col("day"), col("event_type")),
       Some(s"""WITH base AS (
         SELECT event_type,
           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*)

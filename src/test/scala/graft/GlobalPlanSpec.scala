@@ -109,8 +109,11 @@ class GlobalPlanSpec extends SparkSpec {
   /** Pinned shuffle-exchange counts per query (initial physical plan,
     * sf0.001, shuffle.partitions=4 — the SparkSpec session).
     * Regenerate after an intentional plan change with
-    * `sbt "runMain graft.Explain counts"`. st* excluded: their
-    * returned frame is the sink read, not the streaming plan. */
+    * `sbt "runMain graft.Explain counts"`. st* excluded HERE: their
+    * returned frame is the sink read, not the streaming plan — the
+    * micro-batch plans get equivalent executable gates (state
+    * operators, exchange budgets, broadcast joins) in
+    * StreamingPlanSpec. */
   private val shuffleBudget: Map[String, Int] = Map(
     "d10_substring_windows" -> 6,
     "d11_semantic_dedup" -> 4,

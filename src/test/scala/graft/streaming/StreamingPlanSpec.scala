@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Executable plan gates for the st-family — the streaming analogue of
+  * GlobalPlanSpec, closing the r13 verdict's "st* is the one class
+  * with no executable plan gate". Each stream frame runs one
+  * AvailableNow pass on sf0.001 through a memory sink, then the gate
+  * reads BOTH the runtime state-operator progress (the source of truth
+  * for what state the query keeps) and the last micro-batch's executed
+  * plan:
+  *
+  *  - STATELESS queries (the st4..st8/st10..st14 contract) must report
+  *    ZERO state operators — a regression that slips a dropDuplicates
+  *    or an accidental streaming agg into one fails here before any
+  *    scale run notices the state store growing without bound;
+  *  - the watermarked queries pin their exact state-operator NAMES
+  *    (st1/st9 aggregation, st2 session window, st3 dedup), so an
+  *    operator-shape change is a conscious edit;
+  *  - every micro-batch plan is barred from SortMergeJoin /
+  *    CartesianProduct / BroadcastNestedLoopJoin — all stream-static
+  *    joins must broadcast (asserted present where the query has one);
+  *  - per-query Exchange budgets pin the micro-batch shuffle count
+  *    (state repartitioning + static-side builds), the GlobalPlanSpec
+  *    posture.
+  */
+class StreamingPlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private val nm = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** One AvailableNow pass; returns (state operator names, state rows,
+    * executed plan of the last micro-batch). */
+  private def probe(df: DataFrame): (Seq[String], Long, String) = {
+    val q = df.writeStream.format("memory")
+      .queryName(s"graft_plan_probe_${nm.incrementAndGet()}")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ops = Option(q.lastProgress)
+      .map(_.stateOperators.toSeq).getOrElse(Nil)
+    val plan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    q.stop()
+    (ops.map(_.operatorName), ops.map(_.numRowsTotal).sum, plan)
+  }
+
+  /** (frame, expected state-operator names, exchange budget,
+    * must-have-broadcast-join).
+    *
+    * Exchange budgets above zero on STATELESS queries are the static
+    * side's own build plan (eval-gram distinct, band-index groupBys,
+    * the e4 histogram chain) executing inside the micro-batch — the
+    * stream side itself never shuffles in any stateless query. st7 and
+    * st12 broadcast their static side as a NATIVE set-probe
+    * (SetMembership / vocab head literal), not a join, so they carry
+    * no BroadcastHashJoin by design. */
+  private val gates: Seq[(String, (org.apache.spark.sql.SparkSession,
+      String) => DataFrame, Seq[String], Int, Boolean)] = Seq(
+    ("st1", StreamingQueries.st1Stream, Seq("stateStoreSave"), 1, false),
+    ("st2", StreamingQueries.st2Stream,
+      Seq("sessionWindowStateStoreSaveExec"), 1, false),
+    ("st3", StreamingQueries.st3Stream, Seq("dedupe"), 1, false),
+    ("st4", StreamingQueries.st4Stream, Nil, 0, false),
+    ("st5", StreamingQueries.st5Stream, Nil, 2, false),
+    ("st6", StreamingQueries.st6Stream, Nil, 0, false),
+    ("st7", StreamingQueries.st7Stream, Nil, 2, false),
+    ("st8", StreamingQueries.st8Stream, Nil, 4, true),
+    ("st9", StreamingQueries.st9Stream, Seq("stateStoreSave"), 3, true),
+    ("st10", StreamingQueries.st10Stream, Nil, 4, true),
+    ("st11", StreamingQueries.st11Stream, Nil, 8, true),
+    ("st12", StreamingQueries.st12Stream, Nil, 2, false),
+    ("st13", StreamingQueries.st13Stream, Nil, 4, true),
+    ("st14", StreamingQueries.st14Stream, Nil, 6, true))
+
+  for ((name, frame, stateOps, maxExchanges, needsBcast) <- gates)
+    test(s"$name micro-batch plan gate: state=${
+        if (stateOps.isEmpty) "none" else stateOps.mkString(",")}, " +
+        s"exchanges<=$maxExchanges" +
+        (if (needsBcast) ", stream-static join broadcasts" else "")) {
+      val (ops, stateRows, plan) = probe(frame(spark, sf))
+      info(s"state ops=$ops rows=$stateRows exchanges=${
+        "Exchange".r.findAllIn(plan).size}")
+      assert(ops === stateOps,
+        s"$name state operators drifted: $ops (plan:\n$plan)")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name micro-batch plan has a non-broadcast join:\n$plan")
+      if (needsBcast)
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name stream-static join is not broadcast:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= maxExchanges,
+        s"$name micro-batch exchanges $exchanges > $maxExchanges:\n$plan")
+    }
+}
