@@ -244,7 +244,11 @@ object DedupQueries {
       walk(doc, comp) AS (
         SELECT doc_id, doc_id FROM nodes
         UNION
-        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
+        -- descending-labels prune (r14 sf1-tractability): the component
+        -- minimum m reaches every node through intermediates all > m,
+        -- so (node, m) is still generated and min-per-node is unchanged
+        SELECT s.b, w.comp FROM walk w JOIN sym s
+          ON s.a = w.doc AND w.comp < s.b
       ),
       cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc),
       sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
@@ -284,7 +288,11 @@ object DedupQueries {
       walk(doc, comp) AS (
         SELECT doc_id, doc_id FROM nodes
         UNION
-        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
+        -- descending-labels prune (r14 sf1-tractability): the component
+        -- minimum m reaches every node through intermediates all > m,
+        -- so (node, m) is still generated and min-per-node is unchanged
+        SELECT s.b, w.comp FROM walk w JOIN sym s
+          ON s.a = w.doc AND w.comp < s.b
       ),
       cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc)
       SELECT doc AS doc_id, cluster_id,
@@ -643,7 +651,11 @@ object DedupQueries {
       walk(doc, comp) AS (
         SELECT doc_id, doc_id FROM nodes
         UNION
-        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.doc
+        -- descending-labels prune (r14 sf1-tractability): the component
+        -- minimum m reaches every node through intermediates all > m,
+        -- so (node, m) is still generated and min-per-node is unchanged
+        SELECT s.b, w.comp FROM walk w JOIN sym s
+          ON s.a = w.doc AND w.comp < s.b
       ),
       cc AS (SELECT doc, min(comp) AS cluster_id FROM walk GROUP BY doc),
       ${graft.text.TextQueries.qualitySqlCte},
@@ -1169,7 +1181,19 @@ object DedupQueries {
           .orderBy(col("vec_id"))
       },
       Some(s"""-- same exact-oracle bound as d5: brute pair twin, valid
-      -- while count(embeddings) <= $NearDupBruteMax
+      -- while count(embeddings) <= $NearDupBruteMax.
+      -- sf1-EXECUTION NOTE (r14): above the gate this twin is doubly
+      -- out of contract — the brute pair enumeration is ~200M 64-dim
+      -- cosines in DuckDB (hours) AND its verdict is a documented
+      -- expected-mismatch anyway (the engine switches to LSH
+      -- candidates by design). Executing it at scale would burn CPU to
+      -- confirm a mismatch already classified in sfExpectedMismatch.
+      -- The REPLACEMENT CHECKS at scale are (a) d25_embedding_lsh_recall
+      -- (graded recall of the exact pair channel d9 consumes) and
+      -- (b) the engine-side cluster-consistency invariant (every pair
+      -- above threshold lands in one cluster; sizes consistent),
+      -- DedupSpec's d6-posture, run on the sf1 leg and recorded in
+      -- PERF.md.
       WITH RECURSIVE e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -1186,7 +1210,9 @@ object DedupQueries {
       ), walk(vec, comp) AS (
         SELECT vec_id, vec_id FROM embeddings
         UNION
-        SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.vec
+        -- descending-labels prune, same proof as ccRankedSqlCtes
+        SELECT s.b, w.comp FROM walk w JOIN sym s
+          ON s.a = w.vec AND w.comp < s.b
       ), cc AS (SELECT vec, min(comp) AS cluster_id FROM walk GROUP BY vec),
       sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
       SELECT vec AS vec_id, cc.cluster_id, cluster_size
@@ -2278,6 +2304,32 @@ object DedupQueries {
         embeddingPairsBrute(e) else embeddingPairsLsh(e, n)
       pairs
     }
+
+  /** d9's REPLACEMENT CHECK at scales where its brute twin is out of
+    * contract (see the d9 oracle note): validates the cluster
+    * assignment against the pair table it was built from — every
+    * near-dup pair must join two vectors of the SAME cluster, and each
+    * cluster's reported size must equal its membership count. Returns
+    * the violation count (0 = consistent). Run on the sf1 leg and
+    * recorded in PERF.md; DedupSpec pins 0 at test scale. */
+  def embeddingClusterViolations(s: SparkSession, dir: String): Long = {
+    val cl = defs("d9_embedding_clusters").fn(s, dir)
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+      .pipelineCache()
+    val pairs = embeddingPairs(s, dir)
+      .filter(col("cos") >= NearDupCosThreshold)
+      .select(col("vec1"), col("vec2"))
+    val crossCluster = pairs
+      .join(cl.select(col("vec_id").as("vec1"),
+        col("cluster_id").as("c1")), "vec1")
+      .join(cl.select(col("vec_id").as("vec2"),
+        col("cluster_id").as("c2")), "vec2")
+      .filter(col("c1") =!= col("c2")).count()
+    val badSizes = cl.groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("cluster_size")).count()
+    crossCluster + badSizes
+  }
 
   /** Exact all-pairs cosine (norms precomputed per vector). O(n^2)
     * compares — only for small corpora (see [[NearDupBruteMax]]). */

@@ -245,6 +245,11 @@ class DedupSpec extends SparkSpec {
     assert(r.count(_._4 === 1L) > r.length / 2, "over-pruning")
   }
 
+  test("d9 clusters are consistent with the embedding pair graph " +
+      "(the sf1-leg replacement check for d9's out-of-contract twin)") {
+    assert(DedupQueries.embeddingClusterViolations(spark, sf) === 0L)
+  }
+
   test("d5 LSH path: key-equality candidates, exact cosines, sane recall") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
