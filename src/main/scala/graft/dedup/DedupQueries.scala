@@ -498,15 +498,22 @@ object DedupQueries {
   /** DuckDB CTE chain producing `verified(doc1, doc2, jaccard)` — the
     * oracle twin of [[minhashPairs]], shared by d2/d6/d8/d12/d13 and
     * (for its `banded` prefix) streaming st7. */
+  // base/sigs/verified are AS MATERIALIZED: each is referenced more
+  // than once downstream (est joins sigs twice; sym reads verified
+  // twice; verified joins base twice) and DuckDB inlines plain CTEs,
+  // re-executing the whole minhash build per reference — the r14 sf1
+  // leg measured d13's twin at 60+ CPU-minutes unfinished inlined vs
+  // 381 s materialized. Semantics identical (the hint only forces one
+  // evaluation); sf0.01 driver runs are unaffected.
   private[graft] def d2CoreSql: String = s"""docs AS (
         SELECT doc_id, ${shinglesSqlDuck(2)} AS sh FROM documents
-      ), base AS (
+      ), base AS MATERIALIZED (
         SELECT doc_id, sh FROM docs WHERE len(sh) > 0
       ), hashed AS (
         SELECT doc_id, sh,
           list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS base
         FROM base
-      ), sigs AS (
+      ), sigs AS MATERIALIZED (
         SELECT doc_id, sh,
           list_transform(range(1, ${MinhashK + 1}),
             i -> list_min(list_transform(base,
@@ -530,7 +537,7 @@ object DedupQueries {
         WHERE CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
                 i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE)
               / $MinhashK >= $JaccardThreshold - $EstMargin
-      ), verified AS (
+      ), verified AS MATERIALIZED (
         SELECT doc1, doc2,
           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 len(list_distinct(a.sh || b.sh)), 6) AS jaccard

@@ -220,6 +220,20 @@ object ProfileQueries {
     * TANE-paper g3 ballpark for "holds modulo dirty rows"). */
   val ApproxFdTauMicro = 10000L
 
+  /** p16's melt-shard count when the row gate opens. Five jobs = six
+    * pairs per job: measured 2.0x over the single x30 melt at sf10
+    * (684.6 -> 359.3 s warm, full materialization) and 1.1x at sf1 —
+    * the win grows with scale because what it bounds is IN-FLIGHT
+    * shuffle volume (rows x pairs-per-job instead of rows x 30). */
+  val P16MeltShards = 5
+
+  /** p16's path gate (the [[KeyScreenMinRows]] posture): below this
+    * row count the single-job x30 melt wins (5x scheduler round-trips
+    * cost more than they save); at or above, the melt is sharded into
+    * [[P16MeltShards]] sequential jobs. 10M = between sf1 (1.5M, where
+    * sharding wins only ~11%) and sf10 (15M, where it wins 2.0x). */
+  val P16ShardMinRows = 10000000L
+
   val FdCandidates: Seq[(String, String, String)] = Seq(
     ("customer", "c_custkey", "c_mktsegment"),
     ("customer", "c_nationkey", "c_mktsegment"),
@@ -359,12 +373,19 @@ object ProfileQueries {
     * aggregate is keyed by (det_col, dep_col), so sharding the melt
     * cannot change any group's rows. ApproxFdSpec forces the branch
     * and asserts row-set equality with the single-job plan.
-    * Production default stays 1 (one job wins until the per-pair
-    * distinct volume dominates the shuffle — the p12 Expand trade). */
+    * `meltShards` semantics: 0 (the production default) = row-gated
+    * auto — single-job below [[P16ShardMinRows]] rows, [[P16MeltShards]]
+    * jobs at or above (sf10 A/B: 2.0x; the gate read is
+    * parquet-metadata cheap, p12's pattern); an explicit value forces
+    * that shard count (the spec's forced-branch seam). */
   def approxFds(s: org.apache.spark.sql.SparkSession, dir: String,
-      meltShards: Int = 1): org.apache.spark.sql.DataFrame = {
+      meltShards: Int = 0): org.apache.spark.sql.DataFrame = {
     val cols = KeyCols
     val base = Tables.table(s, dir, "orders")
+    val shards =
+      if (meltShards > 0) meltShards
+      else if (base.count() >= P16ShardMinRows) P16MeltShards
+      else 1
     val pairs = for { i <- cols.indices; j <- cols.indices if i != j }
       yield (i, j)
     def shardPlan(group: Seq[(Int, Int)]): org.apache.spark.sql.DataFrame = {
@@ -390,14 +411,14 @@ object ProfileQueries {
         .withColumn("holds_approx",
           (col("g3_error_micro") <= ApproxFdTauMicro).cast("long"))
     }
-    if (meltShards <= 1) shardPlan(pairs)
+    if (shards <= 1) shardPlan(pairs)
       .orderBy(col("det_col"), col("dep_col"))
     else {
       // collect() per shard is what MAKES them separate jobs — a lazy
       // union would hand Catalyst one plan with every subtree and
       // reproduce exactly the single-job x30 melt this mode bounds
       val groups = pairs.grouped(
-        math.max(1, (pairs.size + meltShards - 1) / meltShards)).toSeq
+        math.max(1, (pairs.size + shards - 1) / shards)).toSeq
       val schema = shardPlan(pairs).schema
       val rows = groups.flatMap(g => shardPlan(g).collect())
       import scala.jdk.CollectionConverters._
