@@ -5,13 +5,31 @@ import org.apache.spark.sql.SparkSession
 /** Scale-leg invariant runner: engine-side replacement checks for the
   * queries whose DuckDB twins are out of contract at a given scale
   * (see d9's oracle note). `runMain graft.Check <sfDir> [check...]`
-  * runs the named checks (default: all) and prints one
-  * `CHECK <name> violations=<n>` line each — 0 means consistent. */
+  * runs the named checks and prints one `CHECK <name> ...` line each
+  * (violations=0 means consistent). DEFAULT is d9_consistency only —
+  * the invariant a scale leg must always run; p16_shard_ab,
+  * p16_count_vs_collect and collect_ratio are opt-in DIAGNOSTICS
+  * (timing A/Bs that materialize queries several times over) and must
+  * be named explicitly. */
 object Check {
+  /** Every check this runner knows. AdversarialParitySpec resolves
+    * sfExpectedMismatch reasons that cite a replacement check against
+    * this set, so a renamed check can't orphan a register reason. */
+  val KnownChecks: Set[String] = Set(
+    "d9_consistency", "p16_shard_ab", "p16_count_vs_collect",
+    "collect_ratio")
+  /** The always-run scale-leg invariants; the rest are opt-in timing
+    * diagnostics (see the Scaladoc above). */
+  val DefaultChecks: Set[String] = Set("d9_consistency")
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names =
-      if (args.length > 1) args.drop(1).toSet else Set("d9_consistency")
+      if (args.length > 1) args.drop(1).toSet else DefaultChecks
+    val unknown = names -- KnownChecks
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[graft] unknown check(s) ignored: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,6 +73,33 @@ object Check {
       val tc = time(profile.ProfileQueries.approxFds(spark, dir).count())
       val tl = time(profile.ProfileQueries.approxFds(spark, dir).collect())
       println(f"CHECK p16_count_vs_collect count_s=$tc%.1f collect_s=$tl%.1f")
+    }
+    // portfolio-wide count-vs-collect diagnostic (r14 verdict #3):
+    // Bench drives queries via count(), which lets Catalyst prune any
+    // column the final aggregate doesn't need — p16 measured 3.8x from
+    // exactly that. One warm pass per query (absorbing the group's
+    // one-time Materialize builds), then a timed count() and a timed
+    // collect(), in Bench group order with Bench's group-boundary
+    // cache release, printing one ratio line per query. The ratios
+    // feed PERF.md's scale-extrapolation table; the bench contract
+    // itself stays count() (uniform across rounds).
+    if (names("collect_ratio")) {
+      def time[A](f: => A): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      Bench.groups.foreach { group =>
+        group.filter(SparkEntry.queries.contains).foreach { name =>
+          val q = SparkEntry.queries(name)
+          q(spark, dir).count()
+          val tc = time(q(spark, dir).count())
+          val tl = time(q(spark, dir).collect())
+          println(f"CHECK collect_ratio query=$name count_s=$tc%.2f " +
+            f"collect_s=$tl%.2f ratio_pct=${
+              (tl / math.max(tc, 1e-9) * 100).round}")
+        }
+        core.Caches.release(spark)
+        matcher.BaggedPrediction.drainScratch()
+      }
     }
     spark.stop()
   }

@@ -116,6 +116,16 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
     s"""{"id":${d.id},"name":${Json.str(d.name)},"ontologies":[${d.ontologies.mkString(",")}],"attributes":${Json.str(attrs)},"mappings":${Json.str(mappings)}}"""
   }
 
+  /** The table an SSD's identity attributes were derived over —
+    * recovered from the stored attribute SQL (`select \`c\` from t`),
+    * since SsdRef persists attributes, not the wire-level table field.
+    * Used only to re-derive attributes on a merge-update that changes
+    * mappings but omits table. Empty when the SSD has no attributes. */
+  private def ssdTable(d: graft.core.SsdRef): String =
+    d.attributes.headOption.map { a =>
+      a.sql.substring(a.sql.lastIndexOf(" from ") + 6)
+    }.getOrElse("")
+
   /** Wire -> store decode for the SSD POST body (identity attributes
     * over the mapped columns, like the reference's SsdRequest.toSsd). */
   private def ssdParts(b: Map[String, String])
@@ -298,22 +308,27 @@ final class GraftHttpServer(svc: GraftService, spark: () => SparkSession) {
       case ("POST", "ssd" :: id :: Nil) =>
         // existence FIRST: a malformed body on a nonexistent resource
         // must 404, not 400 (and the 404 must not depend on parsing)
-        if (svc.getSsd(id.toInt).isEmpty)
-          throw new NoSuchElementException(s"ssd $id")
+        val cur = svc.getSsd(id.toInt)
+          .getOrElse(throw new NoSuchElementException(s"ssd $id"))
         val b = body(ex)
-        // the route is documented full-replace, so the full field set
-        // is REQUIRED: an omitted table/mappings would otherwise
-        // silently wipe attributes/mappings
-        val missing = Seq("name", "table", "mappings")
-          .filterNot(b.contains)
-        if (missing.nonEmpty)
-          err(ex, 400, "full-replace update requires " +
-            s"${missing.mkString(", ")} (ssd update replaces the " +
-            "whole resource)")
+        // MERGE-update, mirroring the reference (SsdInterface
+        // .updateSsd:96-104 falls back per-field to the stored SSD):
+        // every omitted wire field keeps its current value, so a
+        // partial body can never silently wipe ontologies/mappings —
+        // the previous full-replace guard required name/table/mappings
+        // but not ontologies, which made exactly that wipe possible
+        val merged = Map(
+          "name" -> cur.name,
+          "ontologies" -> cur.ontologies.mkString(","),
+          "table" -> ssdTable(cur),
+          "mappings" -> cur.mappings.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(",")) ++ b
+        if (merged("name").trim.isEmpty)
+          err(ex, 400, "ssd name must be non-empty")
         else {
-          val (onts, attrs, mappings) = ssdParts(b)
+          val (onts, attrs, mappings) = ssdParts(merged)
           respond(ex, 200, ssdJson(svc.updateSsd(id.toInt,
-            b("name"), onts, attrs, mappings)))
+            merged("name"), onts, attrs, mappings)))
         }
       case ("DELETE", "ssd" :: id :: Nil) =>
         respond(ex, 200, s"""{"deleted":${svc.deleteSsd(id.toInt)}}""")

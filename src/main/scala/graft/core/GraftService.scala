@@ -332,8 +332,11 @@ class GraftService(val rootDir: String,
         decodeAttrs(m("attributes")), decodeMappings(m("mappings")),
         m("created").toLong))
     }
-  /** Full-replace update (reference SsdAPI.ssdPatch posts a complete
-    * SsdRequest at the resource). */
+  /** Store-level full replace of every field. Partial-update (merge)
+    * semantics live one layer up, in the HTTP route: Server's POST
+    * /ssd/:id fills omitted wire fields from the stored SSD before
+    * calling here, mirroring the reference's per-field fallback
+    * (SsdInterface.updateSsd:96-104). */
   def updateSsd(id: Int, name: String, ontologies: Seq[Int],
       attributes: Seq[SsdAttribute],
       mappings: Map[String, String]): SsdRef = synchronized {
@@ -377,7 +380,13 @@ class GraftService(val rootDir: String,
       Some(ModelRef(id, m("description"), m("state"), m("created").toLong,
         m.get("owl").flatMap(_.toIntOption)))
     }
-  def deleteModel(id: Int): Boolean = {
+  // synchronized for UNIFORMITY with the cross-store protocol
+  // (createModel/deleteSsd/deleteOwl): deleting a model cannot dangle
+  // a reference today (nothing holds model ids), so the lock is not
+  // load-bearing yet — but an unlocked mutation here would be the easy
+  // thing to break the day model mutations gain owl references
+  // (r14 ADVICE: document or close the asymmetry; closed).
+  def deleteModel(id: Int): Boolean = synchronized {
     octopi.remove(id)
     val existed = Files.exists(mdDir(id))
     deleteRecursively(mdDir(id)); existed

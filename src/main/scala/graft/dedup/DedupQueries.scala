@@ -69,6 +69,39 @@ object DedupQueries {
     * bands 12: recall 0.9996). */
   val NdTargetBucket = 125L
 
+  /** The recall design point for [[ndBandsFor]]: hold the multi-band
+    * OR-construction's predicted recall at or above
+    * [[NdDesignRecall]] for pairs at cosine [[NdDesignCos]] — the
+    * similarity where near-duplicate targets live. */
+  final val NdDesignCos = 0.95
+  final val NdDesignRecall = 0.99
+
+  /** Bands scale WITH bits (r14 verdict #1): [[ndBitsFor]] grows bits
+    * to keep the per-bucket quadratic constant, but at FIXED bands the
+    * recall formula 1-(1-p^bits)^bands collapses as bits grow — at the
+    * 24-bit cap with 12 bands it predicts ~62% at cos 0.95 and ~25%
+    * at cos 0.90, and the r15 planted-cosine sweep MEASURED that
+    * collapse (LshGeometrySweep in EmbeddingLshRecallSpec). This
+    * holds the design-point recall instead:
+    *   bands(bits) = max(NdBands, ceil(ln(1/(1-R)) / p*^bits)),
+    * p* = 1 - acos(NdDesignCos)/pi = 0.899 — i.e. keep the expected
+    * number of colliding bands for a design-point pair constant.
+    * Values: bits 4..8 -> 12 (TEST and sf1 geometry UNCHANGED — every
+    * committed pin and PERF number below bits 9 is untouched),
+    * 11 -> 15 (sf10), 12 -> 17, 16 -> 26, 24 -> 60.
+    * Cost: candidate volume O(n * bands * NdTargetBucket) grows 5x at
+    * the 24-bit cap (60/12 bands) vs the broken fixed-band geometry —
+    * the measured price of ~99% design-point recall (vs the
+    * alternative, Hamming-1 multiprobe on both join sides, which
+    * needs (1+bits)x key inflation = 25x candidate volume at the cap
+    * for comparable recall; rejected with numbers in PERF.md r15). */
+  def ndBandsFor(bits: Int): Int = {
+    val p = 1.0 - math.acos(NdDesignCos) / math.Pi
+    val need =
+      math.log(1.0 / (1.0 - NdDesignRecall)) / math.pow(p, bits)
+    math.max(NdBands, math.ceil(need).toInt)
+  }
+
   /** d25 audit slice width in vec_ids (min-anchored, so the exact
     * all-pairs truth stays a constant <=125k-pair probe at any corpus
     * size — [[LshEvalMaxId]]'s posture for the embedding channel).
@@ -80,8 +113,23 @@ object DedupQueries {
     * = 8 — the sf1 PRODUCTION value — instead of the audit corpus's
     * own (smaller) value, so the audit grades the geometry the branch
     * actually runs at scale AND the DuckDB twin can be a static SQL
-    * string (a runtime-sized plane set cannot). Bands stay [[NdBands]]. */
+    * string (a runtime-sized plane set cannot). Bands stay [[NdBands]]
+    * — identical to the production [[ndBandsFor]](8) = 12, so the
+    * audit still grades the exact sf1 production geometry after the
+    * r15 band scaling (EmbeddingLshRecallSpec pins the equality). */
   final val D25Bits = 8
+
+  /** d26 geometry grid: every [[ndBitsFor]] tier the production
+    * channel can reach ({8, 12, 16, 24} — the sf1 value and the
+    * above-sf1 growth steps up to the cap), each at BOTH the r14
+    * fixed band count ([[NdBands]]) and the r15 scaled
+    * [[ndBandsFor]](bits); (8, 12) appears once (the modes coincide
+    * there). Derived, so the engine loop and the interpolated twin
+    * SQL can never disagree. final val declared ABOVE the defs map
+    * that interpolates it (the OracleRenderSpec init-order rule). */
+  final val D26Geometries: Seq[(Int, Int)] =
+    Seq(8, 12, 16, 24)
+      .flatMap(b => Seq((b, NdBands), (b, ndBandsFor(b)))).distinct
 
   /** Smallest bits >= [[NdBits]] with 2^bits * NdTargetBucket >= n
     * (integer arithmetic — no float log2 edge cases). n = 2000 (the
@@ -2208,7 +2256,221 @@ object DedupQueries {
           nullif(coalesce(nt, 0), 0) AS BIGINT) AS recall_micro
       FROM grid LEFT JOIN agged USING (cband)
       ORDER BY cos_band"""))
-  )
+  ) ++ Map(
+    // ---- d26: LSH GEOMETRY SWEEP — d25's integer-exact audit run at
+    //      EVERY ndBitsFor tier the production channel can reach
+    //      ({8,12,16,24} bits), each at both the r14 fixed 12-band
+    //      geometry and the r15 scaled ndBandsFor(bits) geometry
+    //      ([[D26Geometries]]). This is the committed recall-vs-bits
+    //      curve the r14 verdict asked for, as a driver-graded oracle
+    //      query: the fixed-band rows MEASURE the recall collapse the
+    //      formula predicts as bits grow (the natural corpus's truth
+    //      pairs sit at cos 0.4-0.5, where p^bits dies fastest), and
+    //      the scaled rows measure what band scaling buys back at the
+    //      same bits. The HIGH-cosine half of the curve (0.85-0.99,
+    //      where near-dup targets live — absent from the natural
+    //      corpus) is graded by the planted-cosine sweep in
+    //      EmbeddingLshRecallSpec against the same production
+    //      function. Integer-exact like d25 (quantized vectors,
+    //      cleared centering inequality), so the twin reproduces every
+    //      candidate bit-for-bit; slice-bounded, so the sweep costs
+    //      the same at sf0.01 and at 100 TB.
+    "d26_lsh_geometry_sweep" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val dims = 64
+        val e0 = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), Text.asDouble(col("embedding")).as("v"))
+        val hiRow = e0.agg(min(col("vec_id"))).collect().head
+        val hi = if (hiRow.isNullAt(0)) Long.MinValue
+          else hiRow.getLong(0) + NdEvalMaxIds
+        val slice = e0.filter(col("vec_id") < hi)
+          .withColumn("qv",
+            transform(col("v"), x => round(x * 1e6).cast("long")))
+          .withColumn("nrm", Text.norm(col("v")))
+          .pipelineCache()
+        val st = slice.agg(count(lit(1)).as("n"),
+          (0 until dims).map(d =>
+            sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
+          .collect().head
+        val n = st.getLong(0)
+        val qsum = (0 until dims).map(d =>
+          if (st.isNullAt(d + 1)) 0L else st.getLong(d + 1))
+        // The plane family as DATA, not literals: d25 grades ONE
+        // geometry, so its 96-plane literal projection codegens fine —
+        // but 7 geometries totalling ~2,800 plane-dot expressions made
+        // the literal form a 10 s DRIVER-side analysis/codegen bill at
+        // any sf (measured; the 500-row slice itself is trivial).
+        // Relational form instead: one (p, d, w) frame broadcast into
+        // a melt join, sign bits computed once for the SHARED plane
+        // prefix (geometry (b1,n1) uses planes 0..b1*n1-1 of the same
+        // family), then each geometry just bit-packs its prefix.
+        // Integer-exact as before — long products, order-free sums.
+        val maxPlanes = D26Geometries.map { case (b, bd) => b * bd }.max
+        val planes = (0 until maxPlanes).flatMap(p =>
+          (0 until dims).map(d =>
+            (p, d, Text.planeWeight(p, d).toLong))).toDF("p", "d", "w")
+        val poffDf = (0 until maxPlanes).map(p =>
+          (p, (0 until dims).map(d =>
+            if (Text.planeWeight(p, d) > 0) qsum(d) else -qsum(d)).sum))
+          .toDF("p", "off")
+        val signs = slice
+          .select(col("vec_id"), posexplode(col("qv")))
+          .toDF("vec_id", "d", "q")
+          .join(broadcast(planes), "d")
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum(col("w") * col("q")).as("dt"))
+          .join(broadcast(poffDf), "p")
+          .select(col("vec_id"), col("p"),
+            when(col("dt") * lit(n) >= col("off"), lit(1L))
+              .otherwise(lit(0L)).as("sgn"))
+          .pipelineCache()
+        // ALL geometries in one keyed pipeline (the twin's own shape):
+        // geometry id rides the keys, so the whole sweep is ONE
+        // groupBy / hot-count / anti-join / self-join chain instead of
+        // 7 — measured 7.1 s -> ~3 s at sf0.1 (pure per-job overhead;
+        // the data is slice-bounded either way)
+        val geomSpine = D26Geometries
+          .map { case (b, bd) => (b.toLong, bd.toLong) }
+          .toDF("bits", "bands")
+        val gkey = Seq("bits", "bands", "band", "bk")
+        val banded = signs
+          .join(broadcast(geomSpine), col("p") < col("bits") * col("bands"))
+          .withColumn("band", expr("p div bits"))
+          .withColumn("bit", expr("shiftleft(sgn, cast(p % bits as int))"))
+          .groupBy(col("bits"), col("bands"), col("vec_id"), col("band"))
+          .agg(sum(col("bit")).as("bk"))
+        val hot = banded.groupBy(col("bits"), col("bands"),
+            col("band"), col("bk"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > NdMaxBucket)
+          .select(col("bits"), col("bands"), col("band"), col("bk"))
+        val capped = banded.join(broadcast(hot), gkey, "left_anti")
+        val candsAll = capped.as("x").join(capped.as("y"),
+            col("x.bits") === col("y.bits") &&
+              col("x.bands") === col("y.bands") &&
+              col("x.band") === col("y.band") &&
+              col("x.bk") === col("y.bk") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.bits").as("bits"), col("x.bands").as("bands"),
+            col("x.vec_id").as("vec1"), col("y.vec_id").as("vec2"))
+          .distinct()
+          .withColumn("hit", lit(1L))
+        val truth = slice.as("a")
+          .join(slice.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+            round(Text.dot(col("a.v"), col("b.v")) /
+              (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+          .filter(col("cos") >= NearDupCosThreshold)
+          .withColumn("cband",
+            expr("cast(round(cos * 1e6) as bigint) div 100000"))
+        val agged = truth.crossJoin(broadcast(geomSpine))
+          .join(candsAll, Seq("bits", "bands", "vec1", "vec2"), "left")
+          .groupBy(col("bits"), col("bands"), col("cband"))
+          .agg(count(lit(1)).as("nt"),
+            coalesce(sum(col("hit")), lit(0L)).as("nf"))
+        val grid = geomSpine.crossJoin(
+          s.range(4, 11).select(col("id").as("cband")))
+        grid.join(agged, Seq("bits", "bands", "cband"), "left")
+          .select(col("bits"), col("bands"), col("cband").as("cos_band"),
+            coalesce(col("nt"), lit(0L)).as("n_truth"),
+            coalesce(col("nf"), lit(0L)).as("n_found"),
+            expr("""coalesce(nf, 0L) * 1000000L
+              div nullif(coalesce(nt, 0L), 0L)""").as("recall_micro"))
+          .orderBy(col("bits"), col("bands"), col("cos_band"))
+      },
+      Some(s"""-- integer-exact twin of d26's per-geometry candidate
+      -- channels (one plane family, global plane index p = band*bits+i
+      -- per geometry, same md5-parity weights as d25's twin)
+      WITH lo AS (
+        SELECT min(vec_id) + $NdEvalMaxIds AS hi FROM embeddings
+      ), e AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+        FROM embeddings, lo WHERE vec_id < hi
+      ), nn AS (SELECT count(*) AS n FROM e),
+      qs AS (
+        SELECT d, sum(qv[d + 1]) AS s
+        FROM e, range(64) t(d) GROUP BY d
+      ), geoms AS (
+        SELECT * FROM (VALUES ${D26Geometries
+          .map { case (b, bd) => s"($b, $bd)" }.mkString(", ")})
+          g(bits, bands)
+      ), planes AS (
+        SELECT g.bits, g.bands, tp.p, td.d,
+          CASE WHEN strpos('13579bdf', substr(md5(tp.p || ':' || td.d), 2, 1)) > 0
+            THEN -1 ELSE 1 END AS w
+        FROM geoms g
+        JOIN range(${D26Geometries.map { case (b, bd) => b * bd }.max})
+          tp(p) ON tp.p < g.bits * g.bands
+        CROSS JOIN range(64) td(d)
+      ), poff AS (
+        SELECT bits, bands, p, sum(w * s) AS off
+        FROM planes JOIN qs USING (d) GROUP BY 1, 2, 3
+      ), pdot AS (
+        SELECT pl.bits, pl.bands, e.vec_id, pl.p,
+          sum(pl.w * e.qv[pl.d + 1]) AS dt
+        FROM e, planes pl GROUP BY 1, 2, 3, 4
+      ), sbits AS (
+        SELECT pd.bits, pd.bands, pd.vec_id, pd.p // pd.bits AS band,
+          CASE WHEN pd.dt * nn.n >= po.off
+            THEN CAST(1 AS BIGINT) << CAST(pd.p % pd.bits AS INT)
+            ELSE 0 END AS bit
+        FROM pdot pd
+        JOIN poff po ON pd.bits = po.bits AND pd.bands = po.bands
+          AND pd.p = po.p
+        CROSS JOIN nn
+      ), keys AS (
+        SELECT bits, bands, vec_id, band, sum(bit) AS bk
+        FROM sbits GROUP BY 1, 2, 3, 4
+      ), hot AS (
+        SELECT bits, bands, band, bk FROM keys GROUP BY 1, 2, 3, 4
+        HAVING count(*) > $NdMaxBucket
+      ), capped AS (
+        SELECT k.bits, k.bands, k.vec_id, k.band, k.bk FROM keys k
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+          WHERE h.bits = k.bits AND h.bands = k.bands
+            AND h.band = k.band AND h.bk = k.bk)
+      ), cands AS (
+        SELECT DISTINCT a.bits, a.bands, a.vec_id AS vec1,
+          b.vec_id AS vec2, 1 AS hit
+        FROM capped a JOIN capped b
+          ON a.bits = b.bits AND a.bands = b.bands AND a.band = b.band
+            AND a.bk = b.bk AND a.vec_id < b.vec_id
+      ), truth AS (
+        SELECT vec1, vec2,
+          CAST(round(cos * 1e6) AS BIGINT) // 100000 AS cband
+        FROM (
+          SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+            round(list_sum(list_transform(list_zip(a.v, b.v),
+                x -> x[1] * x[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        WHERE cos >= $NearDupCosThreshold
+      ), agged AS (
+        SELECT g.bits, g.bands, t.cband, count(*) AS nt,
+          coalesce(sum(c.hit), 0) AS nf
+        FROM truth t CROSS JOIN geoms g
+        LEFT JOIN cands c ON c.bits = g.bits AND c.bands = g.bands
+          AND c.vec1 = t.vec1 AND c.vec2 = t.vec2
+        GROUP BY 1, 2, 3
+      ), grid AS (
+        SELECT g.bits, g.bands, cb.cband
+        FROM geoms g CROSS JOIN range(4, 11) cb(cband)
+      )
+      SELECT CAST(grid.bits AS BIGINT) AS bits,
+        CAST(grid.bands AS BIGINT) AS bands,
+        CAST(grid.cband AS BIGINT) AS cos_band,
+        CAST(coalesce(nt, 0) AS BIGINT) AS n_truth,
+        CAST(coalesce(nf, 0) AS BIGINT) AS n_found,
+        CAST(coalesce(nf, 0) * 1000000 //
+          nullif(coalesce(nt, 0), 0) AS BIGINT) AS recall_micro
+      FROM grid LEFT JOIN agged ON agged.bits = grid.bits
+        AND agged.bands = grid.bands AND agged.cband = grid.cband
+      ORDER BY bits, bands, cos_band""")))
 
   /** d18's verify core over ANY `(doc_id, bk)` band index and
     * `(doc_id, sh)` shingle frame — candidates by band-key equality,
@@ -2346,8 +2608,9 @@ object DedupQueries {
         round(Text.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cos"))
 
-  /** LSH-blocked near-dup candidates + exact rerank: [[NdBands]] bands of
-    * [[ndBitsFor]](n) hyperplane sign bits over MEAN-CENTERED vectors; a
+  /** LSH-blocked near-dup candidates + exact rerank:
+    * [[ndBandsFor]](bits) bands of [[ndBitsFor]](n) hyperplane sign
+    * bits over MEAN-CENTERED vectors; a
     * pair is a candidate iff some band key collides. The band join
     * carries only (vec_id, bk) — vectors join back in for the exact
     * cosine (of the RAW vectors) only on the candidate set. Three scale
@@ -2372,11 +2635,16 @@ object DedupQueries {
     * passing the production n. `centerOverride` replaces the corpus
     * mean (an FP aggregate whose summation order Spark does not pin)
     * with a caller-computed center, making a forced-branch run
-    * bit-deterministic for recall pins; production passes None. */
+    * bit-deterministic for recall pins; production passes None.
+    * `bandsOverride` exists ONLY for the geometry-sweep A/B (forcing
+    * the r14 fixed-12-band geometry against the scaled one at the
+    * same bits); production passes None = [[ndBandsFor]](bits). */
   def embeddingPairsLsh(e: DataFrame, n: Long,
-      centerOverride: Option[Seq[Double]] = None): DataFrame = {
+      centerOverride: Option[Seq[Double]] = None,
+      bandsOverride: Option[Int] = None): DataFrame = {
     val dims = 64
     val bits = ndBitsFor(n)
+    val bands = bandsOverride.getOrElse(ndBandsFor(bits))
     val center = centerOverride.getOrElse {
       val meanRow = e.select((0 until dims).map(i =>
         avg(element_at(col("v"), i + 1)).as(s"m$i")): _*).head()
@@ -2391,7 +2659,7 @@ object DedupQueries {
     // three consumers below (hot-bucket count + both self-join sides)
     // share one signature pass instead of three.
     val keyed = e
-      .select(col("vec_id"), array((0 until NdBands).map(b =>
+      .select(col("vec_id"), array((0 until bands).map(b =>
         concat_ws(":", lit(b),
           Text.hyperplaneBandKey(col("v"), b, bits, dims, center))): _*)
         .as("bks"))

@@ -184,11 +184,18 @@ object Text {
     * 26%). Caught by d25_embedding_lsh_recall in round 14; md5 parity
     * bits are unbiased and independent across (p, d), so the banding
     * math the operators document actually holds. */
-  def planeWeight(p: Int, d: Int): Double = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p:$d".getBytes("UTF-8"))
-    if ((h(0) & 1) == 0) 1.0 else -1.0
-  }
+  // driver-side memo: plan construction touches each (p, d) several
+  // times (threshold fold + literal plane arrays), and the d26
+  // geometry sweep walks ~180k distinct (p, d) cells — one MD5 each is
+  // ~1s of pure driver hashing without the cache, none with it
+  private val planeMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Double]()
+  def planeWeight(p: Int, d: Int): Double =
+    planeMemo.computeIfAbsent((p.toLong << 32) | (d & 0xffffffffL), _ => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    })
 
   /** Random-hyperplane LSH signature: sign bits of v . plane_p packed
     * into a long (lowest bit = plane 0). `planes` must be <= 62.

@@ -1541,9 +1541,27 @@ object TextQueries {
     * round-trip). */
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  /** Cache key = dir + a cheap content fingerprint (sum of file sizes
+    * and mtimes under documents.parquet), so a corpus REWRITTEN at the
+    * same path within one JVM (data regeneration, tests sharing a tmp
+    * dir) re-induces instead of serving stale merges (r14 ADVICE). */
+  private def mergeCacheKey(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "documents.parquet")
+    val fp =
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(p => java.nio.file.Files.size(p) +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .sum()
+        finally s.close()
+      }
+    s"$dir@$fp"
+  }
   def inducedMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Bpe.Merge] =
-    mergeCache.computeIfAbsent(dir, _ => {
+    mergeCache.computeIfAbsent(mergeCacheKey(dir), _ => {
       val shapes = Tables.table(s, dir, "documents")
         .select(explode(Text.words(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))

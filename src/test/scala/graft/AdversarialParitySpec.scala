@@ -901,7 +901,7 @@ class AdversarialParitySpec extends SparkSpec {
     "st14_stream_block_scrub", "s14_sq_recall",
     "q35_attribution", "t19_lang_label_noise", "s15_multiprobe_recall",
     "q36_scd2_history", "d24_substring_recall",
-    "d25_embedding_lsh_recall",
+    "d25_embedding_lsh_recall", "d26_lsh_geometry_sweep",
     "e9_curriculum_buckets", "s11_cluster_report", "s12_pq_recall",
     "s10_range_search",
     // family battery (row-count pins)
@@ -1007,7 +1007,27 @@ class AdversarialParitySpec extends SparkSpec {
       "<= NearDupBruteMax vectors; above the gate the engine is " +
       "approximate by design (graded by d25 + EmbeddingLshRecallSpec)"),
     "s8_knn_graph" -> ("same declared brute bound as d5 — the shared " +
-      "embedding pair channel is approximate above the gate"))
+      "embedding pair channel is approximate above the gate"),
+    "d9_embedding_clusters" -> ("same declared brute bound as d5 (the " +
+      "cluster twin enumerates brute pairs, valid only <= " +
+      "NearDupBruteMax); at scale the executed replacements are " +
+      "graft.Check d9_consistency plus the d25-graded pair channel"))
+
+  /** Machine-checkable register reasons (the r14 verdict #7): every
+    * replacement check a reason CITES is named here and resolved —
+    * `query:` against SparkEntry.queries, `spec:` via Class.forName on
+    * the test classpath, `check:` against [[graft.Check.KnownChecks]],
+    * `file:` against the repo tree — so a renamed audit, spec, check
+    * or tool cannot silently orphan the reason that points at it. */
+  private val registerArtifacts: Map[String, Seq[String]] = Map(
+    "d5_embedding_neardup" -> Seq("query:d25_embedding_lsh_recall",
+      "spec:graft.dedup.EmbeddingLshRecallSpec"),
+    "s8_knn_graph" -> Seq("query:d25_embedding_lsh_recall",
+      "spec:graft.dedup.EmbeddingLshRecallSpec"),
+    "d9_embedding_clusters" -> Seq("check:d9_consistency",
+      "query:d25_embedding_lsh_recall"),
+    "t20_bpe_vocab" -> Seq("file:tools/bpe_reference.py"),
+    "t21_bpe_tokenize" -> Seq("file:tools/bpe_reference.py"))
 
   test("every sf-pinned oracle classifies its scale behavior in the " +
       "sfExpectedMismatch register") {
@@ -1022,6 +1042,53 @@ class AdversarialParitySpec extends SparkSpec {
       s"sf-pinned oracles with no scale classification: $unclassifiedPins")
     // reasons are real sentences, not placeholders
     sfExpectedMismatch.values.foreach(r => assert(r.length > 20))
+    // BRUTE-BOUND scan (the r14 verdict #2): any twin that DECLARES a
+    // validity bound in its SQL ("valid [only] while ...") is by
+    // definition out of contract above that bound, so it must be in
+    // the register — a bounded twin that silently claimed
+    // scale-stability would turn the next sf1 leg's mismatch into an
+    // undiagnosed failure. The scan keys off the literal marker the
+    // three bounded twins carry (d5/d9/s8), so a NEW bounded twin is
+    // forced here the moment its SQL documents its bound.
+    val bruteBounded = SparkEntry.oracleSql.collect {
+      // [\s-]+ so the marker matches across a SQL-comment line break
+      // ("... valid\n      -- while count(...)", d9's form)
+      case (name, sql)
+          if "valid[\\s-]+(only[\\s-]+)?(while|under|<=)".r
+            .findFirstIn(sql.toLowerCase).isDefined => name
+    }.toSet
+    assert(bruteBounded.nonEmpty,
+      "the brute-bound marker scan found NOTHING — the d5/d9/s8 twins " +
+        "carry 'valid ... while' markers; if the marker wording " +
+        "changed, update this scan with it")
+    val unregisteredBounds = bruteBounded -- sfExpectedMismatch.keySet
+    assert(unregisteredBounds.isEmpty,
+      "oracle twins declaring a validity bound but not registered in " +
+        s"sfExpectedMismatch: ${unregisteredBounds.toSeq.sorted}")
+  }
+
+  test("register reasons' cited replacement checks resolve (r14 #7)") {
+    assert((registerArtifacts.keySet -- sfExpectedMismatch.keySet).isEmpty,
+      "registerArtifacts names entries absent from the register: " +
+        s"${(registerArtifacts.keySet -- sfExpectedMismatch.keySet).toSeq.sorted}")
+    for ((entry, arts) <- registerArtifacts; a <- arts) a.split(":", 2) match {
+      case Array("query", q) =>
+        assert(SparkEntry.queries.contains(q),
+          s"$entry cites query '$q' which no longer exists")
+      case Array("spec", c) =>
+        try Class.forName(c)
+        catch { case _: ClassNotFoundException =>
+          fail(s"$entry cites spec class '$c' which no longer exists") }
+      case Array("check", c) =>
+        assert(Check.KnownChecks.contains(c),
+          s"$entry cites graft.Check '$c' which no longer exists " +
+            s"(known: ${Check.KnownChecks.toSeq.sorted})")
+      case Array("file", f) =>
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+          s"$entry cites file '$f' which no longer exists")
+      case other =>
+        fail(s"$entry has malformed artifact '${other.mkString(":")}'")
+    }
   }
 
   // ---- pin 38: d24's W-boundary grade on PLANTED duplicate lengths —
@@ -1099,6 +1166,31 @@ class AdversarialParitySpec extends SparkSpec {
       s"planted duplicate pairs not fully recalled: $out")
     // found is truth-joined by construction: n_found <= n_truth per band
     out.values.foreach { case (nt, nf) => assert(nf <= nt) }
+
+    // ---- pin 42: d26 on the SAME planted corpus — exact duplicates
+    //      share every sign bit under EVERY geometry, so all 7
+    //      (bits, bands) rows must recall the 10 planted pairs fully
+    //      at band 10; and within a bits tier the scaled-band found
+    //      count can never drop below the fixed-band one at any band
+    //      (scaling only appends bands to the same plane family).
+    val sweep = SparkEntry.queries("d26_lsh_geometry_sweep")(spark, d)
+      .collect().map(r => (r.getAs[Long]("bits"), r.getAs[Long]("bands"),
+        r.getAs[Long]("cos_band")) ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_found"))).toMap
+    val geoms = graft.dedup.DedupQueries.D26Geometries
+    assert(sweep.keySet.map(k => (k._1, k._2)) ===
+      geoms.map { case (b, bd) => (b.toLong, bd.toLong) }.toSet)
+    geoms.foreach { case (b, bd) =>
+      assert(sweep((b.toLong, bd.toLong, 10L)) === ((10L, 10L)),
+        s"d26 geometry ($b,$bd) missed planted exact duplicates: " +
+          s"${sweep((b.toLong, bd.toLong, 10L))}")
+    }
+    for (bits <- geoms.map(_._1).distinct;
+         bd = geoms.filter(_._1 == bits).map(_._2);
+         if bd.size == 2; band <- 4L to 10L)
+      assert(sweep((bits.toLong, bd.max.toLong, band))._2 >=
+        sweep((bits.toLong, bd.min.toLong, band))._2,
+        s"d26 bits=$bits band=$band: scaled found < fixed found")
   }
 
   override def afterAll(): Unit = {

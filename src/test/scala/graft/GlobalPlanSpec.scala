@@ -78,6 +78,11 @@ class GlobalPlanSpec extends SparkSpec {
       "channel: exact all-pairs cosine truth over the constant " +
       "min-anchored NdEvalMaxIds slice (<=125k pairs at any corpus " +
       "size, broadcast); the FOUND side is key-equality band joins"),
+    "d26_lsh_geometry_sweep" -> ("d25's slice contract at 7 " +
+      "geometries: ONE exact all-pairs truth over the constant " +
+      "NdEvalMaxIds slice (broadcast) + the 7-row geometry-spine " +
+      "crossJoin; every candidate channel is a key-equality band " +
+      "join"),
     "s12_pq_recall" -> ("composes s1's whitelisted brute-force truth " +
       "plus s6/s7's config-bounded ADC frames — s9's rationale for " +
       "the compressed indexes"),
@@ -261,6 +266,14 @@ class GlobalPlanSpec extends SparkSpec {
     // truth-vs-found band groupBy + the 7-row grid join; every
     // shuffled frame is slice-bounded (NdEvalMaxIds)
     "d25_embedding_lsh_recall" -> 7,
+    // d26: ONE geometry-keyed audit pipeline (plane family as a
+    // broadcast data frame into the sign-bit melt, then a single
+    // key/hot/anti/self-join chain with (bits, bands) riding the
+    // keys) + the truth-vs-found groupBy and 49-row grid join; every
+    // shuffled frame is slice-bounded. The per-geometry loop form
+    // cost 26 shuffles and 7.1 s of per-job overhead; this is 17 and
+    // 1.9 s at sf0.1 (constant at any corpus size)
+    "d26_lsh_geometry_sweep" -> 17,
     "e9_curriculum_buckets" -> 3,
     "s11_cluster_report" -> 6,
     // 24 static = s1+s6+s7 composed whole (s9's rationale: the report

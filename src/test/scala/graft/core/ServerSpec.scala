@@ -225,6 +225,37 @@ class ServerSpec extends SparkSpec {
       assert(get(base, s"/v1.0/ssd/$ssdId")._2
         .contains("o_orderdate=Order.orderdate"))
 
+      // MERGE-update (reference SsdInterface.updateSsd:96-104 falls
+      // back per-field to the stored SSD): a name-only body renames
+      // and keeps ontologies + mappings — the r14 ADVICE silent-wipe
+      // (body omitting 'ontologies' clearing the ontology list) is
+      // exactly what this asserts can no longer happen
+      val (cu1, bu1) = post(base, s"/v1.0/ssd/$ssdId",
+        """{"name":"orders-ssd-v2"}""")
+      assert(cu1 === 200, bu1)
+      assert(bu1.contains("\"name\":\"orders-ssd-v2\"") &&
+        bu1.contains("\"ontologies\":[" + owlId + "]") &&
+        bu1.contains("o_orderdate=Order.orderdate") &&
+        bu1.contains("o_totalprice=Order.totalprice"), bu1)
+      // a mappings-only body re-derives attributes over the SAME
+      // stored table and keeps name/ontologies
+      val (cu2, bu2) = post(base, s"/v1.0/ssd/$ssdId",
+        """{"mappings":"o_orderdate=Order.orderdate"}""")
+      assert(cu2 === 200, bu2)
+      assert(bu2.contains("\"name\":\"orders-ssd-v2\"") &&
+        bu2.contains("\"ontologies\":[" + owlId + "]") &&
+        bu2.contains("\"attributes\":\"o_orderdate\"") &&
+        !bu2.contains("o_totalprice"), bu2)
+      // validation still applies on the merged request; a rejected
+      // update leaves the resource untouched
+      assert(post(base, s"/v1.0/ssd/$ssdId",
+        """{"mappings":"o_x=Nope.nope"}""")._1 === 400)
+      assert(get(base, s"/v1.0/ssd/$ssdId")._2
+        .contains("o_orderdate=Order.orderdate"))
+      // nonexistent resource: 404 before body semantics
+      assert(post(base, "/v1.0/ssd/99999",
+        """{"name":"x"}""")._1 === 404)
+
       // deleting the referenced owl is the client's error (400), like
       // the reference's dependent check
       assert(delete(base, s"/v1.0/owl/$owlId")._1 === 400)

@@ -99,6 +99,102 @@ class EmbeddingLshRecallSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("geometry constants: the sf1 audit geometry equals production, " +
+      "and the band schedule is the documented one") {
+    // d25 grades (D25Bits=8, NdBands=12); production at sf1 runs
+    // (ndBitsFor(20000)=8, ndBandsFor(8)=12) — the audit stays exact
+    assert(DedupQueries.ndBitsFor(20000L) === DedupQueries.D25Bits)
+    assert(DedupQueries.ndBandsFor(DedupQueries.D25Bits) ===
+      DedupQueries.NdBands)
+    // the schedule the Scaladoc documents (and PERF.md records)
+    assert(Seq(4, 8, 11, 12, 16, 24).map(DedupQueries.ndBandsFor) ===
+      Seq(12, 12, 15, 17, 26, 60))
+    // every committed pin below sf10 runs bits <= 8 => bands 12:
+    // test-scale and sf1-scale behavior is bit-identical to r14
+    assert(DedupQueries.D26Geometries ===
+      Seq((8, 12), (12, 12), (12, 17), (16, 12), (16, 26),
+        (24, 12), (24, 60)))
+  }
+
+  /** The r14 verdict's geometry sweep, on PLANTED pairs at exact
+    * target cosines (the natural corpus has no truth above cos ~0.5 —
+    * d26 grades that half; this grades the 0.85-0.99 half where
+    * near-dup targets live). For each bits tier the production
+    * channel can reach, the FORCED production function runs at both
+    * the r14 fixed 12-band geometry and the r15 ndBandsFor(bits)
+    * geometry; recall is counted over the planted pair set per cosine
+    * level. Fully deterministic: seeded corpus, fixed plane family,
+    * zero centerOverride. */
+  test("planted-cosine geometry sweep: scaled bands hold design-point " +
+      "recall where fixed bands collapse") {
+    val rnd = new scala.util.Random(1234)
+    val cosLevels = Seq(0.85, 0.90, 0.95, 0.99)
+    val PairsPerLevel = 40
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = cosLevels.zipWithIndex.flatMap { case (c, li) =>
+      (0 until PairsPerLevel).flatMap { k =>
+        val vh = unit(Array.fill(Dims)(rnd.nextGaussian()))
+        val u0 = Array.fill(Dims)(rnd.nextGaussian())
+        val proj = vh.zip(u0).map { case (a, b) => a * b }.sum
+        val uh = unit(u0.zip(vh).map { case (u, w) => u - proj * w })
+        val tw = vh.zip(uh).map { case (a, b) =>
+          c * a + math.sqrt(1 - c * c) * b }
+        val base = 10000L * (li + 1)
+        Seq((base + k, vh.toSeq), (base + 1000 + k, tw.toSeq))
+      }
+    }
+    val planted: Map[Double, Set[(Long, Long)]] =
+      cosLevels.zipWithIndex.map { case (c, li) =>
+        c -> (0 until PairsPerLevel).map(k =>
+          (10000L * (li + 1) + k, 10000L * (li + 1) + 1000 + k)).toSet
+      }.toMap
+    val sparkS = spark
+    import sparkS.implicits._
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("nrm", Text.norm(col("v")))
+      .persist()
+    val center = Some(Seq.fill(Dims)(0.0))
+    // n values chosen to force each ndBitsFor tier
+    val nFor = Map(8 -> 20000L, 12 -> 500000L, 16 -> 8000000L,
+      24 -> 2000000000L)
+    val measured = (for (bits <- Seq(8, 12, 16, 24)) yield {
+      assert(DedupQueries.ndBitsFor(nFor(bits)) === bits)
+      def recalls(bandsOverride: Option[Int]): Map[Double, Int] = {
+        val found = DedupQueries
+          .embeddingPairsLsh(e, nFor(bits), center, bandsOverride)
+          .select(col("vec1"), col("vec2")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        cosLevels.map(c => c -> planted(c).count(found.contains)).toMap
+      }
+      val fixed = recalls(Some(DedupQueries.NdBands))
+      val scaled = recalls(None)
+      info(s"bits=$bits fixed(12 bands)=${cosLevels.map(fixed)} " +
+        s"scaled(${DedupQueries.ndBandsFor(bits)} bands)=${
+          cosLevels.map(scaled)} of $PairsPerLevel per level")
+      // scaling bands only ADDS bands (same plane family prefix), so
+      // the scaled candidate set is a superset at every cosine
+      cosLevels.foreach(c => assert(scaled(c) >= fixed(c),
+        s"bits=$bits cos=$c: scaled ${scaled(c)} < fixed ${fixed(c)}"))
+      bits -> (fixed, scaled)
+    }).toMap
+    // the DESIGN-POINT guarantee: at every tier, scaled-band recall at
+    // cos >= NdDesignCos stays >= 90% of planted pairs (the formula
+    // promises >= NdDesignRecall = 99% in expectation; 36/40 is the
+    // 4-sigma floor), while the r14 fixed-band geometry is measured
+    // collapsing at the 24-bit cap
+    for (bits <- Seq(8, 12, 16, 24); c <- Seq(0.95, 0.99))
+      assert(measured(bits)._2(c) >= 36,
+        s"bits=$bits cos=$c: scaled-band recall ${measured(bits)._2(c)}" +
+          s"/$PairsPerLevel below the design floor")
+    assert(measured(24)._1(0.95) <= 32,
+      "the fixed-band geometry no longer collapses at the cap — " +
+        s"measured ${measured(24)._1(0.95)}/40 at cos 0.95; if a " +
+        "formula change fixed this, ndBandsFor may be over-scaling")
+    e.unpersist()
+  }
+
   test("planted near-duplicates at high cosine are all recalled by " +
       "the forced FP branch") {
     val rnd = new scala.util.Random(42)
