@@ -17,7 +17,7 @@ object Check {
     * this set, so a renamed check can't orphan a register reason. */
   val KnownChecks: Set[String] = Set(
     "d9_consistency", "p16_shard_ab", "p16_count_vs_collect",
-    "collect_ratio")
+    "collect_ratio", "nd_channel_stats")
   /** The always-run scale-leg invariants; the rest are opt-in timing
     * diagnostics (see the Scaladoc above). */
   val DefaultChecks: Set[String] = Set("d9_consistency")
@@ -39,6 +39,31 @@ object Check {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // nd_channel_stats: the production embedding pair channel's
+    // verified-pair census by cosine decile band (>= the d9 edge floor
+    // 0.4) at THIS corpus and THIS geometry. The diagnostic behind the
+    // NdTargetBucket keep decision (PERF.md r15): smaller targets grow
+    // bits sooner, and the resulting per-band cost drop is partly
+    // RECALL LOSS in the 0.4-0.7 range that d9's cluster edges and
+    // s8's kNN graph consume — this check makes that loss visible as a
+    // found-pair census per geometry (run it under different
+    // SPARK_GRAFT_ND_TARGET_BUCKET values to compare).
+    if (names("nd_channel_stats")) {
+      import org.apache.spark.sql.functions._
+      val rows = dedup.DedupQueries.embeddingPairs(spark, dir)
+        .filter(col("cos") >= dedup.DedupQueries.NearDupCosThreshold)
+        .withColumn("cband",
+          expr("cast(round(cos * 1e6) as bigint) div 100000"))
+        .groupBy(col("cband")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = sources.Tables.table(spark, dir, "embeddings").count()
+      val bits = dedup.DedupQueries.ndBitsFor(n)
+      println(s"CHECK nd_channel_stats n=$n bits=$bits bands=${
+        dedup.DedupQueries.ndBandsFor(bits)} target=${
+        dedup.DedupQueries.NdTargetBucket} " +
+        (4L to 10L).map(b => s"cband$b=${rows.getOrElse(b, 0L)}")
+          .mkString(" "))
+    }
     if (names("d9_consistency")) {
       val v = dedup.DedupQueries.embeddingClusterViolations(spark, dir)
       println(s"CHECK d9_consistency violations=$v")
