@@ -68,7 +68,7 @@ object Bench {
       "d19_source_overlap", "d20_threshold_sweep", "d21_lsh_recall",
       "d22_containment_recall", "d23_block_scrub",
       "d24_substring_recall", "d25_embedding_lsh_recall",
-      "d26_lsh_geometry_sweep"),
+      "d26_lsh_geometry_sweep", "d27_delta_admission"),
     // similarity search
     Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf",
       "s4_kmeans_embeddings", "s5_ann_ivf_kmeans", "s6_ann_pq",

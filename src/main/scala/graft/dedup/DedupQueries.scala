@@ -109,6 +109,23 @@ object DedupQueries {
     math.max(NdBands, math.ceil(need).toInt)
   }
 
+  /** [[ndBitsFor]] rendered as a SQL CASE over an n-valued expression,
+    * so a DuckDB twin derives the SAME geometry the engine runs at any
+    * corpus size — the piece that lets d27 stay oracle-exact without a
+    * brute-force validity bound. Thresholds are the exact integers the
+    * Scala loop tests (NdTargetBucket << b), so the two can never
+    * disagree. */
+  def ndGeometrySqlCase(n: String): String =
+    (NdBits until 24).map(b =>
+      s"WHEN $n <= ${NdTargetBucket << b} THEN $b")
+      .mkString("(CASE ", " ", " ELSE 24 END)")
+
+  /** [[ndBandsFor]] as a SQL CASE over a bits-valued expression (the
+    * band schedule is a pure function of bits, enumerable 4..24). */
+  def ndBandsSqlCase(bits: String): String =
+    (NdBits until 24).map(b => s"WHEN $b THEN ${ndBandsFor(b)}")
+      .mkString(s"(CASE $bits ", " ", s" ELSE ${ndBandsFor(24)} END)")
+
   /** d25 audit slice width in vec_ids (min-anchored, so the exact
     * all-pairs truth stays a constant <=125k-pair probe at any corpus
     * size — [[LshEvalMaxId]]'s posture for the embedding channel).
@@ -2477,7 +2494,113 @@ object DedupQueries {
           nullif(coalesce(nt, 0), 0) AS BIGINT) AS recall_micro
       FROM grid LEFT JOIN agged ON agged.bits = grid.bits
         AND agged.bands = grid.bands AND agged.cband = grid.cband
-      ORDER BY bits, bands, cos_band""")))
+      ORDER BY bits, bands, cos_band"""))
+  ) ++ Map(
+    // ---- d27: INCREMENTAL EMBEDDING ADMISSION — d14's delta-vs-index
+    //      posture for the embedding channel. The corpus splits into a
+    //      persisted INDEX (vec_id % DeltaMod != 0) and a new-ingest
+    //      DELTA (vec_id % DeltaMod == 0); each delta vector probes the
+    //      index's banded hyperplane keys and is ADMITTED iff no
+    //      verified index neighbor reaches NearDupCosThreshold cosine.
+    //      At production scale the index side is the persisted banded
+    //      table (built once per corpus, here a Materialize); only the
+    //      delta is signed per ingest, and the probe is a band-key
+    //      equality join against index buckets — never delta x corpus,
+    //      never corpus x corpus. Unlike d5/d9/s8's FP-centered
+    //      channel, d27 is INTEGER-EXACT end to end (quantized
+    //      vectors, cleared centering inequality, geometry derived in
+    //      SQL from the same ndBitsFor/ndBandsFor formulas via
+    //      [[ndGeometrySqlCase]]) — so the DuckDB twin reproduces the
+    //      candidate set bit-for-bit at ANY sf and the query needs no
+    //      brute-force validity bound. Admission is defined over the
+    //      LSH candidate set (the channel's documented contract: the
+    //      design-point cos >= 0.95 recall is ndBandsFor-guaranteed,
+    //      sub-design neighbors are probabilistic — graded by
+    //      d25/d26).
+    "d27_delta_admission" -> QueryDef(
+      (s, dir) => deltaAdmission(s, dir),
+      Some(s"""WITH e AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+        FROM embeddings
+      ), nn AS (
+        SELECT count(*) AS n FROM e WHERE vec_id % $DeltaMod <> 0
+      ), geom AS (
+        SELECT n, ${ndGeometrySqlCase("n")} AS bits FROM nn
+      ), geo AS (
+        SELECT n, bits, ${ndBandsSqlCase("bits")} AS bands FROM geom
+      ), qs AS (
+        SELECT d, sum(qv[d + 1]) AS s
+        FROM e, range(64) t(d) WHERE vec_id % $DeltaMod <> 0 GROUP BY d
+      ), planes AS (
+        SELECT tp.p, td.d,
+          CASE WHEN strpos('13579bdf',
+              substr(md5(tp.p || ':' || td.d), 2, 1)) > 0
+            THEN -1 ELSE 1 END AS w
+        FROM geo g JOIN range(2048) tp(p) ON tp.p < g.bits * g.bands
+        CROSS JOIN range(64) td(d)
+      ), poff AS (
+        SELECT p, sum(w * s) AS off FROM planes JOIN qs USING (d)
+        GROUP BY p
+      ), pdot AS (
+        SELECT e.vec_id, pl.p, sum(pl.w * e.qv[pl.d + 1]) AS dt
+        FROM e, planes pl GROUP BY e.vec_id, pl.p
+      ), sbits AS (
+        SELECT pd.vec_id, pd.p // g.bits AS band,
+          CASE WHEN pd.dt * g.n >= po.off
+            THEN CAST(1 AS BIGINT) << CAST(pd.p % g.bits AS INT)
+            ELSE 0 END AS bit
+        FROM pdot pd JOIN poff po ON pd.p = po.p CROSS JOIN geo g
+      ), keys AS (
+        SELECT vec_id, band, sum(bit) AS bk FROM sbits
+        GROUP BY vec_id, band
+      ), hot AS (
+        -- bucket cap over the INDEX side only (the persisted table is
+        -- what production would cap at build time)
+        SELECT band, bk FROM keys WHERE vec_id % $DeltaMod <> 0
+        GROUP BY band, bk HAVING count(*) > $NdMaxBucket
+      ), cands AS (
+        SELECT DISTINCT d.vec_id, i.vec_id AS old_vec
+        FROM keys d JOIN keys i
+          ON d.band = i.band AND d.bk = i.bk
+          AND d.vec_id % $DeltaMod = 0 AND i.vec_id % $DeltaMod <> 0
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+          WHERE h.band = d.band AND h.bk = d.bk)
+      ), verified AS (
+        SELECT c.vec_id, c.old_vec,
+          CAST(round(
+            list_sum(list_transform(list_zip(a.v, b.v),
+              x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(b.v, x -> x*x)))) * 1e6)
+            AS BIGINT) AS cos_micro
+        FROM cands c
+        JOIN e a ON a.vec_id = c.vec_id
+        JOIN e b ON b.vec_id = c.old_vec
+      ), perdelta AS (
+        SELECT vec_id, count(*) AS n_cands,
+          count(*) FILTER (WHERE cos_micro >= ${
+            (NearDupCosThreshold * 1e6).toLong}) AS n_matches
+        FROM verified GROUP BY vec_id
+      ), best AS (
+        SELECT vec_id, old_vec AS best_match,
+          cos_micro AS best_cos_micro
+        FROM (SELECT vec_id, old_vec, cos_micro, row_number()
+            OVER (PARTITION BY vec_id
+              ORDER BY cos_micro DESC, old_vec ASC) AS rn
+          FROM verified WHERE cos_micro >= ${
+            (NearDupCosThreshold * 1e6).toLong})
+        WHERE rn = 1
+      )
+      SELECT e.vec_id, coalesce(p.n_cands, 0) AS n_cands,
+        CAST(coalesce(p.n_matches, 0) = 0 AS BIGINT) AS admitted,
+        b.best_match, b.best_cos_micro
+      FROM e LEFT JOIN perdelta p USING (vec_id)
+      LEFT JOIN best b USING (vec_id)
+      WHERE e.vec_id % $DeltaMod = 0
+      ORDER BY vec_id""")))
 
   /** d18's verify core over ANY `(doc_id, bk)` band index and
     * `(doc_id, sh)` shingle frame — candidates by band-key equality,
@@ -2499,6 +2622,109 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
+
+  /** d27's engine: delta-vs-index embedding admission. The INDEX side
+    * (vec_id % [[DeltaMod]] != 0) is the persisted corpus: its banded
+    * hyperplane keys (and the geometry + integer centering stats they
+    * depend on) build once per corpus behind a Materialize. The DELTA
+    * side signs fresh per ingest and probes the index by band-key
+    * equality — the per-ingest cost is O(delta · bands) keys against a
+    * bucketed table, independent of corpus pair count. Integer-exact
+    * throughout (quantized vectors, `dot·n >= offset` centering
+    * inequality, md5-parity planes), so the DuckDB twin reproduces the
+    * candidate set bit-for-bit at any sf — see the d27 QueryDef. */
+  def deltaAdmission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = 64
+    val q = Tables.rebalance(Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), Text.asDouble(col("embedding")).as("v")))
+      .withColumn("qv",
+        transform(col("v"), x => round(x * 1e6).cast("long")))
+      .withColumn("nrm", Text.norm(col("v")))
+      .withColumn("is_delta", col("vec_id") % DeltaMod === 0)
+      .pipelineCache()
+    val st = q.filter(!col("is_delta"))
+      .agg(count(lit(1)).as("n"), (0 until dims).map(d =>
+        sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
+      .collect().head
+    val n = st.getLong(0)
+    val qsum = (0 until dims).map(d =>
+      if (st.isNullAt(d + 1)) 0L else st.getLong(d + 1))
+    val bits = ndBitsFor(n)
+    val bands = ndBandsFor(bits)
+    // One codegen'd signature pass for BOTH sides (the production
+    // embeddingPairsLsh shape): all bands*bits sign bits as a literal
+    // plane projection — NOT a (vec, dim) melt joined to a plane
+    // frame, which materializes n*dims*bands*bits JOIN ROWS (fine for
+    // d26's 500-id audit slice, ~100x the work for a corpus-wide
+    // sign). The integer inequality dot(qvd, w)*n >= sum(w*qsum)
+    // replaces FP mean-centering: every intermediate is an integer
+    // below 2^53, so the codegen'd double dot is EXACT and the DuckDB
+    // twin reproduces each bit. Projection is cached BEFORE the
+    // explode (a Generate subtree never codegens — the lesson at
+    // embeddingPairsLsh).
+    def bandKey(b: Int): Column = (0 until bits).map { i =>
+      val p = b * bits + i
+      val plane = array((0 until dims).map(d =>
+        lit(Text.planeWeight(p, d))): _*)
+      val off = (0 until dims).map(d =>
+        if (Text.planeWeight(p, d) > 0) qsum(d) else -qsum(d)).sum
+      when(Text.dot(col("qvd"), plane).cast("long") * lit(n) >= lit(off),
+        1L << i).otherwise(0L)
+    }.reduce(_ + _)
+    val keyedAll = q
+      .withColumn("qvd", transform(col("v"), x => round(x * 1e6)))
+      .select(col("vec_id"), col("is_delta"),
+        array((0 until bands).map(b => struct(lit(b).as("band"),
+          bandKey(b).as("bk"))): _*).as("bks"))
+      .pipelineCache()
+    val keys = keyedAll
+      .select(col("vec_id"), col("is_delta"), explode(col("bks")).as("k"))
+      .select(col("vec_id"), col("is_delta"),
+        col("k.band").as("band"), col("k.bk").as("bk"))
+    // persisted-index posture: keys built once per corpus (at
+    // production this is the stored banded table)
+    val idxKeys = graft.core.Materialize(s, s"d27-index|$dir") {
+      keys.filter(!col("is_delta"))
+        .select(col("vec_id"), col("band"), col("bk"))
+    }
+    val hot = idxKeys.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > NdMaxBucket)
+      .select(col("band"), col("bk"))
+    val cands = keys.filter(col("is_delta"))
+      .select(col("vec_id"), col("band"), col("bk")).as("d")
+      .join(idxKeys.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+        .as("i"),
+        col("d.band") === col("i.band") && col("d.bk") === col("i.bk"))
+      .select(col("d.vec_id").as("vec_id"), col("i.vec_id").as("old_vec"))
+      .distinct()
+    val vecs = q.select(col("vec_id"), col("v"), col("nrm"))
+    val verified = cands.as("c")
+      .join(vecs.as("a"), col("c.vec_id") === col("a.vec_id"))
+      .join(vecs.as("b"), col("c.old_vec") === col("b.vec_id"))
+      .select(col("c.vec_id").as("vec_id"),
+        col("c.old_vec").as("old_vec"),
+        round(Text.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")) * 1e6).cast("long")
+          .as("cos_micro"))
+    val t = (NearDupCosThreshold * 1e6).toLong
+    val isMatch = col("cos_micro") >= t
+    val per = verified.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(isMatch.cast("long")).as("n_matches"),
+        max(when(isMatch, struct(col("cos_micro"),
+          (-col("old_vec")).as("neg")))).as("bm"))
+    q.filter(col("is_delta")).select(col("vec_id"))
+      .join(per, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        (coalesce(col("n_matches"), lit(0L)) === 0L).cast("long")
+          .as("admitted"),
+        (-col("bm.neg")).as("best_match"),
+        col("bm.cos_micro").as("best_cos_micro"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Bottom-k fingerprint keys, hot-key capped like the band index
     * (a viral shingle's bucket would otherwise go quadratic). */

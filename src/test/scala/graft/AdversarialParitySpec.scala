@@ -923,6 +923,12 @@ class AdversarialParitySpec extends SparkSpec {
 
   /** Hash-exact in the offline sweep, no committed per-value pin. */
   private val sweepCovered: Set[String] = Set(
+    // d27: hash-exact at sf0.001/0.01/0.1 and at sf1 (r15 sweep) — the
+    // geometry-in-SQL twin (ndGeometrySqlCase) tracks the engine at
+    // any corpus size, so no sf pin and no brute bound; the planted
+    // value grade (exact + cos-0.97 dups across the delta/index
+    // boundary, tie-break, background admission) is DeltaAdmissionSpec
+    "d27_delta_admission",
     "p16_approx_fds",
     "p15_heavy_hitters", "mm5_modality_manifest", "e11_shard_integrity",
     "d10_substring_windows", "d11_semantic_dedup", "d12_fuzzy_decontamination",

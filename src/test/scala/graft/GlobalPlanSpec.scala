@@ -274,6 +274,14 @@ class GlobalPlanSpec extends SparkSpec {
     // cost 26 shuffles and 7.1 s of per-job overhead; this is 17 and
     // 1.9 s at sf0.1 (constant at any corpus size)
     "d26_lsh_geometry_sweep" -> 17,
+    // d27: one cached signature projection for both sides (stats agg +
+    // cache fill), persisted-index Materialize boundary, hot-cap
+    // groupBy + anti, the delta-vs-index key-equality probe join +
+    // distinct, two id-joins for verify, the per-delta agg and the
+    // delta-spine left join + presentation sort. Every join is
+    // key-equality; the only corpus-wide shuffles carry (vec_id,
+    // band, bk) keys
+    "d27_delta_admission" -> 15,
     "e9_curriculum_buckets" -> 3,
     "s11_cluster_report" -> 6,
     // 24 static = s1+s6+s7 composed whole (s9's rationale: the report
