@@ -24,8 +24,14 @@ object Check {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val names =
-      if (args.length > 1) args.drop(1).toSet else DefaultChecks
+    // args after the dir: check names, plus (for collect_ratio) an
+    // optional query-name filter — any arg matching a SparkEntry query
+    // restricts the ratio loop to those queries
+    val (queryFilter, checkNames) =
+      args.drop(1).partition(SparkEntry.queries.contains)
+    val names = if (checkNames.nonEmpty) checkNames.toSet
+      else if (queryFilter.nonEmpty) Set("collect_ratio")
+      else DefaultChecks
     val unknown = names -- KnownChecks
     if (unknown.nonEmpty)
       System.err.println(
@@ -113,7 +119,9 @@ object Check {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       Bench.groups.foreach { group =>
-        group.filter(SparkEntry.queries.contains).foreach { name =>
+        group.filter(SparkEntry.queries.contains)
+          .filter(n => queryFilter.isEmpty || queryFilter.contains(n))
+          .foreach { name =>
           val q = SparkEntry.queries(name)
           q(spark, dir).count()
           val tc = time(q(spark, dir).count())
