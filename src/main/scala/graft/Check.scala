@@ -17,7 +17,7 @@ object Check {
     * this set, so a renamed check can't orphan a register reason. */
   val KnownChecks: Set[String] = Set(
     "d9_consistency", "p16_shard_ab", "p16_count_vs_collect",
-    "collect_ratio", "nd_channel_stats")
+    "collect_ratio", "nd_channel_stats", "st_profile")
   /** The always-run scale-leg invariants; the rest are opt-in timing
     * diagnostics (see the Scaladoc above). */
   val DefaultChecks: Set[String] = Set("d9_consistency")
@@ -69,6 +69,58 @@ object Check {
         dedup.DedupQueries.NdTargetBucket} " +
         (4L to 10L).map(b => s"cband$b=${rows.getOrElse(b, 0L)}")
           .mkString(" "))
+    }
+    // st_profile: where do the st-family's bench seconds actually go?
+    // Runs each streaming query once (same entry point the bench
+    // times) with a StreamingQueryListener attached and prints, per
+    // micro-batch, Spark's own durationMs breakdown (addBatch = run
+    // the batch plan, getBatch/latestOffset = source work, walCommit/
+    // commitOffsets = checkpoint log fsyncs, queryPlanning = per-batch
+    // planning) plus the wall time around the whole query. The
+    // optimization-round diagnostic behind any st-overhead work: the
+    // bench cost of an st query at sf0.1 is dominated by fixed
+    // machinery, and this check names which piece.
+    if (names("st_profile")) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryIdle(
+            e: StreamingQueryListener.QueryIdleEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          def g(k: String): Long =
+            Option(d.get(k)).map(_.longValue).getOrElse(-1L)
+          lines.add(s"batch=${p.batchId} rows=${p.numInputRows} " +
+            s"trigger=${g("triggerExecution")} addBatch=${g("addBatch")} " +
+            s"getBatch=${g("getBatch")} latestOffset=${g("latestOffset")} " +
+            s"planning=${g("queryPlanning")} wal=${g("walCommit")} " +
+            s"commit=${g("commitOffsets")}")
+        }
+      }
+      spark.streams.addListener(listener)
+      val stNames = Bench.groups.last
+        .filter(n => queryFilter.isEmpty || queryFilter.contains(n))
+      // two passes per query: pass 1 absorbs codegen/JIT cold cost,
+      // pass 2 is the steady state the bench's median-of-3 reports
+      stNames.foreach { name =>
+        (1 to 2).foreach { pass =>
+          lines.clear()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          // drain with a small grace period: progress events are async
+          Thread.sleep(200)
+          println(f"CHECK st_profile query=$name pass=$pass wall_s=$wall%.2f")
+          lines.forEach(l => println(s"CHECK st_profile   $l"))
+        }
+      }
+      spark.streams.removeListener(listener)
     }
     if (names("d9_consistency")) {
       val v = dedup.DedupQueries.embeddingClusterViolations(spark, dir)

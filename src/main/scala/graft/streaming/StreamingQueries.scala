@@ -39,6 +39,36 @@ object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
 
+  /** Compressed input bytes per stream shuffle/state partition. AQE is
+    * DISABLED for stateful streaming (Spark refuses to re-plan a state
+    * shuffle), so the batch path's "let AQE coalesce the excess"
+    * posture does not exist here: whatever `spark.sql.shuffle.partitions`
+    * says at stream start is pinned into the checkpoint for the query's
+    * lifetime, and EVERY micro-batch — including the final no-data
+    * batch that advances the watermark — schedules one task per state
+    * partition, each paying a state-store open + version commit (file
+    * IO) even when its state is empty. Measured at sf0.1 (st_profile,
+    * warm): the empty finalization batch alone cost 0.65-0.77 s at the
+    * session default of 32 partitions — pure idle-state-commit
+    * overhead on KB of state. So the stream harness derives the
+    * partition count from the source's file bytes (the same
+    * size-derived rule AQE would apply), bounded above by the session
+    * setting so a cluster-sized configuration is never exceeded and
+    * large inputs keep their parallelism: a 100-TB ingest saturates
+    * the bound, a KB-state bench stream stops paying 32 idle commits
+    * per batch. Override via SPARK_GRAFT_STREAM_PART_BYTES. */
+  val StreamPartBytes: Long = sys.env
+    .getOrElse("SPARK_GRAFT_STREAM_PART_BYTES", s"${8L << 20}").toLong
+
+  /** Size-derived stream partition suggestion, recorded by
+    * [[streamTable]] for [[runStream]] to apply at start. */
+  private def suggestStreamParts(s: SparkSession, bytes: Long): Unit = {
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(cap.toLong,
+      (bytes + StreamPartBytes - 1) / StreamPartBytes))
+    s.conf.set("graft.stream.suggestedPartitions", parts.toString)
+  }
+
   /** Stream a scale-factor parquet table through the file source.
     * Schema comes from the batch catalog ([[Tables.table]]), and the
     * dual-vintage events-ts dispatch IS the batch catalog's — one
@@ -51,6 +81,14 @@ object StreamingQueries {
     if (name == "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/$name.parquet").schema
+    suggestStreamParts(s, try {
+      val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).mapToLong(f =>
+          try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+          .sum()
+      else java.nio.file.Files.size(p)
+    } catch { case _: Exception => Long.MaxValue })
     val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
     if (name == "events") Tables.normalizeEventsTs(src) else src
@@ -74,6 +112,21 @@ object StreamingQueries {
   private def runStream(df: DataFrame, mode: String): DataFrame = {
     val nm = s"graft_stream_${runId.incrementAndGet()}"
     val spark = df.sparkSession
+    // Apply the size-derived partition suggestion (see
+    // [[StreamPartBytes]]) for the stream's lifetime only: the value is
+    // snapshotted into the checkpoint at start, so it must be in force
+    // before .start() and can only be restored after termination. Never
+    // raises above the session setting (min with the prior value).
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.getOption("graft.stream.suggestedPartitions")
+      .map(_.toInt).filter(_ < prior.toInt).foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try runStreamInner(df, mode, nm, spark)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
+  private def runStreamInner(df: DataFrame, mode: String, nm: String,
+      spark: SparkSession): DataFrame = {
     // system property first so the sink-parity spec can flip it in-JVM
     val sink = sys.props.get("graft.stream.sink")
       .orElse(sys.env.get("SPARK_GRAFT_STREAM_SINK"))
