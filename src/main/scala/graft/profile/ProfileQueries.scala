@@ -462,16 +462,34 @@ object ProfileQueries {
                 col(c).cast("long").as("v"))
           }
           .reduce(_ unionByName _)
-          .filter(col("v").isNotNull).distinct().pipelineCache()
-        val sizes = dv.groupBy(col("col_name")).agg(count(lit(1)).as("n"))
-        val inter = dv.select(col("col_name").as("col_a"), col("v"))
-          .join(dv.select(col("col_name").as("col_b"), col("v")), "v")
+          .filter(col("v").isNotNull)
+        // ONE value-keyed shuffle with map-side set-dedup (collect_set
+        // partial-aggregates, so duplicate (col, v) pairs die in the
+        // map task) replaces the previous distinct + value SELF-JOIN,
+        // which shuffled the distinct set twice more to re-pair columns
+        // by value. For each value the grouped row holds the set of
+        // columns containing it (bounded by |InclusionKeyCols|, so the
+        // in-row pair expansion is O(k²) on an 11-column set, never
+        // data-sized); n_common = #values where both columns appear,
+        // n_a = #values where col_a appears — identical by definition
+        // to the old distinct-pair counts.
+        val grouped = dv.groupBy(col("v"))
+          .agg(collect_set(col("col_name")).as("cols")).pipelineCache()
+        val sizes = grouped
+          .select(explode(col("cols")).as("col_name"))
+          .groupBy(col("col_name")).agg(count(lit(1)).as("n"))
+        val inter = grouped
+          .select(explode(col("cols")).as("col_a"), col("cols"))
+          .select(col("col_a"), explode(col("cols")).as("col_b"))
           .filter(col("col_a") =!= col("col_b"))
           .groupBy(col("col_a"), col("col_b"))
           .agg(count(lit(1)).as("n_common"))
         inter
-          .join(sizes.withColumnRenamed("col_name", "col_a")
-            .withColumnRenamed("n", "n_a"), "col_a")
+          // sizes is one row per profiled column (|InclusionKeyCols|),
+          // but it hides behind the cache so the planner can't see
+          // that — hint the broadcast explicitly (guide §3.1)
+          .join(broadcast(sizes.withColumnRenamed("col_name", "col_a")
+            .withColumnRenamed("n", "n_a")), "col_a")
           .withColumn("containment",
             floor(col("n_common").cast("double") / col("n_a") * 1e6 + 0.5)
               / 1e6)
