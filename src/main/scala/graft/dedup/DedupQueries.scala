@@ -52,6 +52,18 @@ object DedupQueries {
     * keys and exact-rerank (approximate by design — the price of
     * avoiding an O(n^2) scan at 100 TB). */
   val NearDupBruteMax = 1000L
+
+  /** Deduplicated-edge count at or below which [[connectedComponents]]
+    * labels components with a single driver-side union-find pass
+    * instead of the star-contraction loop (the p12/p16 row-gated
+    * pattern; ~32 MB of (long, long) rows at the gate — the d7
+    * bounded-collect class, and the bound is enforced by the gate
+    * itself). Near-dup pair graphs are SPARSE by construction (every
+    * producer caps per-bucket candidates), so the edge list is orders
+    * of magnitude smaller than the corpus: sf1 measures 27k embedding
+    * edges, so even sf100 sits well under this gate while a true
+    * 100-TB graph falls back to the loop. */
+  val CcDriverMaxEdges = 2000000L
   val NdBands = 12
   val NdBits = 4
   val NdMaxBucket = 2000
@@ -297,8 +309,7 @@ object DedupQueries {
     //      consumes: pairs -> clusters -> keep one canonical doc.
     "d6_dup_clusters" -> QueryDef(
       (s, dir) => {
-        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
-        val comp = connectedComponents(docs, minhashPairs(s, dir))
+        val comp = minhashComponents(s, dir)
         val sizes = comp.groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("cluster_size"))
         comp.join(sizes, "cluster_id")
@@ -338,8 +349,7 @@ object DedupQueries {
     //      deterministic decision, no extra shuffle.
     "d8_leakage_safe_split" -> QueryDef(
       (s, dir) => {
-        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
-        val comp = connectedComponents(docs, minhashPairs(s, dir))
+        val comp = minhashComponents(s, dir)
         val u = (conv(substring(md5(col("cluster_id").cast("string")
           .cast("binary")), 1, 15), 16, 10).cast("long") % 1000L)
           .cast("double") / 1000.0
@@ -492,6 +502,20 @@ object DedupQueries {
         .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
     }
 
+  /** The dedup cluster assignment over the d2 verified pair table,
+    * materialized once per data dir like the pair table itself: d6
+    * (cluster report), d8 (leakage-safe split) and d13/e7 (quality
+    * canonical) all consume the SAME components, and before this helper
+    * each consumer re-ran the full connectedComponents computation —
+    * three identical cluster builds per bench pass. A production
+    * pipeline checkpoints the cluster assignment exactly once next to
+    * the pair table (the Materialize contract documented there). */
+  def minhashComponents(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"d2-components|$dir") {
+      val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+      connectedComponents(docs, minhashPairs(s, dir))
+    }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14 — the standard O(log² n)-round algorithm, vs the
@@ -508,9 +532,22 @@ object DedupQueries {
     * a star per component centred on the component-min id. Throws if the
     * fixpoint is not reached within `maxRounds` (cannot happen below
     * 2^maxRounds nodes) rather than silently returning split clusters.
-    * Returns (doc_id, cluster_id = component-min doc id). */
+    * Returns (doc_id, cluster_id = component-min doc id).
+    *
+    * Below `driverMaxEdges` deduplicated edges the components are
+    * instead computed by ONE driver-side union-find pass over the
+    * collected edge list (the p12/p16 row-gated posture): the
+    * distributed loop costs O(rounds) shuffle jobs plus a checksum
+    * action and a lineage checkpoint per round — measured 1-2 s of
+    * fixed job overhead per consumer at sf0.1 — while 2M (long, long)
+    * edges are ~32 MB on the driver and union-find labels them in
+    * milliseconds. The gate input (the edge count) is already computed
+    * for the convergence checksum, so the decision costs nothing, and
+    * above the gate the loop below is byte-identical to before
+    * (CcForcedBranchSpec pins driver/loop equality on the same graph). */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30,
+      driverMaxEdges: Long = CcDriverMaxEdges): DataFrame = {
     var edges = pairs
       .select(least(col("doc1"), col("doc2")).as("a"),
         greatest(col("doc1"), col("doc2")).as("b"))
@@ -525,6 +562,33 @@ object DedupQueries {
       (r.getLong(0), r.getLong(1))
     }
     var chk = checksum(edges)
+    if (chk._1 > 0L && chk._1 <= driverMaxEdges) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      // min-id-rooted union-find: roots are component minima because
+      // union always attaches the larger root under the smaller one
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      // materialize keys BEFORE the find() sweep: compression mutates
+      // values in place and LongMap iteration is not mutation-safe
+      val comp = parent.keys.toArray.map(k => (k, find(k))).sorted.toSeq
+        .toDF("node", "mn")
+      return docs.join(broadcast(comp),
+          docs("doc_id") === comp("node"), "left")
+        .select(docs("doc_id"),
+          coalesce(col("mn"), docs("doc_id")).as("cluster_id"))
+    }
     var round = 0
     var converged = chk._1 == 0L
     while (!converged && round < maxRounds) {
@@ -705,8 +769,7 @@ object DedupQueries {
     * effective-token accounting consumes the same frame, so "kept"
     * can never mean two things (the recallReport/recallSql pattern). */
   def qualityCanonical(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
-    val comp = connectedComponents(docs, minhashPairs(s, dir))
+    val comp = minhashComponents(s, dir)
     val q = graft.text.TextQueries.qualityFrame(s, dir)
       .select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("cluster_id"))

@@ -59,7 +59,11 @@ class DedupSpec extends SparkSpec {
     val n = 200L
     val docs = (0L until n).toDF("doc_id")
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc1", "doc2")
-    val out = DedupQueries.connectedComponents(docs, pairs).collect()
+    // driverMaxEdges = 0 forces the star-contraction loop: this test
+    // exists to prove the LOOP's round budget, and without the forced
+    // branch the driver union-find gate would quietly absorb it
+    val out = DedupQueries.connectedComponents(docs, pairs,
+      driverMaxEdges = 0L).collect()
     assert(out.length === n)
     assert(out.forall(_.getAs[Long]("cluster_id") == 0L))
     // two components + singletons keep distinct minima
@@ -75,6 +79,27 @@ class DedupSpec extends SparkSpec {
     val out3 = DedupQueries.connectedComponents(
       docs2, Seq.empty[(Long, Long)].toDF("doc1", "doc2")).collect()
     assert(out3.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+  }
+
+  test("CC forced-branch equality: driver union-find == star-contraction loop") {
+    import spark.implicits._
+    // adversarial mix: a long chain (deep union-find paths), a clique,
+    // duplicate + reversed edges, self-loops, isolated nodes — the same
+    // graph labeled by BOTH branches must agree row-for-row
+    val rnd = new scala.util.Random(7)
+    val chain = (100L until 160L).sliding(2).map(w => (w(1), w(0))).toSeq
+    val clique = for (i <- 0L until 8L; j <- 0L until i) yield (200L + i, 200L + j)
+    val random = Seq.fill(120)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+    val edges = (chain ++ clique ++ random ++ Seq((5L, 5L), (100L, 101L)))
+      .toDF("doc1", "doc2")
+    val docs = (0L until 260L).toDF("doc_id")
+    def sortedOut(driverMax: Long) =
+      DedupQueries.connectedComponents(docs, edges, driverMaxEdges = driverMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaDriver = sortedOut(Long.MaxValue)
+    val viaLoop = sortedOut(0L)
+    assert(viaDriver === viaLoop)
+    assert(viaDriver.length === 260)
   }
 
   test("d4 headroom: max (source, length-bucket) block size << D4MaxBlock at every test sf") {
