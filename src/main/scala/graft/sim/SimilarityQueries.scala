@@ -535,9 +535,24 @@ object SimilarityQueries {
     * methods, each graded against s1's exact truth — s9 instantiates
     * it for the uncompressed indexes (LSH/IVF), s12 for the compressed
     * ones (PQ/IVFADC). One shape, so the two reports can't diverge. */
+  /** s1's exact brute-force truth table, materialized once per data
+    * dir (the d2-pairs Materialize posture): FIVE audits grade against
+    * the same truth (s9, s12, s13, s14, s15), and each previously
+    * re-ran the full query × corpus brute scan just to learn it. The
+    * stored frame is NumQueries × TopK rows — bounded at any corpus
+    * size — and parquet round-trips its long/double columns exactly,
+    * so the audits are byte-identical to recomputing. s1 itself still
+    * computes its own plan from the parquet inputs (the timed query is
+    * never fed its own checkpoint). */
+  private def exactTruth(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.Materialize(s, s"s1-truth|$dir") {
+      baseDefs("s1_ann_bruteforce").fn(s, dir)
+    }
+
   private def recallReport(s: org.apache.spark.sql.SparkSession,
       dir: String, methods: Seq[(String, String)]): DataFrame = {
-    val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
+    val truth = exactTruth(s, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val m = methods.map { case (label, q) =>
       baseDefs(q).fn(s, dir).select(lit(label).as("method"),
@@ -837,7 +852,7 @@ object SimilarityQueries {
   private def s13Matryoshka(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val e = corpus(s, dir)
-    val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
+    val truth = exactTruth(s, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val per = MatryoshkaDims.map { d =>
       val ed = e.select(col("vec_id"), slice(col("v"), 1, d).as("vd"))
@@ -914,7 +929,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
+    val truth = exactTruth(s, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val tot = truth.agg(count(lit(1)).as("n_truth"))
     found.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
@@ -1299,7 +1314,7 @@ object SimilarityQueries {
       .withColumn("rnk_multi", row_number().over(w).cast("long"))
       .withColumn("rnk_band", sum(when(col("probed") === 0L, 1L)
         .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    val truth = baseDefs("s1_ann_bruteforce").fn(s, dir)
+    val truth = exactTruth(s, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val tot = truth.agg(count(lit(1)).as("n_truth"))
     val one = ranked
