@@ -687,7 +687,14 @@ object DedupQueries {
     * their hot-key cap, and the two-channel union `cpairs` — appended
     * after [[d2CoreSql]] (consumes its `base` and `capped`). Shared by
     * d18's oracle and d22's audit twin. */
-  private[graft] def containSqlCtes: String = s"""bkeys AS (
+  private[graft] def containSqlCtes: String = s"""cfp AS (
+        -- the engine's verify intersects 60-bit shingle fingerprints
+        -- (the signature chain's exact hash); mirror it bit-for-bit
+        SELECT doc_id, len(sh) AS n,
+          list_transform(sh,
+            s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS fp
+        FROM base
+      ), bkeys AS (
         SELECT doc_id, unnest(list_sort(list_distinct(
           list_transform(sh, s -> md5(s))))[1:$ContainBottomK]) AS fp
         FROM base
@@ -1625,19 +1632,19 @@ object DedupQueries {
         containmentVerify(containmentCandidates(s, dir), shingled(s, dir)),
       Some(s"""WITH $d2CoreSql, $containSqlCtes
       SELECT doc1, doc2,
-        CAST(len(a.sh) AS BIGINT) AS n1,
-        CAST(len(b.sh) AS BIGINT) AS n2,
-        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(a.sh), 6) AS c12,
-        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(b.sh), 6) AS c21,
-        CASE WHEN len(a.sh) <= len(b.sh) THEN doc1 ELSE doc2 END
+        CAST(a.n AS BIGINT) AS n1,
+        CAST(b.n AS BIGINT) AS n2,
+        CAST(len(list_intersect(a.fp, b.fp)) AS BIGINT) AS inter,
+        round(CAST(len(list_intersect(a.fp, b.fp)) AS DOUBLE)
+          / a.n, 6) AS c12,
+        round(CAST(len(list_intersect(a.fp, b.fp)) AS DOUBLE)
+          / b.n, 6) AS c21,
+        CASE WHEN a.n <= b.n THEN doc1 ELSE doc2 END
           AS contained_doc
-      FROM cpairs JOIN base a ON cpairs.doc1 = a.doc_id
-                  JOIN base b ON cpairs.doc2 = b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh)) * $ContainDenom >=
-        $ContainNum * least(len(a.sh), len(b.sh))
+      FROM cpairs JOIN cfp a ON cpairs.doc1 = a.doc_id
+                  JOIN cfp b ON cpairs.doc2 = b.doc_id
+      WHERE len(list_intersect(a.fp, b.fp)) * $ContainDenom >=
+        $ContainNum * least(a.n, b.n)
       ORDER BY doc1, doc2""")),
 
     // ---- d19: source overlap matrix — the venn diagram a data team
@@ -1885,17 +1892,15 @@ object DedupQueries {
         val hiRow = shingled(s, dir).agg(min(col("doc_id"))).collect().head
         val hi = if (hiRow.isNullAt(0)) Long.MinValue
           else hiRow.getLong(0) + LshEvalMaxId
-        val slice = shingled(s, dir)
-          .filter(col("doc_id") < hi && size(col("sh")) > 0)
-          .select(col("doc_id"), col("sh"))
+        val slice = shingleFps(shingled(s, dir)
+          .filter(col("doc_id") < hi && size(col("sh")) > 0))
         val truth = slice.select(col("doc_id").as("doc1"),
-            col("sh").as("sh1"))
+            col("n").as("n1"), col("fp").as("fp1"))
           .join(slice.select(col("doc_id").as("doc2"),
-            col("sh").as("sh2")), col("doc1") < col("doc2"))
-          .withColumn("n1", size(col("sh1")).cast("long"))
-          .withColumn("n2", size(col("sh2")).cast("long"))
+            col("n").as("n2"), col("fp").as("fp2")),
+            col("doc1") < col("doc2"))
           .withColumn("inter",
-            size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+            size(array_intersect(col("fp1"), col("fp2"))).cast("long"))
           .filter(col("inter") * ContainDenom >=
             least(col("n1"), col("n2")) * ContainNum)
           .select(col("doc1"), col("doc2"),
@@ -1927,21 +1932,20 @@ object DedupQueries {
       lo AS (
         SELECT min(doc_id) + $LshEvalMaxId AS hi FROM base
       ), slice AS (
-        SELECT doc_id, sh FROM base, lo WHERE doc_id < hi
+        SELECT doc_id, n, fp FROM cfp, lo WHERE doc_id < hi
       ), ctruth AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-          least(greatest(len(a.sh), len(b.sh)) //
-            least(len(a.sh), len(b.sh)), 4) AS ratio_bucket
+          least(greatest(a.n, b.n) // least(a.n, b.n), 4) AS ratio_bucket
         FROM slice a JOIN slice b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh)) * $ContainDenom >=
-          $ContainNum * least(len(a.sh), len(b.sh))
+        WHERE len(list_intersect(a.fp, b.fp)) * $ContainDenom >=
+          $ContainNum * least(a.n, b.n)
       ), cfound AS (
         SELECT doc1, doc2, 1 AS hit
-        FROM cpairs JOIN base a ON cpairs.doc1 = a.doc_id
-                    JOIN base b ON cpairs.doc2 = b.doc_id, lo
+        FROM cpairs JOIN cfp a ON cpairs.doc1 = a.doc_id
+                    JOIN cfp b ON cpairs.doc2 = b.doc_id, lo
         WHERE doc1 < hi AND doc2 < hi AND
-          len(list_intersect(a.sh, b.sh)) * $ContainDenom >=
-            $ContainNum * least(len(a.sh), len(b.sh))
+          len(list_intersect(a.fp, b.fp)) * $ContainDenom >=
+            $ContainNum * least(a.n, b.n)
       )
       SELECT CAST(ratio_bucket AS BIGINT) AS ratio_bucket,
         count(*) AS n_truth,
@@ -2817,18 +2821,33 @@ object DedupQueries {
   def containmentPairs(capped: DataFrame, docs: DataFrame): DataFrame =
     containmentVerify(candidatePairs(capped), docs)
 
+  /** Per-doc shingle fingerprints for the containment intersect: the
+    * signature chain's exact 60-bit shingle hash
+    * (conv(substr(md5, 1, 15))), as an array. The verify's cost is
+    * ~candidates × |sh| hash-set probes, and probing LONGS is several
+    * times cheaper than hashing gram strings per probe (guide §4's
+    * expression-choice lever; d16/d19's ship-fingerprints-not-strings
+    * idiom applied to compute). Distinct shingles keep distinct fps
+    * up to a 2^-60 truncated-md5 collision, and the DuckDB twins
+    * compute the SAME fingerprints, so engine and oracle stay
+    * hash-identical by construction. */
+  private def shingleFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      expr("transform(sh, s -> " +
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))")
+        .as("fp"))
+
   /** The exact containment verify over ANY ordered candidate-pair
     * frame (integer gate; see d18's doc comment). */
   def containmentVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val slim = shingleFps(docs)
     cands
-      .join(docs.select(col("doc_id").as("doc1"),
-        col("sh").as("sh1")), "doc1")
-      .join(docs.select(col("doc_id").as("doc2"),
-        col("sh").as("sh2")), "doc2")
+      .join(slim.select(col("doc_id").as("doc1"),
+        col("n").as("n1"), col("fp").as("fp1")), "doc1")
+      .join(slim.select(col("doc_id").as("doc2"),
+        col("n").as("n2"), col("fp").as("fp2")), "doc2")
       .withColumn("inter",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
-      .withColumn("n1", size(col("sh1")).cast("long"))
-      .withColumn("n2", size(col("sh2")).cast("long"))
+        size(array_intersect(col("fp1"), col("fp2"))).cast("long"))
       .filter(col("inter") * ContainDenom >=
         least(col("n1"), col("n2")) * ContainNum)
       .select(col("doc1"), col("doc2"), col("n1"), col("n2"),
