@@ -407,12 +407,20 @@ object ProfileQueries {
     val pairs = for { i <- cols.indices; j <- cols.indices if i != j }
       yield (i, j)
     def shardPlan(group: Seq[(Int, Int)]): org.apache.spark.sql.DataFrame = {
-      val melt = base.select(explode(array(group.map { case (i, j) =>
-          struct(lit(s"orders.${cols(i)}").as("det_col"),
+      // melt as a UNION of per-pair pruned scans, not
+      // explode(array(struct...)): a Generate subtree never enters
+      // whole-stage codegen (p11's lesson, measured there at 422 s of
+      // interpreted row expansion at sf100), while each union arm here
+      // is a codegen'd two-column columnar scan with its own partial
+      // aggregation — the shuffle volume is identical, the expansion
+      // cost isn't (sf0.1 full-materialization A/B: 9.6 -> 5.2 s
+      // same-JVM warm; sf10 legs in PERF.md)
+      val melt = group.map { case (i, j) =>
+          base.select(lit(s"orders.${cols(i)}").as("det_col"),
             lit(s"orders.${cols(j)}").as("dep_col"),
             col(cols(i)).cast("string").as("x"),
-            col(cols(j)).cast("string").as("y")) }: _*)).as("p"))
-        .select(col("p.*"))
+            col(cols(j)).cast("string").as("y")) }
+        .reduce(_ unionByName _)
       val xy = melt
         .groupBy(col("det_col"), col("dep_col"), col("x"), col("y"))
         .agg(count(lit(1)).as("c"))
