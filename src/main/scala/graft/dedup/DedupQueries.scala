@@ -1235,9 +1235,24 @@ object DedupQueries {
           .select(col("source"), col("lb"))
         val d = slim
           .join(broadcast(hot), Seq("source", "lb"), "left_anti")
-          .withColumn("sh", Text.charShingles(col("text"), 4))
+          // jaccard over 60-bit 4-gram fingerprints, not gram strings
+          // (d18's verify idiom): the pair intersect/union is the whole
+          // cost of this similarity report — count() hides it, the
+          // collect_ratio census measured it at 18.8 s of sf0.1 string
+          // hashing — and long probes are several times cheaper. The
+          // twin computes the same fingerprints, so the two engines
+          // stay hash-identical; values differ from raw-gram jaccard
+          // only on a 2^-60 truncated-md5 collision.
+          .withColumn("sh", transform(Text.charShingles(col("text"), 4),
+            s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
           .select(col("doc_id"), col("source"), col("n_chars"), col("lb"),
             col("sh"))
+          // cached: BOTH join sides (probes and build) consume this
+          // frame, and the interpreted gram extraction is the real cost
+          // (noop-profiled at sf0.1: one sh build ~6 s, the 50k pair
+          // intersects ~0.5 s) — without the cache each side re-derives
+          // it, so the whole query pays the build 2-3x
+          .pipelineCache()
         val probes = d.select(col("doc_id"), col("source"), col("n_chars"),
           col("sh"), explode(array(col("lb") - 1, col("lb"), col("lb") + 1))
             .as("pb"))
@@ -1253,9 +1268,13 @@ object DedupQueries {
       Some(s"""WITH raw AS (
         SELECT doc_id, source, n_chars,
           floor(n_chars / $LengthTolerance) AS lb,
+          -- 60-bit 4-gram fingerprints, mirroring the engine's
+          -- conv(substr(md5, 1, 15)) exactly (see the engine comment)
           CASE WHEN length(lower(text)) >= 4 THEN
-            list_distinct(list_transform(range(0, length(lower(text)) - 3),
-              j -> substr(lower(text), j+1, 4)))
+            list_transform(
+              list_distinct(list_transform(range(0, length(lower(text)) - 3),
+                j -> substr(lower(text), j+1, 4))),
+              s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
           ELSE [] END AS sh
         FROM documents
       ), d AS (
