@@ -56,9 +56,19 @@ object StreamingQueries {
     * setting so a cluster-sized configuration is never exceeded and
     * large inputs keep their parallelism: a 100-TB ingest saturates
     * the bound, a KB-state bench stream stops paying 32 idle commits
-    * per batch. Override via SPARK_GRAFT_STREAM_PART_BYTES. */
+    * per batch. Override via SPARK_GRAFT_STREAM_PART_BYTES.
+    *
+    * The 256 KiB default is MEASURED, not guessed: the divisor is
+    * compressed columnar bytes while stream work is per-row compute on
+    * decompressed rows (PII regexes, shingle hashing — a 10-20x
+    * expansion), so IO-sized targets starve compute. Grid at sf1
+    * (parquet sink, single-run legs): 8 MiB regressed the st family
+    * ~12% vs the fixed-32 baseline (72 -> 83 s; docs streams fell to 1
+    * partition), 256 KiB beat it (69.5 s); at sf0.1 (the driver's
+    * bench scale) 256 KiB also beat 8 MiB (13.7 vs 16.3 s vs 20.4
+    * baseline, median-of-3). */
   val StreamPartBytes: Long = sys.env
-    .getOrElse("SPARK_GRAFT_STREAM_PART_BYTES", s"${8L << 20}").toLong
+    .getOrElse("SPARK_GRAFT_STREAM_PART_BYTES", s"${256L << 10}").toLong
 
   /** Size-derived stream partition suggestion, recorded by
     * [[streamTable]] for [[runStream]] to apply at start. */
