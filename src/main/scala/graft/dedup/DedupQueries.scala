@@ -1123,18 +1123,24 @@ object DedupQueries {
           .filter(col("jac") >= JaccardThreshold)
           .select(col("doc_id"), col("old_doc"),
             round(col("jac"), 6).as("jaccard"))
+        // ONE window pass yields both the best match and the match
+        // count: the old `best` + `counts` pair each re-derived the
+        // whole pairs->est->verify subtree (every upstream join ran
+        // twice), while row_number and the per-partition count share a
+        // single doc_id shuffle — identical values by definition
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("jaccard").desc, col("old_doc"))
-        val best = verified.withColumn("rn", row_number().over(w))
+        val summary = verified
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_index_matches",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
           .filter(col("rn") === 1)
-          .select(col("doc_id"), col("old_doc").as("nearest_old_doc"),
+          .select(col("doc_id"), col("n_index_matches"),
+            col("old_doc").as("nearest_old_doc"),
             col("jaccard").as("max_jaccard"))
-        val counts = verified.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_index_matches"))
         Tables.table(s, dir, "documents").filter(isDelta)
           .select(col("doc_id"))
-          .join(counts, Seq("doc_id"), "left")
-          .join(best, Seq("doc_id"), "left")
+          .join(summary, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
             coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
