@@ -234,10 +234,19 @@ object StreamingQueries {
     * join, which streaming forbids). */
   private[streaming] def st9Stream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.table(s, dir, "events")
-      .groupBy($"event_type")
-      .agg((dsum($"value").cast("double") /
-        count(lit(1))).as("base_mean"))
+    // the baseline is a static artifact of the corpus snapshot;
+    // materialized because a stream-static join re-evaluates the
+    // static side's plan EVERY micro-batch — without the checkpoint
+    // each batch (including the empty watermark-finalization batch)
+    // re-aggregated the whole events table to rebuild the broadcast,
+    // which is also exactly what a production drift monitor pins:
+    // the baseline must NOT drift with the stream it grades
+    val base = graft.core.Materialize(s, s"st9-baseline|$dir") {
+      Tables.table(s, dir, "events")
+        .groupBy($"event_type")
+        .agg((dsum($"value").cast("double") /
+          count(lit(1))).as("base_mean"))
+    }
     val enriched = streamTable(s, dir, "events")
       .withWatermark("ts", "0 seconds")
       .join(broadcast(base), "event_type")
