@@ -2998,11 +2998,19 @@ object DedupQueries {
     // generator is a trivial explode(attribute). The cache also lets the
     // three consumers below (hot-bucket count + both self-join sides)
     // share one signature pass instead of three.
+    //
+    // The keys come from ONE native expression holding the whole plane
+    // family as a flat primitive matrix ([[graft.functions
+    // .HyperplaneBandKeys]]) instead of bands × bits composite
+    // (graft_dot ≥ offset) terms: the composite tree grows with the
+    // corpus (ndBitsFor/ndBandsFor — 48 dots at sf0.1, 165 at sf10) and
+    // was the measured signature-build dominator at sf10. Keys are
+    // bit-identical (same multiply-add order, same driver-computed
+    // offsets, same "band:key" rendering — BandKeysParitySpec).
     val keyed = e
-      .select(col("vec_id"), array((0 until bands).map(b =>
-        concat_ws(":", lit(b),
-          Text.hyperplaneBandKey(col("v"), b, bits, dims, center))): _*)
-        .as("bks"))
+      .select(col("vec_id"),
+        graft.functions.HyperplaneBandKeys
+          .keys(col("v"), bands, bits, dims, center).as("bks"))
       .pipelineCache()
     val banded = keyed.select(col("vec_id"), explode(col("bks")).as("bk"))
     val hot = banded.groupBy(col("bk"))
