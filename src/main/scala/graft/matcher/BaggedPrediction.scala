@@ -91,9 +91,18 @@ object BaggedPrediction {
       .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "label")
     val nf = FeatureMatrix.nameFeatures(
       bagged.select(col("col_name")).distinct(), pool)
-    val feat = ColumnProfiler.profile(bagged)
-      .join(ColumnProfiler.typeShares(bagged), Seq("col_name"))
-      .join(ColumnProfiler.inferredTypeOneHots(bagged).drop("inferred_type"),
+    // profile + type shares in ONE base aggregation pass
+    // (ColumnProfiler.profileWithShares — values identical to the
+    // profile ⋈ typeShares pair it replaces, one fewer full pass over
+    // the bag table and one fewer join, guide §2.4)
+    // boundedInput: every bag column holds exactly bagSize values, so
+    // when bagSize ≤ TypeSampleN the type vote's sample window is an
+    // identity selection — skip its shuffle+sort (values unchanged;
+    // see inferredTypeOneHots)
+    val feat = ColumnProfiler.profileWithShares(bagged)
+      .join(ColumnProfiler.inferredTypeOneHots(bagged,
+          boundedInput = bagSize <= ColumnProfiler.TypeSampleN)
+        .drop("inferred_type"),
         Seq("col_name"))
       .join(nf, col("col_name") === nf("query_col"))
       .select(col("col_name") +: FeatureMatrix.featureCols.map(c =>

@@ -130,9 +130,12 @@ object FeatureMatrix {
     // held — and rebalanced: the bounded sample is one small file, and
     // the profiler's explode-heavy passes must not start on one task
     val m = graft.sources.Tables.rebalance(sampledMelt(spark, dir, tables))
-    var out = ColumnProfiler.profile(m)
-    if (config.needsTypeShares)
-      out = out.join(ColumnProfiler.typeShares(m), Seq("col_name"))
+    // shares folded into the profile's base pass when active (one
+    // aggregation + no join instead of two passes; identical values —
+    // see ColumnProfiler.profileWithShares)
+    var out =
+      if (config.needsTypeShares) ColumnProfiler.profileWithShares(m)
+      else ColumnProfiler.profile(m)
     if (config.needsTypeOneHots)
       out = out.join(
         ColumnProfiler.inferredTypeOneHots(m).drop("inferred_type"),

@@ -112,26 +112,101 @@ object Resampler {
     * ClassImbalanceResampler.scala:186-205). Columns shorter than
     * `bagSize` are first filled by replicating their values — the
     * reference's sampling-with-replacement fill (:271-300, 342-351).
-    * `bagCount` is a per-row Column so the training path can vary bags
-    * per attribute. Input must be a bounded melt (S9); every window
-    * partition is then <= 4n rows. */
-  private def bagExplode(melted: DataFrame, bagCount: Column, bagSize: Int,
-      seed: Long): DataFrame = {
-    val nPer = melted.groupBy(col("col_name")).agg(count(lit(1)).as("n_col"))
-    val withN = melted.join(broadcast(nPer), "col_name")
-    val copies = when(col("n_col") >= bagSize, 1L)
-      .otherwise(ceil(lit(bagSize).cast("double") / col("n_col")).cast("long"))
-    val exploded = withN
-      .withColumn("copy", explode(sequence(lit(1L), copies)))
-      .withColumn("bag_id",
-        explode(sequence(lit(0L), bagCount.cast("long") - 1L)))
-    val w = Window.partitionBy(col("col_name"), col("bag_id"))
-      .orderBy(
-        xxhash64(col("value"), col("copy"), col("bag_id"), lit(seed)),
-        col("value"))
-    exploded.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= bagSize)
-      .select(col("col_name"), col("bag_id"), col("value"))
+    * `bagCountFor` maps a column to its bag count so the training path
+    * can vary bags per attribute. Input must be a bounded melt (S9).
+    *
+    * Shape (r16): ONE shuffle of the melt rows keyed by column, bags
+    * generated group-locally. The previous form exploded copies × bags
+    * FIRST (the m8 default: 50× the melt) and shuffled the inflated
+    * row set into a rank window — the exact explode-before-shuffle
+    * trap guide §3.3 names, measured as m8's single largest stage
+    * (1.6–2.5 s of m8's 2.3–3.6 s at sf0.1). Here the shuffle carries
+    * only the S9-bounded melt (≤ 4·SampleN rows per group — the bound
+    * that makes a per-group array safe, the CC-driver-gate posture)
+    * and each group emits its bags from one in-memory pass. Values are
+    * BIT-IDENTICAL: the same xxhash64(value, copy, bag_id, seed) chain
+    * (seed 42, null-skipping — replicated via the engine's own
+    * XxHash64Function), the same (hash, value-binary) order with the
+    * same bottom-`bagSize` cut (BagParitySpec pins old-vs-new equality;
+    * the m4/m6/m7/m8 prediction pins guard it end-to-end). */
+  private def bagExplode(melted: DataFrame, bagCountFor: String => Long,
+      bagSize: Int, seed: Long): DataFrame = {
+    val spark = melted.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    melted.select(col("col_name"), col("value")).as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cn: String, it: Iterator[(String, String)]) =>
+        val bags = bagCountFor(cn)
+        if (bags <= 0L) Iterator.empty
+        else {
+          val vals = it.map(_._2).toArray
+          val n = vals.length
+          val copies =
+            if (n >= bagSize) 1L
+            else math.ceil(bagSize.toDouble / n).toLong
+          // candidates = melt rows × copies, exactly the old explode;
+          // precompute the hash chain prefix h(42 → value → copy) once
+          // per candidate (null value skipped, the xxhash64 contract)
+          val nc = n * copies.toInt
+          val cand = new Array[UTF8String](nc)
+          val pre = new Array[Long](nc)
+          var j = 0
+          var i = 0
+          while (i < n) {
+            val v = vals(i)
+            val u = if (v == null) null else UTF8String.fromString(v)
+            val hv =
+              if (v == null) 42L
+              else XxHash64Function.hash(u, StringType, 42L)
+            var c = 1L
+            while (c <= copies) {
+              cand(j) = u
+              pre(j) = XxHash64Function.hash(c, LongType, hv)
+              c += 1L; j += 1
+            }
+            i += 1
+          }
+          val idx = new Array[Integer](nc)
+          val take = math.min(bagSize, nc)
+          (0L until bags).iterator.flatMap { b =>
+            val hs = new Array[Long](nc)
+            var k = 0
+            while (k < nc) {
+              hs(k) = XxHash64Function.hash(seed, LongType,
+                XxHash64Function.hash(b, LongType, pre(k)))
+              idx(k) = k
+              k += 1
+            }
+            // (hash asc, value binary asc nulls-first) — the window's
+            // orderBy(xxhash64(...), value)
+            java.util.Arrays.sort(idx, (x: Integer, y: Integer) => {
+              val hc = java.lang.Long.compare(hs(x), hs(y))
+              if (hc != 0) hc
+              else {
+                val a = cand(x); val bb = cand(y)
+                if (a == null && bb == null) 0
+                else if (a == null) -1
+                else if (bb == null) 1
+                else a.compareTo(bb)
+              }
+            })
+            // strict emission: idx/hs are reused across bags, so the
+            // rows must be materialized before the next bag re-sorts
+            val out = new Array[(String, Long, String)](take)
+            var r = 0
+            while (r < take) {
+              val u = cand(idx(r))
+              out(r) = (cn, b, if (u == null) null else u.toString)
+              r += 1
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("col_name", "bag_id", "value")
   }
 
   /** Prediction-path bagging (reference testBagging,
@@ -139,7 +214,7 @@ object Resampler {
     * values per column. Returns (col_name, bag_id, value). */
   def assignBags(melted: DataFrame, numBags: Int = DefaultNumBags,
       bagSize: Int = DefaultBagSize, seed: Long = 501L): DataFrame =
-    bagExplode(melted, lit(numBags), bagSize, seed)
+    bagExplode(melted, _ => numBags.toLong, bagSize, seed)
 
   /** Per-class rebalanced bag counts for the training path (reference
     * bagging + numBagsSequence, ClassImbalanceResampler.scala:216-268,
@@ -190,7 +265,8 @@ object Resampler {
       bagSize: Int = DefaultBagSize, seed: Long = 501L): DataFrame = {
     val counts = trainingBagCounts(labels, strategy, numBags)
       .filter(_._2 > 0).toMap
-    val bagCount = coalesce(typedLit(counts).apply(col("col_name")), lit(0L))
-    bagExplode(melted.filter(bagCount > 0), bagCount, bagSize, seed)
+    val inCounts = typedLit(counts.keys.toSeq)
+    bagExplode(melted.filter(array_contains(inCounts, col("col_name"))),
+      c => counts.getOrElse(c, 0).toLong, bagSize, seed)
   }
 }
