@@ -17,7 +17,7 @@ object Check {
     * this set, so a renamed check can't orphan a register reason. */
   val KnownChecks: Set[String] = Set(
     "d9_consistency", "p16_shard_ab", "p16_count_vs_collect",
-    "collect_ratio", "nd_channel_stats", "st_profile")
+    "collect_ratio", "nd_channel_stats", "st_profile", "m8_profile")
   /** The always-run scale-leg invariants; the rest are opt-in timing
     * diagnostics (see the Scaladoc above). */
   val DefaultChecks: Set[String] = Set("d9_consistency")
@@ -104,11 +104,17 @@ object Check {
         }
       }
       spark.streams.addListener(listener)
-      val stNames = Bench.groups.last
+      // st group selected BY NAME PREFIX, not position — appending a
+      // new group to Bench.groups must not silently re-point this
+      // diagnostic (r15 ADVICE); listener removal in finally so a
+      // failing query can't leak it into the rest of the session
+      val stNames = Bench.groups
+        .find(g => g.nonEmpty && g.forall(_.startsWith("st")))
+        .getOrElse(Seq.empty)
         .filter(n => queryFilter.isEmpty || queryFilter.contains(n))
       // two passes per query: pass 1 absorbs codegen/JIT cold cost,
       // pass 2 is the steady state the bench's median-of-3 reports
-      stNames.foreach { name =>
+      try stNames.foreach { name =>
         (1 to 2).foreach { pass =>
           lines.clear()
           val t0 = System.nanoTime()
@@ -119,8 +125,73 @@ object Check {
           println(f"CHECK st_profile query=$name pass=$pass wall_s=$wall%.2f")
           lines.forEach(l => println(s"CHECK st_profile   $l"))
         }
+      } finally spark.streams.removeListener(listener)
+    }
+    // m8_profile: stage-by-stage wall clock of the bagged-prediction
+    // feature battery (the r15 verdict's #2 target). Reproduces
+    // BaggedPrediction.predict's exact stages through the same public
+    // entry points and times each with a count()/noop action, two
+    // passes (pass 1 absorbs codegen/JIT + the matcher model train,
+    // pass 2 is the steady state the bench median reports).
+    if (names("m8_profile")) {
+      import org.apache.spark.sql.functions._
+      def time[A](label: String, pass: Int)(f: => A): A = {
+        val t0 = System.nanoTime(); val a = f
+        println(f"CHECK m8_profile pass=$pass stage=$label%-14s " +
+          f"s=${(System.nanoTime() - t0) / 1e9}%.3f")
+        a
       }
-      spark.streams.removeListener(listener)
+      val model = matcher.MatcherSession.model(spark, dir)
+      (1 to 2).foreach { pass =>
+        val melted = matcher.FeatureMatrix.sampledMelt(
+          spark, dir, matcher.Labels.holdoutTables)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-m8probe").toString
+        time("bag+write", pass) {
+          matcher.Resampler.assignBags(melted)
+            .withColumn("col_name",
+              concat(col("col_name"), lit("#"), col("bag_id")))
+            .drop("bag_id")
+            .write.mode("overwrite").parquet(scratch)
+        }
+        val bagged = spark.read.parquet(scratch)
+        val pool = {
+          import spark.implicits._
+          matcher.Labels.train
+            .map { case (t, c, l) => (s"$t.$c", l) }.toDF("col_name", "label")
+        }
+        val nf = time("nameFeatures", pass) {
+          val f = matcher.FeatureMatrix.nameFeatures(
+            bagged.select(col("col_name")).distinct(), pool)
+          f.count(); f
+        }
+        val prof = time("profile+shares", pass) {
+          val f = profile.ColumnProfiler.profileWithShares(bagged)
+          f.count(); f
+        }
+        val oneHots = time("oneHots", pass) {
+          val f = profile.ColumnProfiler
+            .inferredTypeOneHots(bagged, boundedInput = true)
+            .drop("inferred_type")
+          f.count(); f
+        }
+        val feat = time("featJoin", pass) {
+          val f = prof
+            .join(oneHots, Seq("col_name"))
+            .join(nf, col("col_name") === nf("query_col"))
+            .select(col("col_name") +:
+              matcher.FeatureMatrix.featureCols.map(c =>
+                coalesce(col(c).cast("double"), lit(-1.0)).as(c)): _*)
+          f.count(); f
+        }
+        time("rfPredict", pass) {
+          matcher.SemanticTypeClassifier.predict(model, feat).count()
+        }
+        time("fullPredict", pass) {
+          matcher.BaggedPrediction.predict(model, melted).count()
+        }
+        core.Caches.deleteScratch(scratch)
+      }
     }
     if (names("d9_consistency")) {
       val v = dedup.DedupQueries.embeddingClusterViolations(spark, dir)

@@ -71,12 +71,28 @@ object StreamingQueries {
     .getOrElse("SPARK_GRAFT_STREAM_PART_BYTES", s"${256L << 10}").toLong
 
   /** Size-derived stream partition suggestion, recorded by
-    * [[streamTable]] for [[runStream]] to apply at start. */
+    * [[streamTable]] for [[runStream]] to apply at start.
+    *
+    * THREAD-LOCAL relay (r15 verdict #6 / ADVICE): the previous
+    * `graft.stream.suggestedPartitions` session-conf handoff was a
+    * read-modify-write on shared session state — fine in the serial
+    * bench, last-wins-wrong for two streams built concurrently in a
+    * Server context, and never cleared after use. Each stream is built
+    * and started on one thread (streamTable → stNStream → runStream),
+    * so a thread-local carries the suggestion exactly one hop and
+    * [[runStream]] clears it on read. A query reading two stream
+    * tables would keep the LAST table's suggestion (same as before —
+    * no current query does). */
+  private val suggestedParts = new ThreadLocal[Option[Long]] {
+    override def initialValue(): Option[Long] = None
+  }
+
   private def suggestStreamParts(s: SparkSession, bytes: Long): Unit = {
-    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(Int.MaxValue)
     val parts = math.max(1L, math.min(cap.toLong,
       (bytes + StreamPartBytes - 1) / StreamPartBytes))
-    s.conf.set("graft.stream.suggestedPartitions", parts.toString)
+    suggestedParts.set(Some(parts))
   }
 
   /** Stream a scale-factor parquet table through the file source.
@@ -93,11 +109,14 @@ object StreamingQueries {
     val raw = s.read.parquet(s"$dir/$name.parquet").schema
     suggestStreamParts(s, try {
       val p = java.nio.file.Paths.get(dir, s"$name.parquet")
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).mapToLong(f =>
+      if (java.nio.file.Files.isDirectory(p)) {
+        // Files.list must be closed — it holds a directory handle
+        val ls = java.nio.file.Files.list(p)
+        try ls.mapToLong(f =>
           try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
           .sum()
-      else java.nio.file.Files.size(p)
+        finally ls.close()
+      } else java.nio.file.Files.size(p)
     } catch { case _: Exception => Long.MaxValue })
     val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
@@ -123,16 +142,33 @@ object StreamingQueries {
     val nm = s"graft_stream_${runId.incrementAndGet()}"
     val spark = df.sparkSession
     // Apply the size-derived partition suggestion (see
-    // [[StreamPartBytes]]) for the stream's lifetime only: the value is
-    // snapshotted into the checkpoint at start, so it must be in force
-    // before .start() and can only be restored after termination. Never
-    // raises above the session setting (min with the prior value).
-    val prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.getOption("graft.stream.suggestedPartitions")
-      .map(_.toInt).filter(_ < prior.toInt).foreach(p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
-    try runStreamInner(df, mode, nm, spark)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    // [[StreamPartBytes]]) on a CLONED session: the value is
+    // snapshotted into the checkpoint at stream start, so it must be
+    // in force before .start() — but lowering the ORIGINAL session's
+    // shuffle partitions for the stream's lifetime planned any
+    // concurrent batch work with reduced parallelism (r15 ADVICE).
+    // cloneSession copies all session state (incl. the nanosAsLong
+    // flag streamTable may have set) into an isolated SQLConf; the
+    // stream plan is re-bound to the clone, and nothing shared is
+    // mutated. Never raises above the session setting (min with the
+    // session value); no suggestion (a stream built without
+    // streamTable) runs on the original session unchanged.
+    val suggestion = suggestedParts.get(); suggestedParts.remove()
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+    val applied = for {
+      p <- suggestion; cap <- sessionParts; if p < cap
+    } yield p
+    applied match {
+      case Some(p) =>
+        val s2 = org.apache.spark.sql.GraftExpressionBridge
+          .cloneSession(spark)
+        s2.conf.set("spark.sql.shuffle.partitions", p.toString)
+        val df2 = org.apache.spark.sql.GraftExpressionBridge
+          .withSession(s2, df)
+        runStreamInner(df2, mode, nm, s2)
+      case None => runStreamInner(df, mode, nm, spark)
+    }
   }
 
   private def runStreamInner(df: DataFrame, mode: String, nm: String,
