@@ -241,12 +241,26 @@ object Bench {
     val provenance =
       s""""git_sha":$gitSha,"n_queries":${results.size},""" +
       s""""generated_at":"${java.time.Instant.now()}""""
+    // Per-key one-time materialization seconds (r15 verdict #3:
+    // median-of-Runs discards the first iteration that pays a
+    // checkpoint build, and the per-query `cold` map charges a build
+    // to whichever consumer ran first — this map names the stage
+    // itself). Additions-only: the stdout contract below is unchanged;
+    // the map rides in BENCH_LOCAL.json plus one extra stdout line
+    // BEFORE the two summary lines.
+    val mat = graft.core.Materialize.buildSeconds
+      .toSeq.sortBy(-_._2)
+    val matTotal = math.round(mat.map(_._2).sum * 1000) / 1000.0
+    val matMap = collection.mutable.LinkedHashMap(mat.map { case (k, v) =>
+      k -> (math.round(v * 1000).toDouble / 1000) }: _*)
     val file = java.nio.file.Paths.get("BENCH_LOCAL.json").toAbsolutePath
     java.nio.file.Files.writeString(file,
       s"""{
          |  "metric": "total", "value": $total, "unit": "sec",
          |  "runs": $Runs, "sf": "$sfDir",
          |  $provenance,
+         |  "materialization_total_sec": $matTotal,
+         |  "materialization_sec": ${jmap(matMap)},
          |  "queries": ${jmap(results)},
          |  "cold": ${jmap(cold)}
          |}
@@ -296,6 +310,9 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"BENCH session shutdown: $e") }
     System.out.flush(); System.err.flush()
+    // materialization line FIRST: the last two lines keep their
+    // pinned contract (medians map penultimate, short summary last)
+    println(s"""{"metric":"materialization","value":$matTotal,"unit":"sec","keys":${jmap(matMap)}}""")
     println(fullLine)
     println(s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$Runs,"sf":"$sfDir","detail_file":"$file","top5":${jmap(collection.mutable.LinkedHashMap(top5: _*))}}""")
   }

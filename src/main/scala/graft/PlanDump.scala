@@ -40,6 +40,17 @@ object PlanDump {
                 graft.text.Text.asDouble(col("embedding")).as("v")))
             .withColumn("nrm", graft.text.Text.norm(col("v")))
           (dedup.DedupQueries.embeddingPairsLsh(e, n), s"d5_lsh_inner_$n")
+        case "t20_induction_scan" =>
+          // the distributed half of inducedMerges (the driver loop
+          // consumes this frame's collect) — t20/t21's corpus-sized
+          // cost, invisible in their query plans (the merge list is a
+          // LocalTableScan by the time the query frame exists)
+          (graft.sources.Tables.table(spark, sfDir, "documents")
+            .select(explode(graft.text.Text.words(col("text"))).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+            .orderBy(col("freq").desc, col("w"))
+            .limit(graft.text.TextQueries.BpeShapeWords),
+            "t20_induction_scan")
         case other =>
           (SparkEntry.queries(other)(spark, sfDir), other)
       }

@@ -68,6 +68,14 @@ object DedupQueries {
   val NdBits = 4
   val NdMaxBucket = 2000
 
+  /** d5/d9 rerank: broadcast the slim vector frame (vec_id, v, nrm —
+    * ~520 B/row) under this many vectors instead of sort-merge-joining
+    * the much larger candidate pair stream twice. 500k vectors ≈
+    * 260 MB built relation — the "few hundred MB is usually fine"
+    * band of guide §3.1; sf10's 200k vectors sit under the gate, a
+    * 100-TB corpus falls back to the planner's sort-merge. */
+  val NdRerankBroadcastMaxVectors = 500000L
+
   /** d5/d9 LSH bucket-occupancy target: bits-per-band scale with corpus
     * size so a band's expected bucket holds ~this many vectors. A FIXED
     * bits-per-band makes bucket sizes grow linearly with the corpus and
@@ -486,10 +494,13 @@ object DedupQueries {
       val est = pairs
         .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
         .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
+        // native codegen'd match count — the HOF fold it replaces
+        // (aggregate over zip_with) ran 2·k interpreted lambda hops
+        // per CANDIDATE pair; values identical (same count, same
+        // cast/divide — see MinHashMatchCount)
         .withColumn("est",
-          aggregate(zip_with(col("mh1"), col("mh2"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
+          graft.functions.MinHashMatchCount
+            .matchCount(col("mh1"), col("mh2")).cast("double") / MinhashK)
         .filter(col("est") >= JaccardThreshold - EstMargin)
         .select(col("doc1"), col("doc2"))
       val docs = shingled(s, dir)
@@ -733,8 +744,16 @@ object DedupQueries {
         // words aliased BEFORE the shingle HOF: an inline words(text)
         // referenced by the transform lambda re-runs the regexp per
         // element (the LshBandKeys lesson; measured 3.3x on d19)
-        .select(col("doc_id"), Text.words(col("text")).as("w"))
-        .select(col("doc_id"),
+        //
+        // `source` rides along (r16): d19's overlap matrix consumes
+        // the SAME DecontamN-shingle extraction and used to re-run
+        // the whole tokenize+shingle pass per bench run just to pair
+        // shingles with sources. Carrying the one extra slim column
+        // here lets d19 scan this checkpoint instead (column pruning
+        // drops it for d7/d15/e1, whose plans are unchanged).
+        .select(col("doc_id"), coalesce(col("source"), lit(""))
+          .as("source"), Text.words(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
           Text.wordShingles(col("w"), DecontamN).as("sh"))
     }
   /** d7: the held-out "benchmark" subset — every 50th doc id. */
@@ -1108,10 +1127,10 @@ object DedupQueries {
           .join(mins.select(col("doc_id"), col("mh").as("mh1")), "doc_id")
           .join(mins.select(col("doc_id").as("old_doc"),
             col("mh").as("mh2")), "old_doc")
+          // native match count (d2's est idiom — see MinHashMatchCount)
           .withColumn("est",
-            aggregate(zip_with(col("mh1"), col("mh2"),
-              (a, b) => when(a === b, 1).otherwise(0)),
-              lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
+            graft.functions.MinHashMatchCount
+              .matchCount(col("mh1"), col("mh2")).cast("double") / MinhashK)
           .filter(col("est") >= JaccardThreshold - EstMargin)
           .select(col("doc_id"), col("old_doc"))
         val docs = shingled(s, dir)
@@ -1694,15 +1713,15 @@ object DedupQueries {
     //      the explode in both engines identically.
     "d19_source_overlap" -> QueryDef(
       (s, dir) => {
-        val perFp = Tables.table(s, dir, "documents")
-          // words aliased BEFORE the shingle HOF: an inline
-          // words(text) referenced by the transform lambda re-runs
-          // the regexp per element (the LshBandKeys lesson; aliasing
-          // measured 61 s -> 18.6 s on this query at sf1)
-          .select(coalesce(col("source"), lit("")).as("source"),
-            Text.words(col("text")).as("w"))
-          .select(col("source"),
-            explode(Text.wordShingles(col("w"), DecontamN)).as("sh"))
+        // consumes the decontamination family's materialized shingle
+        // checkpoint (r16): the query used to re-run the whole
+        // tokenize+shingle extraction d7/d15/e1 already checkpoint —
+        // the same interpreted-HOF pass, once per bench run. The
+        // checkpoint now carries `source`, so d19 is a scan + explode
+        // over plain attributes; shuffle shape below is unchanged
+        // (ONE corpus-proportional groupBy(fp)).
+        val perFp = decontamShingled(s, dir)
+          .select(col("source"), explode(col("sh")).as("sh"))
           // binary(16) fp, not the 32-char hex rendering — halves the
           // key bytes on the query's one corpus-proportional shuffle
           // (the cappedBanded/d10 idiom); fps never reach the output
@@ -3023,11 +3042,27 @@ object DedupQueries {
         col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec1"), col("y.vec_id").as("vec2"))
       .distinct()
+    // Rerank join strategy (guide §3.1), size-gated like the CC driver
+    // gate: the candidate stream is O(n · bands · NdTargetBucket) slim
+    // pairs while the vector side is n rows — far over the 10 MB
+    // auto-broadcast estimate, so the planner sort-merge-joins, paying
+    // TWO full shuffles (+ sorts) of the candidate stream keyed by
+    // vec1 then vec2. Below [[NdRerankBroadcastMaxVectors]] the vector
+    // frame is broadcast instead (≤ ~256 MB built relation at the
+    // gate: 64 doubles + id + norm per row), so candidates flow
+    // map-side from the band join straight into both hash lookups —
+    // zero pair-stream shuffles after the distinct. Above the gate the
+    // planner's sort-merge stands (a 100-TB vector table must not be
+    // broadcast). Join results are strategy-independent; the gate only
+    // picks the physical plan.
+    val eSlim = (idAs: String, vAs: String, nAs: String) => {
+      val s = e.select(col("vec_id").as(idAs), col("v").as(vAs),
+        col("nrm").as(nAs))
+      if (n <= NdRerankBroadcastMaxVectors) broadcast(s) else s
+    }
     cands
-      .join(e.select(col("vec_id").as("vec1"), col("v").as("v1"),
-        col("nrm").as("n1")), "vec1")
-      .join(e.select(col("vec_id").as("vec2"), col("v").as("v2"),
-        col("nrm").as("n2")), "vec2")
+      .join(eSlim("vec1", "v1", "n1"), "vec1")
+      .join(eSlim("vec2", "v2", "n2"), "vec2")
       .select(col("vec1"), col("vec2"),
         round(Text.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
           .as("cos"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst MinHash signature over an `array<string>` shingle
@@ -115,6 +115,58 @@ object LshBandKeys {
       LshBandKeys(GraftExpressionBridge.expression(mh), bands, rows))
 }
 
+/** Native matching-position count over two `array<long>` MinHash
+  * signatures — the per-candidate-pair estimate kernel of d2/d14.
+  *
+  * Why native: the HOF form
+  * `aggregate(zip_with(mh1, mh2, (a,b) -> if(a=b,1,0)), 0, +)`
+  * evaluates 2·k interpreted lambda hops per pair (HOFs never enter
+  * whole-stage codegen), and the estimate runs once per CANDIDATE pair
+  * — the corpus-pair-proportional hot path of the signature
+  * pre-filter. One compiled loop replaces them.
+  *
+  * Contract (byte-identical to the HOF form): positions where BOTH
+  * values are non-null and equal count 1; a null on either side counts
+  * 0 (`when(a === b, 1)` is null→0 under a null operand); the loop
+  * runs over min(len) like zip_with-over-equal-lengths (zip_with pads
+  * the shorter side with nulls, which can never count). Null input
+  * array on either side → null, matching the HOF's null propagation
+  * through aggregate. */
+case class MinHashMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_mh_match_count expects two array<long>, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_mh_match_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashOps.matchCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.MinHashOps.matchCount($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashMatchCount {
+  /** Column API wrapper. */
+  def matchCount(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(MinHashMatchCount(
+      GraftExpressionBridge.expression(a),
+      GraftExpressionBridge.expression(b)))
+}
+
 /** Static runtime for [[MinHashSignature]]/[[LshBandKeys]] — a plain
   * object so the generated Java references
   * `graft.functions.MinHashOps.*` through ordinary static
@@ -171,6 +223,19 @@ object MinHashOps {
     }
     if (!seen) new GenericArrayData(Array.fill[Any](k)(null))
     else UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Equal-and-non-null position count (see [[MinHashMatchCount]]). */
+  def matchCount(x: ArrayData, y: ArrayData): Int = {
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) &&
+        x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
   }
 
   private val hexDigits = "0123456789abcdef".toCharArray

@@ -58,6 +58,31 @@ object NativeExprPropSpec extends Properties("NativeExpr") {
       dotEval(x.take(n), y) == dotEval(x.take(n), y.take(n))
     }
 
+  // ---- MinHashMatchCount -------------------------------------------
+
+  private val sig: Gen[Array[java.lang.Long]] =
+    Gen.listOfN(8, Gen.oneOf(
+      Gen.const(null: java.lang.Long),
+      Gen.chooseNum(0L, 5L).map(java.lang.Long.valueOf)))
+      .map(_.toArray)
+
+  private def mcEval(x: Array[java.lang.Long],
+      y: Array[java.lang.Long]): Int =
+    MinHashOps.matchCount(
+      new GenericArrayData(x.asInstanceOf[Array[Any]]),
+      new GenericArrayData(y.asInstanceOf[Array[Any]]))
+
+  property("matchCount: equals the zip_with/when reference") =
+    forAll(sig, sig, Gen.choose(0, 8)) { (x, y, n) =>
+      val xs = x.take(n)
+      // reference: zip_with pads with nulls; when(a===b,1).otherwise(0)
+      // is 0 under any null operand — so count equal non-null pairs
+      // over min length
+      val ref = xs.zip(y).count { case (a, b) =>
+        a != null && b != null && a.longValue == b.longValue }
+      mcEval(xs, y) == ref && mcEval(y, xs) == mcEval(xs, y)
+    }
+
   // ---- NearestCentroid -------------------------------------------
 
   private val Dims = 6
