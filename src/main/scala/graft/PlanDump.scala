@@ -44,10 +44,11 @@ object PlanDump {
           // the distributed half of inducedMerges (the driver loop
           // consumes this frame's collect) — t20/t21's corpus-sized
           // cost, invisible in their query plans (the merge list is a
-          // LocalTableScan by the time the query frame exists)
-          (graft.sources.Tables.table(spark, sfDir, "documents")
-            .select(explode(graft.text.Text.words(col("text"))).as("w"))
-            .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          // LocalTableScan by the time the query frame exists). Since
+          // r16 the scan is a rollup of the shared wordCounts
+          // checkpoint; this mirrors inducedMerges' frame exactly.
+          (graft.text.TextQueries.wordCounts(spark, sfDir)
+            .groupBy(col("w")).agg(sum(col("n")).as("freq"))
             .orderBy(col("freq").desc, col("w"))
             .limit(graft.text.TextQueries.BpeShapeWords),
             "t20_induction_scan")

@@ -163,6 +163,30 @@ object TextQueries {
     * broadcast regardless of corpus size. */
   val OovVocabSize = 16
 
+  /** Per-(source, word) occurrence counts over the corpus —
+    * materialized (r16, guide §6/§2.4): FIVE consumers each re-ran the
+    * SAME tokenize + explode + word-count pass over the whole corpus
+    * per JVM — t14's pair seed, t16's OOV rollup, t20/t21's BPE
+    * induction scan and tokenizer apply, and [[oovVocab]] — exactly
+    * the re-derivation the d2-shingles / decontam-shingles checkpoints
+    * already remove for the dedup family. This is the corpus-sized
+    * pass; every consumer's own grouping is a LONG-exact rollup of it
+    * (count(*) grouped coarser == sum of per-(source, word) counts;
+    * ties and total orders are therefore identical), computed on a
+    * vocabulary-sized frame (sub-linear in corpus size, Heaps' law).
+    *
+    * `source` rides RAW (null preserved): t16 applies its own
+    * coalesce-and-regroup downstream, t21 groups the raw column —
+    * each consumer's null posture is untouched. Rebalanced scan so the
+    * interpreted regex tokenize never runs on one small-file task (the
+    * shingled() lesson). */
+  def wordCounts(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize(s, s"word-counts|$dir") {
+      Tables.rebalance(Tables.table(s, dir, "documents"))
+        .select(col("source"), explode(Text.words(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    }
+
   /** t16's vocabulary head as a shared persisted artifact: the SAME
     * top-[[OovVocabSize]] cut t16 reports on (global word counts are
     * the sum of t16's per-source counts, so the two derivations pick
@@ -170,12 +194,13 @@ object TextQueries {
     * order), materialized once per corpus so the streaming OOV
     * monitor (st12) probes the tokenizer vocabulary as a fixed
     * artifact — the production posture: a tokenizer is FIT once, the
-    * crawl drifts against it. */
+    * crawl drifts against it. Derived from [[wordCounts]] (one corpus
+    * pass shared with t14/t16/t20/t21): sum-of-longs rollup, identical
+    * counts, identical (gn desc, w) cut. */
   def oovVocab(s: SparkSession, dir: String): DataFrame =
     graft.core.Materialize(s, s"oov-vocab|$dir") {
-      Tables.table(s, dir, "documents")
-        .select(explode(Text.words(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("gn"))
+      wordCounts(s, dir)
+        .groupBy(col("w")).agg(sum(col("n")).as("gn"))
         .orderBy(col("gn").desc, col("w"))
         .limit(OovVocabSize)
         .select(col("w"))
@@ -1034,9 +1059,11 @@ object TextQueries {
     //      the same job shape with merged symbols in place of chars.
     "t14_bpe_pairs" -> QueryDef(
       (s, dir) => {
-        val wordFreq = Tables.table(s, dir, "documents")
-          .select(explode(Text.words(col("text"))).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        // global word frequencies = LONG-exact rollup of the shared
+        // [[wordCounts]] checkpoint (one corpus tokenize pass per dir
+        // instead of one per consumer — r16, §6)
+        val wordFreq = wordCounts(s, dir)
+          .groupBy(col("w")).agg(sum(col("n")).as("freq"))
         val pairs = wordFreq
           .filter(length(col("w")) >= 2)
           .select(col("freq"), explode(expr(
@@ -1143,11 +1170,16 @@ object TextQueries {
     //      broadcast.
     "t16_oov_rate" -> QueryDef(
       (s, dir) => {
-        val sw = Tables.table(s, dir, "documents")
+        // the (source, word) pre-aggregation IS the shared
+        // [[wordCounts]] checkpoint; t16's own null posture (coalesce
+        // to '') is applied by a vocabulary-sized regroup on top — a
+        // null-source group and a ''-source group merge to the same
+        // long sums the direct coalesced scan produced
+        val sw = wordCounts(s, dir)
           .select(coalesce(col("source"), lit("")).as("source"),
-            explode(Text.words(col("text"))).as("w"))
+            col("w"), col("n"))
           .groupBy(col("source"), col("w"))
-          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n")).as("n"))
         val vocab = sw.groupBy(col("w"))
           .agg(sum(col("n")).as("gn"))
           .orderBy(col("gn").desc, col("w"))
@@ -1482,9 +1514,11 @@ object TextQueries {
         val ranks = inducedMerges(s, dir)
           .map(m => (m.left, m.right) -> m.rank).toMap
         val bc = s.sparkContext.broadcast(ranks)
-        Tables.table(s, dir, "documents")
-          .select(col("source"), explode(Text.words(col("text"))).as("w"))
-          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+        // per-(source, word) counts from the shared [[wordCounts]]
+        // checkpoint (raw source column — t21's null posture) instead
+        // of re-running the corpus tokenize pass (r16, §6)
+        wordCounts(s, dir)
+          .select(col("source"), col("w"), col("n").as("freq"))
           .as[(String, String, Long)]
           .map { case (src, w, f) =>
             (src, f, Bpe.tokenize(w, bc.value).length * f, w.length * f) }
@@ -1562,9 +1596,11 @@ object TextQueries {
   def inducedMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Bpe.Merge] =
     mergeCache.computeIfAbsent(mergeCacheKey(dir), _ => {
-      val shapes = Tables.table(s, dir, "documents")
-        .select(explode(Text.words(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // the induction's corpus-sized scan is the shared [[wordCounts]]
+      // checkpoint's rollup (r16, §6): identical freqs (long sums of
+      // the per-source counts), identical (freq desc, w) cut
+      val shapes = wordCounts(s, dir)
+        .groupBy(col("w")).agg(sum(col("n")).as("freq"))
         .orderBy(col("freq").desc, col("w"))
         .limit(BpeShapeWords)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -1583,9 +1619,8 @@ object TextQueries {
     import s.implicits._
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = s.sparkContext.broadcast(ranks)
-    Tables.table(s, dir, "documents")
-      .select(explode(Text.words(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wordCounts(s, dir)
+      .groupBy(col("w")).agg(sum(col("n")).as("freq"))
       .as[(String, Long)]
       .map { case (w, f) => (f, Bpe.tokenize(w, bc.value).length * f) }
       .toDF("w_count", "t_count")

@@ -41,8 +41,11 @@ class BpeSpec extends SparkSpec {
       "(word count -> capped dict -> induction)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-t20").toString
-    Seq((1L, "aaab aaab"), (2L, "ab"), (3L, null.asInstanceOf[String]))
-      .toDF("doc_id", "text")
+    // source column present like the real catalog (the induction scan
+    // reads the shared per-(source, word) checkpoint since r16)
+    Seq((1L, "aaab aaab", "x"), (2L, "ab", "x"),
+        (3L, null.asInstanceOf[String], "x"))
+      .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = graft.SparkEntry.queries("t20_bpe_vocab")(spark, dir)
       .orderBy("merge_rank").collect()
