@@ -377,6 +377,110 @@ object ProfileQueries {
     }
   }
 
+  /** p11's engine (r16): the SAME two-bounded-pass exact-quantile
+    * algorithm (histogram locate + bucket-sized offset pick — see the
+    * p11 QueryDef comment for why both passes are irreducible), with
+    * the per-column stats → histogram → locate chain run as CONCURRENT
+    * driver jobs (guide §2.6 — keyDiscovery's posture) and the locate
+    * arithmetic done on the collected ≤[[QuantileBuckets]]-row
+    * histogram instead of a window + join stage pair. The fused
+    * single-DAG form serialized three full barriers (stats agg →
+    * histogram agg + cumulative window + locate join → pick window)
+    * across ALL columns; here column A's histogram job overlaps column
+    * B's stats job, and the final pick pass stays ONE distributed job
+    * whose per-column union arms overlap inside it.
+    *
+    * Value-identical by construction: ranks ceil(q·n) on IEEE doubles
+    * (math.ceil == Spark's Ceil on DoubleType), bucket ids from the
+    * SAME expression shape with mn / (mx-mn)/nb folded to literals
+    * (Catalyst constant-folded those operands anyway), the cumulative
+    * sum over (b ASC, nulls first) exactly as the window ordered it,
+    * and a rank landing in the null-v bucket is dropped exactly as the
+    * fused form's null-key join dropped it. Driver state is bounded at
+    * any corpus size: one (n, mn, mx) row + ≤1024 histogram rows per
+    * column, cols × quantiles located rows. */
+  def quantileProfile(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val nb = QuantileBuckets
+    def scan(c: String) =
+      Tables.table(s, dir, "lineitem").select(col(c).as("v"))
+    // bucket id — the fused form's exact expression with the stats
+    // operands as literals: least(floor((v - mn) / ((mx - mn) / nb)), nb-1)
+    def bucketExpr(mn: Double, w: Double) =
+      least(floor((col("v") - lit(mn)) / lit(w)).cast("long"),
+        lit(nb - 1L))
+    case class Located(q: Double, b: Long, off: Long)
+    case class ColPlan(c: String, const: Seq[(String, Double, Double)],
+      mn: Double, w: Double, located: Seq[Located])
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(CorrCols.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futs = CorrCols.map { c => scala.concurrent.Future {
+      s.sparkContext.setJobDescription(s"p11: stats+hist $c")
+      val st = scan(c).agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx")).head()
+      val n = st.getLong(0)
+      if (n == 0L || st.isNullAt(1)) ColPlan(c, Nil, 0.0, 0.0, Nil)
+      else {
+        val mn = st.getDouble(1); val mx = st.getDouble(2)
+        if (mn == mx) ColPlan(c, QuantileQs.map(q => (c, q, mn)),
+          mn, 0.0, Nil)
+        else {
+          val w = (mx - mn) / nb
+          val hist = scan(c).withColumn("b", bucketExpr(mn, w))
+            .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+            .collect()
+            .map(r => (if (r.isNullAt(0)) null
+              else java.lang.Long.valueOf(r.getLong(0)), r.getLong(1)))
+          // cumulative counts over (b ASC, nulls FIRST) — the window's
+          // order; b >= 0 by construction (mn is the min), so the null
+          // group sorts first via the -1 sentinel
+          val sorted = hist.sortBy { case (b, _) =>
+            if (b == null) -1L else b.longValue }
+          val cum = sorted.scanLeft(0L) { case (acc, (_, cnt)) =>
+            acc + cnt }
+          val located = QuantileQs.flatMap { q =>
+            val rank = math.ceil(q * n.toDouble).toLong
+            sorted.indices.find(i =>
+              rank > cum(i) && rank <= cum(i + 1)).flatMap { i =>
+              // a rank landing in the null-v group matched no bucket
+              // in the fused form's (c, b) join — same drop here
+              Option(sorted(i)._1).map(b =>
+                Located(q, b.longValue, rank - cum(i)))
+            }
+          }
+          ColPlan(c, Nil, mn, w, located)
+        }
+      }
+    }}
+    val plans =
+      try futs.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+      finally pool.shutdown()
+    // final pick pass: one distributed job, per-column union arms —
+    // each arm re-buckets its pruned single-column scan, keeps only
+    // target-bucket rows via the broadcast locate list (duplicated per
+    // quantile exactly as the fused form's (c, b) join did), and picks
+    // the offset-th value per (column, q) bucket-sized partition
+    val pickedArms = plans.filter(_.located.nonEmpty).map { p =>
+      val loc = p.located.map(l => (l.b, l.q, l.off)).toDF("b", "q", "off")
+      scan(p.c).withColumn("b", bucketExpr(p.mn, p.w))
+        .join(broadcast(loc), "b")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col("v"))))
+        .filter(col("rn") === col("off"))
+        .select(lit(p.c).as("col_name"), col("q"),
+          col("v").cast("double").as("q_value"))
+    }
+    val constDf = plans.flatMap(_.const)
+      .toDF("col_name", "q", "q_value")
+    (pickedArms :+ constDf).reduce(_ unionByName _)
+      .orderBy(col("col_name"), col("q"))
+  }
+
   /** p16's engine body, with the 100-TB mitigation the r13 verdict
     * asked to build (not just document): the x30 melt replicates the
     * orders scan thirty-fold INSIDE ONE JOB — the documented cost
@@ -816,59 +920,14 @@ object ProfileQueries {
     //      max) answer from pass-1 stats directly — the one case where
     //      a "bucket" would be the whole column. The oracle computes
     //      the same ranks by brute-force row_number over each column.
+    //      Engine body in [[quantileProfile]] (r16): same algorithm,
+    //      per-column chains as concurrent jobs, histogram locate on
+    //      the collected ≤nb-row histogram. The melt lesson stands:
+    //      each per-column arm is a codegen'd single-column pruned
+    //      scan, never an inline(array(struct...)) Generate (measured
+    //      422 s of interpreted 4x row expansion at sf100).
     "p11_quantile_profile" -> QueryDef(
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val cols = CorrCols
-        val nb = QuantileBuckets
-        // melt as a UNION of per-column pruned scans, not
-        // inline(array(struct...)): a Generate subtree never enters
-        // whole-stage codegen (the d5 lesson), so the inline melt paid
-        // an interpreted 4x row expansion over the fact table TWICE —
-        // measured 422 s at sf100; each union arm here is a codegen'd
-        // single-column columnar scan
-        val melted = cols.map(c =>
-          Tables.table(s, dir, "lineitem")
-            .select(lit(c).as("c"), col(c).as("v")))
-          .reduce(_ unionByName _)
-        val stats = melted.groupBy(col("c")).agg(
-          count(lit(1)).as("n"), min(col("v")).as("mn"),
-          max(col("v")).as("mx")).pipelineCache()
-        val qlits = explode(array(QuantileQs.map(lit): _*)).as("q")
-        val targets = stats.select(col("c"), col("n"), col("mn"),
-            col("mx"), qlits)
-          .withColumn("rank", ceil(col("q") * col("n")))
-        val constant = targets.filter(col("mn") === col("mx"))
-          .select(col("c").as("col_name"), col("q"),
-            col("mn").cast("double").as("q_value"))
-        val varTargets = targets.filter(col("mn") =!= col("mx"))
-        val bucketed = melted.join(broadcast(stats), "c")
-          .filter(col("mn") =!= col("mx"))
-          .withColumn("b", least(
-            floor((col("v") - col("mn")) /
-              ((col("mx") - col("mn")) / nb)).cast("long"),
-            lit(nb - 1L)))
-        val hist = bucketed.groupBy(col("c"), col("b"))
-          .agg(count(lit(1)).as("cnt"))
-        val cum = hist.withColumn("cum",
-          sum(col("cnt")).over(Window.partitionBy(col("c"))
-            .orderBy(col("b"))))
-          .withColumn("cum_prev", col("cum") - col("cnt"))
-        val located = varTargets.join(cum, Seq("c"))
-          .filter(col("rank") > col("cum_prev") &&
-            col("rank") <= col("cum"))
-          .select(col("c"), col("b"), col("q"),
-            (col("rank") - col("cum_prev")).as("off"))
-        val picked = bucketed
-          .join(broadcast(located), Seq("c", "b"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("c"), col("q")).orderBy(col("v"))))
-          .filter(col("rn") === col("off"))
-          .select(col("c").as("col_name"), col("q"),
-            col("v").cast("double").as("q_value"))
-        picked.union(constant)
-          .orderBy(col("col_name"), col("q"))
-      },
+      (s, dir) => quantileProfile(s, dir),
       Some {
         val melt = CorrCols
           .map(c => s"SELECT '$c' AS c, $c AS v FROM lineitem")
