@@ -76,6 +76,33 @@ object DedupQueries {
     * 100-TB corpus falls back to the planner's sort-merge. */
   val NdRerankBroadcastMaxVectors = 500000L
 
+  /** d14: at or above this many on-disk bytes of documents parquet the
+    * incremental channel Bloom-prefilters its corpus-proportional
+    * signature/shingle join sides with filters built over the
+    * delta-proportional pair stream (guide §3.2); below, the build
+    * jobs cost more than the small shuffles they save (sf0.1 A/B —
+    * documents is ~0.6 MB there, ~57 MB at sf10). The probe is file
+    * bytes (zero Spark jobs — the stream-partition idiom), so the gate
+    * is scale-adaptive without counting anything. */
+  val D14BloomMinDocBytes: Long = 32L << 20
+
+  /** Compressed on-disk bytes of `<dir>/<name>.parquet` — the zero-job
+    * gate probe (streamTable's idiom). Long.MaxValue when unreadable,
+    * so an unprobeable corpus (object store, remote FS) takes the
+    * large-corpus branch — the conservative choice at the scales where
+    * the probe can fail. */
+  private[graft] def tableBytes(dir: String, name: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+      if (java.nio.file.Files.isDirectory(p)) {
+        val ls = java.nio.file.Files.list(p)
+        try ls.mapToLong(f =>
+          try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+          .sum()
+        finally ls.close()
+      } else java.nio.file.Files.size(p)
+    } catch { case _: Exception => Long.MaxValue }
+
   /** d5/d9 LSH bucket-occupancy target: bits-per-band scale with corpus
     * size so a band's expected bucket holds ~this many vectors. A FIXED
     * bits-per-band makes bucket sizes grow linearly with the corpus and
@@ -526,6 +553,117 @@ object DedupQueries {
       val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
       connectedComponents(docs, minhashPairs(s, dir))
     }
+
+  /** d14's engine: delta-vs-index incremental dedup (see the d14
+    * QueryDef comment for the channel's scale story). `bloomGateBytes`
+    * is the §3.2 prefilter gate, a PARAMETER (production default
+    * [[D14BloomMinDocBytes]]) so a spec can force the Bloom branch on
+    * a small corpus — the embeddingPairs `bruteMax` seam style.
+    *
+    * Join-side slice predicates: pairs carry delta ids in doc_id and
+    * index ids in old_doc BY CONSTRUCTION (the band join's two sides).
+    * The explicit doc_id % DeltaMod filters on the signature/shingle
+    * join sides are the predicates Catalyst's constraint propagation
+    * ALSO infers through the equi-joins (verified in the committed
+    * plans: the before-plan already slices every scan) — they are kept
+    * explicit because the Bloom branch must compose with them, and an
+    * optimizer-derived filter is one rewrite away from disappearing
+    * while a written one is not.
+    *
+    * The Bloom prefilter is the r16 addition (guide §3.2): above the
+    * gate (zero-job file-size probe — the stream-partition idiom), the
+    * signature/shingle join sides are additionally prefiltered with
+    * Bloom filters built over the pair stream's two id columns. At
+    * ingest scale the pair stream is delta-proportional while the
+    * signature and shingle tables are corpus-proportional, so probing
+    * ~nPairs ids drops the non-colliding bulk of BOTH tables before
+    * anything is shuffled — the slice predicates alone still shuffle
+    * the whole 1/DeltaMod and (DeltaMod-1)/DeltaMod corpus slices.
+    * False positives only re-admit rows the joins drop; the pair table
+    * is persisted so the two builds + count reuse one computation.
+    * Below the gate the builds cost more than the small shuffles they
+    * save (sf0.1 A/B: 1.90 -> 1.87 s without bloom, i.e. the plain
+    * branch is already optimal there) — slice filters only. */
+  def incrementalDedup(s: SparkSession, dir: String,
+      bloomGateBytes: Long = D14BloomMinDocBytes): DataFrame = {
+    val mins = signatures(s, dir)
+    val capped = cappedBanded(s, dir)
+    val isDelta = col("doc_id") % DeltaMod === 0
+    // at production scale `index` is the persisted banded table;
+    // only the delta side is computed per ingest
+    val index = capped.filter(!isDelta)
+    val delta = capped.filter(isDelta)
+    val pairs0 = delta.as("d")
+      .join(index.as("o"), col("d.bk") === col("o.bk"))
+      .select(col("d.doc_id").as("doc_id"),
+        col("o.doc_id").as("old_doc"))
+      .distinct()
+    val (pairs, deltaPred, oldPred) =
+      if (tableBytes(dir, "documents") < bloomGateBytes)
+        (pairs0, isDelta, !isDelta)
+      else {
+        val pc = pairs0.pipelineCache()
+        val nP = math.max(pc.count(), 1L)
+        val bNew = s.sparkContext.broadcast(
+          pc.stat.bloomFilter("doc_id", nP, 0.01))
+        val bOld = s.sparkContext.broadcast(
+          pc.stat.bloomFilter("old_doc", nP, 0.01))
+        val mightNew = udf((id: Long) => bNew.value.mightContainLong(id))
+        val mightOld = udf((id: Long) => bOld.value.mightContainLong(id))
+        (pc.toDF(), isDelta && mightNew(col("doc_id")),
+          !isDelta && mightOld(col("doc_id")))
+      }
+    val est = pairs
+      .join(mins.filter(deltaPred)
+        .select(col("doc_id"), col("mh").as("mh1")), "doc_id")
+      .join(mins.filter(oldPred)
+        .select(col("doc_id").as("old_doc"),
+          col("mh").as("mh2")), "old_doc")
+      // native match count (d2's est idiom — see MinHashMatchCount)
+      .withColumn("est",
+        graft.functions.MinHashMatchCount
+          .matchCount(col("mh1"), col("mh2")).cast("double") / MinhashK)
+      .filter(col("est") >= JaccardThreshold - EstMargin)
+      .select(col("doc_id"), col("old_doc"))
+    val docs = shingled(s, dir)
+    // est ⊆ pairs, so the pair-id predicates (and blooms) remain
+    // valid supersets for the verify sides — no second build
+    val verified = est
+      .join(docs.filter(deltaPred)
+        .select(col("doc_id"), col("sh").as("sh1")), "doc_id")
+      .join(docs.filter(oldPred)
+        .select(col("doc_id").as("old_doc"),
+          col("sh").as("sh2")), "old_doc")
+      .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("doc_id"), col("old_doc"),
+        round(col("jac"), 6).as("jaccard"))
+    // ONE window pass yields both the best match and the match
+    // count: the old `best` + `counts` pair each re-derived the
+    // whole pairs->est->verify subtree (every upstream join ran
+    // twice), while row_number and the per-partition count share a
+    // single doc_id shuffle — identical values by definition
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("old_doc"))
+    val summary = verified
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_index_matches",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_index_matches"),
+        col("old_doc").as("nearest_old_doc"),
+        col("jaccard").as("max_jaccard"))
+    Tables.table(s, dir, "documents").filter(isDelta)
+      .select(col("doc_id"))
+      .join(summary, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        coalesce(col("nearest_old_doc"), lit(-1L)).as("nearest_old_doc"),
+        (coalesce(col("n_index_matches"), lit(0L)) === 0).cast("long")
+          .as("is_novel"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -1110,64 +1248,7 @@ object DedupQueries {
     //      Output: one row per delta doc — match count against the
     //      index, best match, and the is_novel admission flag.
     "d14_incremental_dedup" -> QueryDef(
-      (s, dir) => {
-        val mins = signatures(s, dir)
-        val capped = cappedBanded(s, dir)
-        val isDelta = col("doc_id") % DeltaMod === 0
-        // at production scale `index` is the persisted banded table;
-        // only the delta side is computed per ingest
-        val index = capped.filter(!isDelta)
-        val delta = capped.filter(isDelta)
-        val pairs = delta.as("d")
-          .join(index.as("o"), col("d.bk") === col("o.bk"))
-          .select(col("d.doc_id").as("doc_id"),
-            col("o.doc_id").as("old_doc"))
-          .distinct()
-        val est = pairs
-          .join(mins.select(col("doc_id"), col("mh").as("mh1")), "doc_id")
-          .join(mins.select(col("doc_id").as("old_doc"),
-            col("mh").as("mh2")), "old_doc")
-          // native match count (d2's est idiom — see MinHashMatchCount)
-          .withColumn("est",
-            graft.functions.MinHashMatchCount
-              .matchCount(col("mh1"), col("mh2")).cast("double") / MinhashK)
-          .filter(col("est") >= JaccardThreshold - EstMargin)
-          .select(col("doc_id"), col("old_doc"))
-        val docs = shingled(s, dir)
-        val verified = est
-          .join(docs.select(col("doc_id"), col("sh").as("sh1")), "doc_id")
-          .join(docs.select(col("doc_id").as("old_doc"),
-            col("sh").as("sh2")), "old_doc")
-          .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
-          .filter(col("jac") >= JaccardThreshold)
-          .select(col("doc_id"), col("old_doc"),
-            round(col("jac"), 6).as("jaccard"))
-        // ONE window pass yields both the best match and the match
-        // count: the old `best` + `counts` pair each re-derived the
-        // whole pairs->est->verify subtree (every upstream join ran
-        // twice), while row_number and the per-partition count share a
-        // single doc_id shuffle — identical values by definition
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("jaccard").desc, col("old_doc"))
-        val summary = verified
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_index_matches",
-            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("n_index_matches"),
-            col("old_doc").as("nearest_old_doc"),
-            col("jaccard").as("max_jaccard"))
-        Tables.table(s, dir, "documents").filter(isDelta)
-          .select(col("doc_id"))
-          .join(summary, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
-            coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
-            coalesce(col("nearest_old_doc"), lit(-1L)).as("nearest_old_doc"),
-            (coalesce(col("n_index_matches"), lit(0L)) === 0).cast("long")
-              .as("is_novel"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => incrementalDedup(s, dir),
       // cross pairs are a subset of d2's verified all-pairs set, so the
       // twin filters the shared chain to exactly-one-side-delta pairs —
       // the same equivalence d12 uses for its train/eval split
@@ -1196,6 +1277,7 @@ object DedupQueries {
       LEFT JOIN best ON d.doc_id = best.doc_id
       WHERE d.doc_id % $DeltaMod = 0
       ORDER BY d.doc_id""")),
+
 
     // ---- d3: 32-bit SimHash signatures + hamming-LSH chunk keys
     "d3_simhash" -> QueryDef(
