@@ -17,7 +17,8 @@ object Check {
     * this set, so a renamed check can't orphan a register reason. */
   val KnownChecks: Set[String] = Set(
     "d9_consistency", "p16_shard_ab", "p16_count_vs_collect",
-    "collect_ratio", "nd_channel_stats", "st_profile", "m8_profile")
+    "collect_ratio", "nd_channel_stats", "st_profile", "m8_profile",
+    "d2_profile")
   /** The always-run scale-leg invariants; the rest are opt-in timing
     * diagnostics (see the Scaladoc above). */
   val DefaultChecks: Set[String] = Set("d9_consistency")
@@ -192,6 +193,82 @@ object Check {
         }
         core.Caches.deleteScratch(scratch)
       }
+    }
+    // d2_profile: stage-by-stage wall clock of the MinHash pair channel
+    // (the top sf10 cost after the r16 band-keys fix). Stages 1-3 are
+    // the Materialize-backed checkpoints (first touch pays the build,
+    // which is the number reported); candidates/est/verify reproduce
+    // minhashPairs' tail through the same public frames and time each
+    // with a noop sink, so the split between the banded self-join, the
+    // signature-estimate joins and the exact shingle verify is visible.
+    if (names("d2_profile")) {
+      import org.apache.spark.sql.functions._
+      def time[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val a = f
+        println(f"CHECK d2_profile stage=$label%-12s " +
+          f"s=${(System.nanoTime() - t0) / 1e9}%.3f")
+        a
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      spark.sparkContext.setJobDescription("d2_profile")
+      time("shingles")(dedup.DedupQueries.shingled(spark, dir).count())
+      val mins = time("sigs")(
+        { val f = dedup.DedupQueries.signatures(spark, dir); f.count(); f })
+      val capped = time("banded")(
+        { val f = dedup.DedupQueries.cappedBanded(spark, dir); f.count(); f })
+      val pairs = time("candidates")(
+        { val f = dedup.DedupQueries.candidatePairs(capped); noop(f); f })
+      val est = time("est") {
+        val f = pairs
+          .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")),
+            "doc1")
+          .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")),
+            "doc2")
+          .withColumn("est", graft.functions.MinHashMatchCount
+            .matchCount(col("mh1"), col("mh2")).cast("double") /
+            dedup.DedupQueries.MinhashK)
+          .filter(col("est") >= dedup.DedupQueries.JaccardThreshold -
+            dedup.DedupQueries.EstMargin)
+          .select(col("doc1"), col("doc2"))
+        noop(f); f
+      }
+      // the two verify forms, timed against the same est stream: the
+      // pre-r16 gram-string one and the shipped fingerprint one (the
+      // committed A/B behind the minhashPairs/incrementalDedup rewrite)
+      time("verify_str") {
+        val docs = dedup.DedupQueries.shingled(spark, dir)
+        noop(est
+          .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")),
+            "doc1")
+          .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")),
+            "doc2")
+          .withColumn("jac", text.Text.jaccard(col("sh1"), col("sh2")))
+          .filter(col("jac") >= dedup.DedupQueries.JaccardThreshold)
+          .select(col("doc1"), col("doc2"),
+            round(col("jac"), 6).as("jaccard")))
+      }
+      time("verify_fp") {
+        // n/fp are precomputed checkpoint columns since r16 (pruned
+        // scan, no per-consumer md5 transform) — mirror the shipped
+        // verify exactly
+        val slim = dedup.DedupQueries.shingled(spark, dir)
+          .select(col("doc_id"), col("n"), col("fp"))
+        noop(est
+          .join(slim.select(col("doc_id").as("doc1"),
+            col("n").as("n1"), col("fp").as("fp1")), "doc1")
+          .join(slim.select(col("doc_id").as("doc2"),
+            col("n").as("n2"), col("fp").as("fp2")), "doc2")
+          .withColumn("inter",
+            size(array_intersect(col("fp1"), col("fp2"))).cast("long"))
+          .withColumn("jac", col("inter").cast("double") /
+            nullif((col("n1") + col("n2") - col("inter")).cast("double"),
+              lit(0.0)))
+          .filter(col("jac") >= dedup.DedupQueries.JaccardThreshold)
+          .select(col("doc1"), col("doc2"),
+            round(col("jac"), 6).as("jaccard")))
+      }
+      println("CHECK d2_profile done=1")
     }
     if (names("d9_consistency")) {
       val v = dedup.DedupQueries.embeddingClusterViolations(spark, dir)

@@ -446,6 +446,18 @@ object DedupQueries {
         .select(col("doc_id"), Text.words(col("text")).as("w"))
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), Text.wordShingles(col("w"), 2).as("sh"))
+        // n + 60-bit fingerprints precomputed AT THE CHECKPOINT (r16):
+        // the md5-per-shingle ran once per CONSUMER before — the
+        // signature build re-hashed every exploded shingle and each
+        // fingerprint verify (minhashPairs, d14, d18/d22) re-ran the
+        // transform over its join sides. Hashing the corpus exactly
+        // once is the §6 write-the-derived-column-once move, and
+        // column pruning lets fp-only consumers skip the gram strings
+        // at the scan entirely.
+        .withColumn("n", size(col("sh")).cast("long"))
+        .withColumn("fp",
+          expr("transform(sh, s -> " +
+            "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"))
     }
 
   /** Slim `(doc_id, mh)` minhash signature frame — materialized.
@@ -457,10 +469,13 @@ object DedupQueries {
   def signatures(s: SparkSession, dir: String): DataFrame =
     graft.core.Materialize(s, s"d2-sigs|$dir") {
       val p = Text.MinhashP
+      // the checkpoint's precomputed 60-bit fingerprint IS
+      // conv(substr(md5(s),1,15)) — h = fp % P is the same long the
+      // inline md5 produced, without re-hashing every exploded
+      // shingle (see [[shingled]])
       val hashed = Tables.rebalance(shingled(s, dir))
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("h",
-          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % p)
+        .select(col("doc_id"), explode(col("fp")).as("f"))
+        .withColumn("h", col("f") % p)
       val minExprs = (1 to MinhashK).map { i =>
         val a = (i.toLong * 40503L + 12345L) % (p - 1) + 1L
         val b = (i.toLong * 69069L + 7L) % p
@@ -530,12 +545,32 @@ object DedupQueries {
             .matchCount(col("mh1"), col("mh2")).cast("double") / MinhashK)
         .filter(col("est") >= JaccardThreshold - EstMargin)
         .select(col("doc1"), col("doc2"))
-      val docs = shingled(s, dir)
+      // exact verify over 60-bit shingle fingerprints (d18's idiom,
+      // r16): the two joins ship fixed-width longs instead of gram
+      // string arrays, intersect probes hash longs instead of strings,
+      // and the union size is ARITHMETIC (|A|+|B|-inter over the
+      // distinct-shingle counts) instead of an array_union hash set
+      // per pair — measured at sf10 as the channel's dominant stage
+      // (42.4 s of 89.6, d2_profile). sh is array_distinct'd, so
+      // n = |A| exactly; distinct grams keep distinct fps up to a
+      // 2^-60 truncated-md5 collision, making inter and union the
+      // SAME integers as the gram-set form and the quotient the same
+      // double bit-for-bit. The DuckDB twin still verifies over RAW
+      // gram lists — deliberately NOT mirrored (the r15 lockstep-twin
+      // lesson): the oracle independently checks the fingerprint
+      // rewrite, and FingerprintEquivalenceSpec pins the primitive.
+      val slim = shingleFps(shingled(s, dir))
       val withSets = est
-        .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-        .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+        .join(slim.select(col("doc_id").as("doc1"),
+          col("n").as("n1"), col("fp").as("fp1")), "doc1")
+        .join(slim.select(col("doc_id").as("doc2"),
+          col("n").as("n2"), col("fp").as("fp2")), "doc2")
       withSets
-        .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
+        .withColumn("inter",
+          size(array_intersect(col("fp1"), col("fp2"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          nullif((col("n1") + col("n2") - col("inter")).cast("double"),
+            lit(0.0)))
         .filter(col("jac") >= JaccardThreshold)
         .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
     }
@@ -625,16 +660,24 @@ object DedupQueries {
           .matchCount(col("mh1"), col("mh2")).cast("double") / MinhashK)
       .filter(col("est") >= JaccardThreshold - EstMargin)
       .select(col("doc_id"), col("old_doc"))
-    val docs = shingled(s, dir)
+    // fingerprint verify (minhashPairs' r16 idiom — see the comment
+    // there): longs shipped instead of gram strings, arithmetic union;
+    // same integers, same quotient double, twin left on raw grams
+    val slim = shingleFps(shingled(s, dir))
     // est ⊆ pairs, so the pair-id predicates (and blooms) remain
     // valid supersets for the verify sides — no second build
     val verified = est
-      .join(docs.filter(deltaPred)
-        .select(col("doc_id"), col("sh").as("sh1")), "doc_id")
-      .join(docs.filter(oldPred)
+      .join(slim.filter(deltaPred)
+        .select(col("doc_id"), col("n").as("n1"), col("fp").as("fp1")),
+        "doc_id")
+      .join(slim.filter(oldPred)
         .select(col("doc_id").as("old_doc"),
-          col("sh").as("sh2")), "old_doc")
-      .withColumn("jac", Text.jaccard(col("sh1"), col("sh2")))
+          col("n").as("n2"), col("fp").as("fp2")), "old_doc")
+      .withColumn("inter",
+        size(array_intersect(col("fp1"), col("fp2"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        nullif((col("n1") + col("n2") - col("inter")).cast("double"),
+          lit(0.0)))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("doc_id"), col("old_doc"),
         round(col("jac"), 6).as("jaccard"))
@@ -2958,10 +3001,19 @@ object DedupQueries {
     * compute the SAME fingerprints, so engine and oracle stay
     * hash-identical by construction. */
   private def shingleFps(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-      expr("transform(sh, s -> " +
-        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))")
-        .as("fp"))
+    // since r16 `n` and `fp` are precomputed columns of the shingled
+    // checkpoint (hash-the-corpus-once; see [[shingled]]) — for
+    // checkpoint-derived frames this is a pure column selection and
+    // parquet pruning drops the gram strings at the scan. Frames
+    // carrying only (doc_id, sh) — spec fixtures and ad-hoc verify
+    // inputs — get the fingerprints computed inline as before.
+    if (docs.columns.contains("fp"))
+      docs.select(col("doc_id"), col("n"), col("fp"))
+    else
+      docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        expr("transform(sh, s -> " +
+          "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))")
+          .as("fp"))
 
   /** The exact containment verify over ANY ordered candidate-pair
     * frame (integer gate; see d18's doc comment). */

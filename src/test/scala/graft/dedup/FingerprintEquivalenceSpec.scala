@@ -78,4 +78,32 @@ class FingerprintEquivalenceSpec extends SparkSpec {
     assert(pairs.exists(r => r.getDouble(0) > 0.9))
     assert(pairs.exists(r => r.getDouble(0) < 0.6))
   }
+
+  test("d2/d14 idiom: fp intersect + arithmetic union == raw word-shingle jaccard") {
+    // the r16 verify form: jaccard = inter / (n1 + n2 - inter) over
+    // 60-bit fps and distinct-shingle counts, replacing the
+    // array_union hash set — same integers, same quotient double
+    import spark.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), Text.wordShingles(col("w"), 2).as("sh"))
+      .withColumn("fp", fp60(col("sh")))
+      .withColumn("n", size(col("sh")).cast("long"))
+    val pairs = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.fp"), col("b.fp"))).cast("long"))
+      .select(
+        round(Text.jaccard(col("a.sh"), col("b.sh")), 6).as("raw_j"),
+        round(col("inter").cast("double") /
+          nullif((col("a.n") + col("b.n") - col("inter")).cast("double"),
+            lit(0.0)), 6).as("fp_j"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1),
+        "arithmetic-union jaccard diverged")
+    }
+  }
 }
