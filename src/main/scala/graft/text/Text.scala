@@ -32,9 +32,14 @@ object Text {
 
   /** Distinct word n-gram shingles of a word array. */
   def wordShingles(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        j => array_join(slice(w, j + lit(1), lit(n)), " "))))
+    // native distinct-shingle kernel (r16): identical values to the
+    // previous array_distinct(transform(sequence..., array_join(slice
+    // ...))) HOF chain — which paid four interpreted trees per token
+    // and kept the projection out of codegen (12 s of d2's 16 s
+    // tokenize+shingle pass at sf10) — pinned by WordShinglesParitySpec.
+    // The when/otherwise scaffold is unchanged, so null and short
+    // inputs coerce to the empty array exactly as before.
+    when(size(w) >= n, graft.functions.WordShingles.shingles(w, n))
       .otherwise(array().cast("array<string>"))
 
   /** Word n-gram shingles WITH occurrences (no distinct) — for
@@ -42,9 +47,11 @@ object Text {
     * a gram appears in a doc matters, unlike the set-semantics dedup
     * shingles above. */
   def wordShinglesAll(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        j => array_join(slice(w, j + lit(1), lit(n)), " ")))
+    // same native kernel as [[wordShingles]] with distinct off —
+    // position order and duplicates preserved exactly as the
+    // transform(sequence..., array_join(slice...)) HOF chain emitted
+    // them (WordShinglesParitySpec pins both variants)
+    when(size(w) >= n, graft.functions.WordShingles.shinglesAll(w, n))
       .otherwise(array().cast("array<string>"))
 
   /** Distinct character n-gram shingles of a string. */
