@@ -220,10 +220,16 @@ object Check {
       val pairs = time("candidates")(
         { val f = dedup.DedupQueries.candidatePairs(capped); noop(f); f })
       val est = time("est") {
+        // mirror minhashPairs' gated broadcast (D2EstBroadcastMaxDocBytes)
+        val estMins =
+          if (dedup.DedupQueries.tableBytes(dir, "documents") <
+              dedup.DedupQueries.D2EstBroadcastMaxDocBytes)
+            broadcast(mins)
+          else mins
         val f = pairs
-          .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")),
+          .join(estMins.select(col("doc_id").as("doc1"), col("mh").as("mh1")),
             "doc1")
-          .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")),
+          .join(estMins.select(col("doc_id").as("doc2"), col("mh").as("mh2")),
             "doc2")
           .withColumn("est", graft.functions.MinHashMatchCount
             .matchCount(col("mh1"), col("mh2")).cast("double") /

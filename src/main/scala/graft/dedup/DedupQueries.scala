@@ -86,6 +86,16 @@ object DedupQueries {
     * is scale-adaptive without counting anything. */
   val D14BloomMinDocBytes: Long = 32L << 20
 
+  /** d2's est pre-filter: below this many on-disk bytes of documents
+    * parquet the slim (doc_id, mh) signature frame is broadcast into
+    * the two estimate lookups (~260 MB built relation at a 500k-doc
+    * sf10 corpus — the d5 rerank gate's envelope), so the candidate
+    * pair stream is never shuffled; at or above, the planner's
+    * sort-merge stands (a 100-TB signature table must not be
+    * broadcast). Same zero-job file-size probe as [[D14BloomMinDocBytes]]
+    * (documents is ~57 MB at sf10, ~570 MB at sf100). */
+  val D2EstBroadcastMaxDocBytes: Long = 256L << 20
+
   /** Compressed on-disk bytes of `<dir>/<name>.parquet` — the zero-job
     * gate probe (streamTable's idiom). Long.MaxValue when unreadable,
     * so an unprobeable corpus (object store, remote FS) takes the
@@ -532,10 +542,20 @@ object DedupQueries {
       // cheap signature-estimate pre-filter before the exact verify:
       // matching-minhash share estimates Jaccard (sd ~= 0.06 at k=64),
       // so est >= threshold - EstMargin keeps all true positives while
-      // dropping the random-collision bulk of candidates
+      // dropping the random-collision bulk of candidates.
+      // Below [[D2EstBroadcastMaxDocBytes]] the slim signature frame is
+      // broadcast (the d5 rerank gate's idiom, §3.1): both est lookups
+      // become hash joins fed map-side from the band self-join, so the
+      // candidate pair stream — the channel's widest flow once mh1
+      // rides along — is never shuffled. Above the gate the planner's
+      // sort-merge stands. Strategy-only, results unchanged.
+      val estMins =
+        if (tableBytes(dir, "documents") < D2EstBroadcastMaxDocBytes)
+          broadcast(mins)
+        else mins
       val est = pairs
-        .join(mins.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
-        .join(mins.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
+        .join(estMins.select(col("doc_id").as("doc1"), col("mh").as("mh1")), "doc1")
+        .join(estMins.select(col("doc_id").as("doc2"), col("mh").as("mh2")), "doc2")
         // native codegen'd match count — the HOF fold it replaces
         // (aggregate over zip_with) ran 2·k interpreted lambda hops
         // per CANDIDATE pair; values identical (same count, same
